@@ -1,0 +1,169 @@
+"""AES-GCM envelope encryption with per-batch data keys.
+
+Envelope layout (self-contained, like the AWS Encryption SDK message the
+reference emits at ``AWSKeyManagementService.java:113-115`` — decrypt needs no
+side lookup):
+
+    version(1) | key_id_len(1) | key_id | wrapped_len(2 BE) | wrapped_dek
+    | nonce(12) | aes_gcm_ciphertext(+tag)
+
+Output encoding mirrors the reference's ``Item.Encoding``
+(``Item.java:8-21``): ``string`` renders the envelope as base64 text
+(``Item.java:34-37``), ``binary`` keeps raw bytes. Decrypted plaintext is
+UTF-8 text for string fields (``Item.java:96-99``) or raw bytes for binary
+fields; only str/bytes payloads are legal, anything else is a client error
+(``VaultService.java:76-78`` et al.).
+
+AAD: the optional per-row associated data (we use ``conv_id``) binds a
+ciphertext to its row key — the proper version of the reference's encryption
+context (C4/C6); mismatch on decrypt raises ``ClientErrorException`` like
+``AWSKeyManagementService.java:142-144``.
+
+Scale notes: ONE ``generate_data_key`` KMS call per batch; row nonces are a
+96-bit counter under the fresh random per-batch DEK (unique by construction,
+no RNG cost per row); decrypt unwraps each distinct wrapped DEK once via the
+caller-supplied executor-local cache.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+from collections.abc import Sequence
+
+from cryptography.exceptions import InvalidTag
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+from cdcrypt.errors import ClientErrorException
+from cdcrypt.kms import DEFAULT_KMS, MockKMS
+
+_VERSION = 1
+_NONCE_LEN = 12
+
+
+def _build_header(key_id: str, wrapped: bytes) -> bytes:
+    kid = key_id.encode("utf-8")
+    if len(kid) > 255:
+        raise ClientErrorException("key id too long")
+    return struct.pack(">BB", _VERSION, len(kid)) + kid + struct.pack(">H", len(wrapped)) + wrapped
+
+
+def parse_envelope(blob: bytes) -> tuple[str, bytes, bytes, bytes]:
+    """Return ``(key_id, wrapped_dek, nonce, ciphertext)``."""
+    try:
+        version, kid_len = struct.unpack_from(">BB", blob, 0)
+        if version != _VERSION:
+            raise ClientErrorException(f"unsupported envelope version {version}")
+        off = 2
+        key_id = blob[off : off + kid_len].decode("utf-8")
+        off += kid_len
+        (wrapped_len,) = struct.unpack_from(">H", blob, off)
+        off += 2
+        wrapped = blob[off : off + wrapped_len]
+        off += wrapped_len
+        nonce = blob[off : off + _NONCE_LEN]
+        ct = blob[off + _NONCE_LEN :]
+        if len(nonce) != _NONCE_LEN or len(ct) < 16:
+            raise ClientErrorException("truncated envelope")
+        return key_id, wrapped, nonce, ct
+    except (struct.error, UnicodeDecodeError) as e:
+        raise ClientErrorException(f"malformed envelope: {e}") from e
+
+
+def _to_plain_bytes(v: object) -> bytes:
+    # str and bytes only — reference rejects other types (VaultService.java:76-78)
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    raise ClientErrorException(f"unsupported plaintext type {type(v).__name__}")
+
+
+def encrypt_batch(
+    values: Sequence[object],
+    key_id: str,
+    kms: MockKMS | None = None,
+    aad: Sequence[object] | None = None,
+    encoding: str = "string",
+    context: dict[str, str] | None = None,
+) -> list[object]:
+    """Encrypt a batch of str/bytes values under ONE fresh data key.
+
+    ``None`` values pass through as ``None`` (null passthrough, O2,
+    ``Transform.java:57-60``). ``aad`` (optional, same length) supplies
+    per-row associated data. ``encoding``: 'string' -> base64 str,
+    'binary' -> bytes.
+    """
+    kms = kms or DEFAULT_KMS
+    n = len(values)
+    out: list[object] = [None] * n
+    if n == 0:
+        return out  # empty-batch short-circuit (VaultClientImpl.java:56-58)
+    dek, wrapped = kms.generate_data_key(key_id, context)
+    header = _build_header(key_id, wrapped)
+    gcm = AESGCM(dek)
+    as_string = encoding == "string"
+    pack_nonce = struct.pack  # local bind for the hot loop
+    for i in range(n):
+        v = values[i]
+        if v is None:
+            continue
+        nonce = pack_nonce(">4xQ", i)  # 96-bit counter; DEK is unique per batch
+        ad = None
+        if aad is not None and aad[i] is not None:
+            ad = _to_plain_bytes(aad[i])
+        blob = header + nonce + gcm.encrypt(nonce, _to_plain_bytes(v), ad)
+        out[i] = base64.b64encode(blob).decode("ascii") if as_string else blob
+    return out
+
+
+def decrypt_batch(
+    values: Sequence[object],
+    kms: MockKMS | None = None,
+    aad: Sequence[object] | None = None,
+    output: str = "string",
+    dek_cache: dict[bytes, AESGCM] | None = None,
+    context: dict[str, str] | None = None,
+    expect_key_id: str | None = None,
+) -> list[object]:
+    """Decrypt a batch of envelopes (base64 str or raw bytes).
+
+    Each distinct wrapped DEK is unwrapped once via ``dek_cache`` (the
+    executor-local cache lives in the UDF module; pass a dict here for reuse
+    across batches). ``expect_key_id`` mirrors the reference's master-key-id
+    verification on decrypt (``AWSKeyManagementService.java:138-140``).
+    """
+    kms = kms or DEFAULT_KMS
+    cache = dek_cache if dek_cache is not None else {}
+    n = len(values)
+    out: list[object] = [None] * n
+    as_string = output == "string"
+    for i in range(n):
+        v = values[i]
+        if v is None:
+            continue
+        if isinstance(v, str):
+            try:
+                blob = base64.b64decode(v, validate=True)
+            except Exception as e:  # noqa: BLE001 - classified as data error
+                raise ClientErrorException(f"invalid base64 envelope: {e}") from e
+        else:
+            blob = bytes(v)
+        key_id, wrapped, nonce, ct = parse_envelope(blob)
+        if expect_key_id is not None and key_id != expect_key_id:
+            raise ClientErrorException(
+                f"envelope key id {key_id!r} != configured {expect_key_id!r}"
+            )
+        gcm = cache.get(wrapped)
+        if gcm is None:
+            gcm = AESGCM(kms.unwrap(wrapped, key_id, context))
+            cache[wrapped] = gcm
+        ad = None
+        if aad is not None and aad[i] is not None:
+            ad = _to_plain_bytes(aad[i])
+        try:
+            pt = gcm.decrypt(nonce, ct, ad)
+        except InvalidTag as e:
+            raise ClientErrorException("decrypt failed: AAD or ciphertext mismatch") from e
+        out[i] = pt.decode("utf-8") if as_string else pt
+    return out

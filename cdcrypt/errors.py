@@ -1,0 +1,46 @@
+"""Typed error hierarchy mirroring the reference's retry-vs-fail routing.
+
+Reference parity: ``exception/ServiceException.java:3-19``,
+``ServerErrorException.java:3-19``, ``ClientErrorException.java:3-19``;
+routing at ``Transform.java:124-130`` (server error -> RetriableException,
+client/data error -> DataException).
+
+In the Spark engine the split decides *epoch replay* (transient, safe because
+the sink commit is idempotent) vs *job abort* (data error, operator bug or
+corrupt input).
+"""
+
+from __future__ import annotations
+
+
+class ServiceException(Exception):
+    """Base class for crypto-service failures."""
+
+
+class ClientErrorException(ServiceException):
+    """Caller/data error (bad key id, AAD mismatch, unsupported type).
+
+    Non-retriable: replaying the epoch would fail identically, so the
+    pipeline aborts the job (reference: DataException, Transform.java:126-129).
+    """
+
+
+class ServerErrorException(ServiceException):
+    """Transient service-side error. Retriable via epoch replay
+    (reference: RetriableException, Transform.java:124-125)."""
+
+
+class RetriableEpochError(Exception):
+    """Raised by the pipeline driver when an epoch should be replayed."""
+
+    def __init__(self, epoch: int, cause: Exception):
+        super().__init__(f"epoch {epoch} failed transiently: {cause}")
+        self.epoch = epoch
+        self.cause = cause
+
+
+def classify(exc: Exception) -> str:
+    """Classify an exception as 'retriable' | 'fatal' (O10 semantics)."""
+    if isinstance(exc, ServerErrorException):
+        return "retriable"
+    return "fatal"

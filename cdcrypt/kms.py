@@ -1,0 +1,116 @@
+"""Mock KMS: data-key generation + wrap/unwrap under named master keys.
+
+Stands in for the reference's three external key services (HashiCorp Vault
+Transit ``VaultService.java:63-123``, AWS KMS via the Encryption SDK
+``AWSKeyManagementService.java:103-148``, GCP Cloud KMS
+``GCPKeyManagementService.java:85-209``) — the sandbox has no network, so key
+wrapping is an in-process call. The scaling-relevant property is preserved:
+the engine performs ONE ``generate_data_key`` (wrap) call per Arrow batch on
+encrypt and ONE ``unwrap`` per *distinct wrapped key* per executor on decrypt
+(executor-local cache), never a per-record call — the vectorized analogue of
+the reference's fetch-once public-key cache
+(``GCPKeyManagementService.java:119-132``).
+
+Master keys are derived deterministically from ``key_id`` so that any executor
+process can unwrap without shared mutable state — this mirrors a real KMS
+where every caller reaches the same key material by key id.
+
+Encryption context (AAD) parity: the reference binds an optional context to
+each wrap call (Vault derived keys ``EncryptParameter.java:14-20``; AWS
+encryption context verified on decrypt ``AWSKeyManagementService.java:142-144``).
+Here the context is authenticated as AAD of the wrap itself; a mismatched
+context on unwrap raises ``ClientErrorException`` exactly like the reference's
+wrong-context test (``AWSKeyManagementServiceTest.java:138-160``). Note the
+reference has a config bug that silently drops ``awskms.contexts``
+(``Config.java:279-288``); we implement context properly and test it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import os
+import struct
+
+from cryptography.exceptions import InvalidTag
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+from cdcrypt.errors import ClientErrorException, ServerErrorException
+
+_MASTER_SECRET = b"cdcrypt-mock-kms-master-secret-v1"  # mock: deterministic per key_id
+_WRAP_NONCE_LEN = 12
+_DEK_LEN = 32  # AES-256
+
+
+def _master_key(key_id: str) -> bytes:
+    if not key_id:
+        raise ClientErrorException("empty key id")
+    return hmac.new(_MASTER_SECRET, key_id.encode("utf-8"), hashlib.sha256).digest()
+
+
+def _canon_context(context: dict[str, str] | None) -> bytes:
+    """Canonical byte form of an encryption context (sorted k=v pairs)."""
+    if not context:
+        return b""
+    return "\x1f".join(f"{k}\x1e{context[k]}" for k in sorted(context)).encode("utf-8")
+
+
+class MockKMS:
+    """In-process KMS. ``fail_mode`` injects faults for retry-path tests."""
+
+    def __init__(self, fail_mode: str | None = None):
+        self.fail_mode = fail_mode  # None | 'server' | 'client'
+        self.wrap_calls = 0
+        self.unwrap_calls = 0
+
+    def _maybe_fail(self) -> None:
+        if self.fail_mode == "server":
+            raise ServerErrorException("mock KMS unavailable (injected)")
+        if self.fail_mode == "client":
+            raise ClientErrorException("mock KMS rejected request (injected)")
+
+    def generate_data_key(
+        self, key_id: str, context: dict[str, str] | None = None
+    ) -> tuple[bytes, bytes]:
+        """Return ``(plaintext_dek, wrapped_dek)``.
+
+        One call per Arrow batch on the encrypt path (C5 envelope pattern,
+        ``AWSKeyManagementService.java:113-115``).
+        """
+        self._maybe_fail()
+        self.wrap_calls += 1
+        dek = os.urandom(_DEK_LEN)
+        return dek, self.wrap(dek, key_id, context)
+
+    def wrap(self, dek: bytes, key_id: str, context: dict[str, str] | None = None) -> bytes:
+        mk = _master_key(key_id)
+        nonce = os.urandom(_WRAP_NONCE_LEN)
+        ct = AESGCM(mk).encrypt(nonce, dek, _canon_context(context))
+        return nonce + ct
+
+    def unwrap(
+        self, wrapped: bytes, key_id: str, context: dict[str, str] | None = None
+    ) -> bytes:
+        """Unwrap a data key. One call per distinct wrapped key per executor
+        (callers cache the result keyed by the wrapped bytes)."""
+        self._maybe_fail()
+        self.unwrap_calls += 1
+        if len(wrapped) < _WRAP_NONCE_LEN + 16:
+            raise ClientErrorException("malformed wrapped data key")
+        mk = _master_key(key_id)
+        nonce, ct = wrapped[:_WRAP_NONCE_LEN], wrapped[_WRAP_NONCE_LEN:]
+        try:
+            dek = AESGCM(mk).decrypt(nonce, ct, _canon_context(context))
+        except InvalidTag as e:
+            raise ClientErrorException(
+                f"unwrap failed for key_id={key_id!r}: wrong key or context"
+            ) from e
+        if len(dek) != _DEK_LEN:
+            raise ClientErrorException("unwrapped data key has wrong length")
+        return dek
+
+
+# Default shared instance: executors construct their own (module import is
+# per Python worker), which is correct — the mock derives master keys
+# deterministically, so no cross-process state is needed.
+DEFAULT_KMS = MockKMS()
