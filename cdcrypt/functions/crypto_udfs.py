@@ -1,0 +1,252 @@
+"""Vectorized (Arrow-batched) pandas UDFs for envelope encrypt/decrypt.
+
+This is the engine's ONLY Python hot path — everything else stays in Catalyst
+Columns. Design contract (north rule: "no per-row Python, no per-record KMS
+round-trips"):
+
+- one pandas UDF invocation per Arrow batch (spark.sql.execution.arrow.
+  maxRecordsPerBatch rows), one ``generate_data_key`` KMS call per batch on
+  encrypt (C5 envelope pattern, ``AWSKeyManagementService.java:113-115``);
+- decrypt unwraps each distinct wrapped DEK once per Python worker via the
+  module-global ``_DEK_CACHE`` — the executor-local analogue of the
+  reference's fetch-once public-key cache
+  (``GCPKeyManagementService.java:119-132``); safe across task retries
+  because the cache is a pure function of the wrapped bytes;
+- the "batch axis flip" (SURVEY.md O7): the reference batches *fields within
+  a record* into one Vault call (``VaultService.java:42-61``); Spark batches
+  *rows within an Arrow batch* — same network-amortization idea, vectorized.
+
+Condition gate (O6) rides INSIDE the UDF as a boolean Series: Spark's
+ExtractPythonUDFs rule evaluates Python UDFs eagerly on every row before a
+surrounding CASE WHEN selects, so an outer ``F.when(cond, udf(...))`` would
+(a) pay crypto for gated-out rows and (b) crash decrypt on rows whose value
+is not an envelope. Passing the gate in keeps the reference's per-row-branch
+semantics (non-matching rows pass through unmodified,
+``TransformTest.java:165-173``) with zero wasted crypto.
+
+UDF variants: scalar string/binary and array<string> (for ``path[*]``
+wildcards, O5 — elements of all gated rows of the batch are flattened into
+ONE crypto batch, so an array column still costs one KMS wrap per Arrow
+batch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+from cdcrypt.envelope import decrypt_batch, encrypt_batch
+from cdcrypt.kms import MockKMS
+
+# Executor-local (per Python worker process) cache: wrapped DEK bytes -> AESGCM.
+# Bounded: wrapped keys are ~60 B and one per (job, batch); a worker sees at
+# most a few thousand per long job. Evict wholesale at the cap to stay O(MBs).
+_DEK_CACHE: dict[bytes, object] = {}
+_DEK_CACHE_MAX = 65536
+
+
+def _cache() -> dict[bytes, object]:
+    if len(_DEK_CACHE) > _DEK_CACHE_MAX:
+        _DEK_CACHE.clear()
+    return _DEK_CACHE
+
+
+def _clean(values: Sequence[object]) -> list[object]:
+    return [None if v is None or v is pd.NA else v for v in values]
+
+
+def _gated_apply(
+    values: list[object],
+    gate: list[object] | None,
+    aad: list[object] | None,
+    batch_fn: Callable[[list[object], list[object] | None], list[object]],
+    passthrough: Callable[[object], object],
+) -> list[object]:
+    """Run ``batch_fn`` over only the gate-true rows; others pass through.
+
+    The selected rows still form ONE crypto batch (one KMS wrap)."""
+    if gate is None:
+        return batch_fn(values, aad)
+    sel_idx = [i for i, g in enumerate(gate) if g is True or g == 1]
+    out = [passthrough(v) for v in values]
+    if not sel_idx:
+        return out
+    sub_vals = [values[i] for i in sel_idx]
+    sub_aad = [aad[i] for i in sel_idx] if aad is not None else None
+    sub_out = batch_fn(sub_vals, sub_aad)
+    for j, i in enumerate(sel_idx):
+        out[i] = sub_out[j]
+    return out
+
+
+def _build_udf(core, ret, use_aad: bool, use_gate: bool):
+    """Assemble a pandas UDF with the right positional signature:
+    (value[, aad][, gate])."""
+    if use_aad and use_gate:
+
+        def f(v: pd.Series, a: pd.Series, g: pd.Series) -> pd.Series:
+            return pd.Series(core(_clean(v.tolist()), _clean(a.tolist()),
+                                  g.tolist()), dtype=object)
+    elif use_aad:
+
+        def f(v: pd.Series, a: pd.Series) -> pd.Series:  # type: ignore[misc]
+            return pd.Series(core(_clean(v.tolist()), _clean(a.tolist()), None),
+                             dtype=object)
+    elif use_gate:
+
+        def f(v: pd.Series, g: pd.Series) -> pd.Series:  # type: ignore[misc]
+            return pd.Series(core(_clean(v.tolist()), None, g.tolist()),
+                             dtype=object)
+    else:
+
+        def f(v: pd.Series) -> pd.Series:  # type: ignore[misc]
+            return pd.Series(core(_clean(v.tolist()), None, None), dtype=object)
+
+    return F.pandas_udf(f, ret)
+
+
+def _str_passthrough_for(encoding: str):
+    if encoding == "binary":
+        # gated-out plaintext in a binary output column: utf-8 bytes
+        return lambda v: v.encode("utf-8") if isinstance(v, str) else v
+    return lambda v: v
+
+
+def make_encrypt_udf(
+    key_id: str,
+    *,
+    encoding: str = "string",
+    kms: MockKMS | None = None,
+    context: dict[str, str] | None = None,
+    use_aad: bool = False,
+    use_gate: bool = False,
+) -> Callable:
+    """Pandas UDF: (value[, aad][, gate]) -> envelope (base64 str or bytes)."""
+    ret = StringType() if encoding == "string" else BinaryType()
+    kms_inst = kms or MockKMS()
+    passthrough = _str_passthrough_for(encoding)
+
+    def core(vals, aad, gate):
+        return _gated_apply(
+            vals, gate, aad,
+            lambda v, a: encrypt_batch(v, key_id, kms_inst, aad=a,
+                                       encoding=encoding, context=context),
+            passthrough,
+        )
+
+    return _build_udf(core, ret, use_aad, use_gate)
+
+
+def make_decrypt_udf(
+    *,
+    output: str = "string",
+    kms: MockKMS | None = None,
+    context: dict[str, str] | None = None,
+    use_aad: bool = False,
+    use_gate: bool = False,
+    expect_key_id: str | None = None,
+) -> Callable:
+    """Pandas UDF: (envelope[, aad][, gate]) -> plaintext."""
+    ret = StringType() if output == "string" else BinaryType()
+    kms_inst = kms or MockKMS()
+
+    def core(vals, aad, gate):
+        return _gated_apply(
+            vals, gate, aad,
+            lambda v, a: decrypt_batch(v, kms_inst, aad=a, output=output,
+                                       dek_cache=_cache(), context=context,
+                                       expect_key_id=expect_key_id),
+            lambda v: v,
+        )
+
+    return _build_udf(core, ret, use_aad, use_gate)
+
+
+def _flatten_arrays(lists, index: int | None):
+    """Flatten list-of-lists (or the single ``index`` element of each) into one
+    crypto batch; remember spans for regrouping."""
+    flat: list[object] = []
+    spans: list[tuple[int, int] | None] = []
+    for lst in lists:
+        if lst is None:
+            spans.append(None)
+            continue
+        start = len(flat)
+        if index is None:
+            flat.extend(lst)
+        elif 0 <= index < len(lst):
+            flat.append(lst[index])
+        spans.append((start, len(flat)))
+    return flat, spans
+
+
+def _regroup_arrays(lists, spans, new_flat, index: int | None):
+    out = []
+    for lst, span in zip(lists, spans):
+        if span is None:
+            out.append(None)
+            continue
+        s, e = span
+        if index is None:
+            out.append(list(new_flat[s:e]))
+        else:
+            new = list(lst)
+            if s < e:
+                new[index] = new_flat[s]
+            out.append(new)
+    return out
+
+
+def _make_array_udf(batch_fn, index: int | None, use_gate: bool):
+    def core(lists, _aad, gate):
+        if gate is not None:
+            work = [lst if (g is True or g == 1) else None
+                    for lst, g in zip(lists, gate)]
+        else:
+            work = lists
+        flat, spans = _flatten_arrays(work, index)
+        new_flat = batch_fn(flat)
+        rewritten = _regroup_arrays(work, spans, new_flat, index)
+        if gate is None:
+            return rewritten
+        return [rw if (g is True or g == 1) else lst
+                for lst, rw, g in zip(lists, rewritten, gate)]
+
+    return _build_udf(core, ArrayType(StringType()), use_aad=False,
+                      use_gate=use_gate)
+
+
+def make_encrypt_array_udf(
+    key_id: str,
+    *,
+    kms: MockKMS | None = None,
+    context: dict[str, str] | None = None,
+    index: int | None = None,
+    use_gate: bool = False,
+) -> Callable:
+    """array<string> -> array<string>: encrypt every element (``[*]``) or only
+    element ``index`` (``[n]``)."""
+    kms_inst = kms or MockKMS()
+    return _make_array_udf(
+        lambda flat: encrypt_batch(flat, key_id, kms_inst, context=context),
+        index, use_gate,
+    )
+
+
+def make_decrypt_array_udf(
+    *,
+    kms: MockKMS | None = None,
+    context: dict[str, str] | None = None,
+    index: int | None = None,
+    use_gate: bool = False,
+) -> Callable:
+    """Inverse of :func:`make_encrypt_array_udf`."""
+    kms_inst = kms or MockKMS()
+    return _make_array_udf(
+        lambda flat: decrypt_batch(flat, kms_inst, dek_cache=_cache(),
+                                   context=context),
+        index, use_gate,
+    )

@@ -1,0 +1,166 @@
+"""FieldTransform — the engine's equivalent of the reference SMT.
+
+One configured transform = one Catalyst projection rewrite over a micro-batch
+DataFrame (the whole of ``Transform.java:56-131`` becomes a single
+``withColumn`` chain):
+
+    df.withColumn(field, WHEN(cond, crypto_udf(field[, aad])).OTHERWISE(field))
+
+Parity map (SURVEY.md §2.1):
+- O1 record map      -> the projection itself
+- O2 null passthrough-> UDF returns None for None input
+- O4/O5 field paths  -> fieldpath.compile_path / rewrite (wildcards stay
+                        vectorized instead of per-record expansion)
+- O6 condition gate  -> condition.compile_condition, per-row CASE WHEN
+                        (non-matching rows pass through unmodified,
+                        TransformTest.java:165-173)
+- O7/O8 batching     -> Arrow batch = the crypto batch (one KMS wrap each)
+- O9 writeback       -> withField/withColumn rewrite
+- O10 error routing  -> typed exceptions surface through the driver
+                        (streaming/pipeline.py maps them to replay vs abort)
+- O12/O13 config     -> TransformConfig validation + compile() here, once,
+                        driver-side
+
+Config validation mirrors ``OneOfValidator.java:10-24`` (enum membership) and
+the both-or-neither condition rule (``Config.java:170-180``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdcrypt.functions.condition import compile_condition
+from cdcrypt.functions.crypto_udfs import (
+    make_decrypt_array_udf,
+    make_decrypt_udf,
+    make_encrypt_array_udf,
+    make_encrypt_udf,
+)
+from cdcrypt.functions.fieldpath import (
+    CompiledPath,
+    PathCompileError,
+    compile_path,
+    path_exists,
+    rewrite,
+    select_column,
+)
+from cdcrypt.kms import MockKMS
+
+_MODES = ("encrypt", "decrypt")
+_ENCODINGS = ("string", "binary")
+
+
+class ConfigError(ValueError):
+    """Invalid transform configuration (driver-side, pre-execution)."""
+
+
+def _one_of(name: str, value: str, allowed: tuple[str, ...]) -> str:
+    # OneOfValidator.java:10-24 analogue
+    if value not in allowed:
+        raise ConfigError(f"{name}={value!r} must be one of {allowed}")
+    return value
+
+
+@dataclass
+class TransformConfig:
+    mode: str  # encrypt | decrypt
+    fields: list[str]  # limited-JsonPath strings
+    key_id: str = "cdcrypt/default"
+    encoding: str = "string"  # output encoding, Item.Encoding analogue
+    condition_field: str | None = None
+    condition_equals: str | None = None
+    aad_field: str | None = None  # per-row AAD column (e.g. conv_id)
+    kms: MockKMS = dc_field(default_factory=MockKMS)
+    context: dict[str, str] | None = None
+
+    def __post_init__(self) -> None:
+        _one_of("mode", self.mode, _MODES)
+        _one_of("encoding", self.encoding, _ENCODINGS)
+        if not self.fields:
+            raise ConfigError("at least one field path is required")
+        if (self.condition_field is None) != (self.condition_equals is None):
+            raise ConfigError(
+                "condition.field and condition.equals must be set together"
+            )
+        if not self.key_id:
+            raise ConfigError("key_id is required")
+
+
+class FieldTransform:
+    """Compiled transform; construct once per job, apply per micro-batch."""
+
+    def __init__(self, config: TransformConfig):
+        self.config = config
+        try:
+            self._paths: list[tuple[str, CompiledPath]] = [
+                (p, compile_path(p)) for p in config.fields
+            ]
+        except PathCompileError as e:
+            raise ConfigError(str(e)) from e
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Rewrite the configured fields; everything else passes through.
+
+        The condition gate is shipped INTO the UDF as a boolean column
+        (see crypto_udfs module docstring for why an outer CASE WHEN would
+        be wrong): non-matching rows pass through unmodified and pay no
+        crypto.
+        """
+        cfg = self.config
+        use_gate = cfg.condition_field is not None
+        gate = (
+            compile_condition(df, cfg.condition_field, cfg.condition_equals)
+            if use_gate
+            else None
+        )
+        use_aad = cfg.aad_field is not None
+
+        for _, cp in self._paths:
+            if not path_exists(df, cp):
+                continue  # missing optional target -> skip (Transform.java:99-101)
+            cur = select_column(cp)
+            if cp.is_array:
+                if cfg.mode == "encrypt":
+                    udf = make_encrypt_array_udf(
+                        cfg.key_id, kms=cfg.kms, context=cfg.context,
+                        index=cp.array_index, use_gate=use_gate,
+                    )
+                else:
+                    udf = make_decrypt_array_udf(
+                        kms=cfg.kms, context=cfg.context,
+                        index=cp.array_index, use_gate=use_gate,
+                    )
+                new = udf(cur, gate) if use_gate else udf(cur)
+            else:
+                if cfg.mode == "encrypt":
+                    udf = make_encrypt_udf(
+                        cfg.key_id, encoding=cfg.encoding, kms=cfg.kms,
+                        context=cfg.context, use_aad=use_aad, use_gate=use_gate,
+                    )
+                else:
+                    udf = make_decrypt_udf(
+                        output=cfg.encoding,
+                        kms=cfg.kms, context=cfg.context, use_aad=use_aad,
+                        use_gate=use_gate, expect_key_id=cfg.key_id,
+                    )
+                args = [cur]
+                if use_aad:
+                    args.append(F.col(cfg.aad_field))
+                if use_gate:
+                    args.append(gate)
+                new = udf(*args)
+            df = rewrite(df, cp, new)
+        return df
+
+
+def encrypt_fields(df: DataFrame, fields: list[str], **kw) -> DataFrame:
+    """Convenience: one-shot encrypt transform."""
+    return FieldTransform(TransformConfig(mode="encrypt", fields=fields, **kw)).apply(df)
+
+
+def decrypt_fields(df: DataFrame, fields: list[str], **kw) -> DataFrame:
+    """Convenience: one-shot decrypt transform."""
+    return FieldTransform(TransformConfig(mode="decrypt", fields=fields, **kw)).apply(df)

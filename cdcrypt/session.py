@@ -1,0 +1,51 @@
+"""SparkSession factory with engine-tuned defaults.
+
+Scale rationale (local[32] sandbox, designed for 1000-executor clusters):
+- Arrow vectorization on, 10k rows/batch: amortizes the JVM<->Python boundary
+  for the crypto UDFs (one data-key wrap per 10k rows).
+- AQE on with coalescing + skew-join: runtime re-planning for the merge join;
+  we additionally salt hot keys explicitly (operators/salting.py) as the
+  north rule requires, and can A/B the two.
+- shuffle.partitions defaults to 2x cores locally; on a real cluster set it
+  near (executors * cores * 2) or rely on AQE coalescing from a higher value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cdcrypt",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("CDCRYPT_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if master.startswith("local[") and master != "local[*]":
+        try:
+            cores = int(master[6:-1])
+        except ValueError:
+            pass
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, cores * 2)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("CDCRYPT_DRIVER_MEM", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

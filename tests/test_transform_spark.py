@@ -1,0 +1,187 @@
+"""FieldTransform behavioral spec — the reference's ``TransformTest.java``
+cases transliterated to DataFrames (SURVEY.md §5.1), plus the engine's AAD
+binding. Fixture mirrors FIXTURES.md F4 (nested struct + array wildcard +
+condition column)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdcrypt.operators.transform import (
+    ConfigError,
+    FieldTransform,
+    TransformConfig,
+    decrypt_fields,
+    encrypt_fields,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("text", StringType(), True),
+        StructField("optional", StringType(), True),
+        StructField(
+            "struct",
+            StructType([StructField("array", ArrayType(StringType()), True)]),
+            True,
+        ),
+        StructField("cond", StringType(), True),
+    ]
+)
+
+
+def fixture_df(spark):
+    rows = [
+        Row(text="hello", optional=None,
+            struct=Row(array=["a0", "a1"]), cond="bingo"),
+        Row(text="world", optional=None,
+            struct=Row(array=["b0", "b1"]), cond="miss"),
+        Row(text=None, optional=None, struct=None, cond="bingo"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_struct_and_array_wildcard_roundtrip(spark):
+    # TransformTest.java:111-136: encrypt $.text and $.struct.array[*],
+    # schema unchanged, values replaced in place
+    df = fixture_df(spark)
+    enc = encrypt_fields(df, ["$.text", "$.struct.array[*]"])
+    assert enc.schema == df.schema  # transform-preserving schema
+    collected = enc.collect()
+    r = {row["cond"]: row for row in collected if row["text"] is not None}
+    assert r["bingo"]["text"] != "hello" and len(r["bingo"]["text"]) > 40
+    assert all(e != p for e, p in zip(r["bingo"]["struct"]["array"], ["a0", "a1"]))
+    # null operand passthrough (Transform.java:57-60)
+    none_row = [row for row in collected if row["text"] is None]
+    assert none_row and none_row[0]["struct"] is None
+
+    dec = decrypt_fields(enc, ["$.text", "$.struct.array[*]"])
+    assert sorted(dec.collect(), key=lambda r: (r["cond"], str(r["text"]))) == sorted(
+        df.collect(), key=lambda r: (r["cond"], str(r["text"]))
+    )
+
+
+def test_array_index_path(spark):
+    df = fixture_df(spark).where(F.col("struct").isNotNull())
+    enc = encrypt_fields(df, ["$.struct.array[1]"])
+    for row in enc.collect():
+        arr = row["struct"]["array"]
+        assert arr[0] in ("a0", "b0")  # untouched
+        assert arr[1] not in ("a1", "b1")  # encrypted
+    dec = decrypt_fields(enc, ["$.struct.array[1]"])
+    assert {tuple(r["struct"]["array"]) for r in dec.collect()} == {
+        ("a0", "a1"), ("b0", "b1")
+    }
+
+
+def test_condition_gate_per_row_branch(spark):
+    # TransformTest.java:165-173 + ConditionsTest.java:16-45: rows failing the
+    # equality gate pass through UNMODIFIED (not dropped)
+    df = fixture_df(spark)
+    cfg = TransformConfig(
+        mode="encrypt", fields=["$.text"],
+        condition_field="$.cond", condition_equals="bingo",
+    )
+    enc = FieldTransform(cfg).apply(df)
+    rows = {row["cond"]: row for row in enc.collect() if row["text"] is not None}
+    assert rows["bingo"]["text"] != "hello"
+    assert rows["miss"]["text"] == "world"  # passthrough
+    assert enc.count() == 3  # branch, not filter
+
+
+def test_condition_missing_field_rejects_all(spark):
+    # Conditions.java:34-36: missing field -> gate false -> nothing encrypted
+    df = fixture_df(spark)
+    cfg = TransformConfig(
+        mode="encrypt", fields=["$.text"],
+        condition_field="$.nope", condition_equals="x",
+    )
+    out = FieldTransform(cfg).apply(df)
+    assert {r["text"] for r in out.collect()} == {"hello", "world", None}
+
+
+def test_condition_existential_over_array(spark):
+    # any-match over a multi-valued path accepts (Conditions.java:38-43)
+    df = fixture_df(spark).where(F.col("struct").isNotNull())
+    cfg = TransformConfig(
+        mode="encrypt", fields=["$.text"],
+        condition_field="$.struct.array[*]", condition_equals="a1",
+    )
+    rows = {r["cond"]: r for r in FieldTransform(cfg).apply(df).collect()}
+    assert rows["bingo"]["text"] != "hello"  # array contains a1
+    assert rows["miss"]["text"] == "world"
+
+
+def test_missing_optional_target_skipped(spark):
+    # Transform.java:99-101 / TransformTest.java:176-183
+    df = fixture_df(spark)
+    out = encrypt_fields(df, ["$.not_a_field", "$.no.such.path"])
+    assert out.collect() == df.collect()
+
+
+def test_invalid_path_is_config_error(spark):
+    # TransformTest.java:193-195 -> ConfigException analogue
+    with pytest.raises(ConfigError):
+        encrypt_fields(fixture_df(spark), ["$..["])
+    with pytest.raises(ConfigError):
+        encrypt_fields(fixture_df(spark), ["$.a[*].b"])  # unsupported shape
+
+
+def test_config_validation():
+    with pytest.raises(ConfigError):
+        TransformConfig(mode="frobnicate", fields=["$.a"])
+    with pytest.raises(ConfigError):
+        TransformConfig(mode="encrypt", fields=[])
+    with pytest.raises(ConfigError):
+        TransformConfig(mode="encrypt", fields=["$.a"], condition_field="$.c")
+    with pytest.raises(ConfigError):
+        TransformConfig(mode="encrypt", fields=["$.a"], encoding="hex")
+
+
+def test_aad_binds_rows(spark):
+    df = spark.createDataFrame(
+        [("conv1", "secret one"), ("conv2", "secret two")], ["conv_id", "text"]
+    )
+    enc = encrypt_fields(df, ["$.text"], aad_field="conv_id")
+    dec = decrypt_fields(enc, ["$.text"], aad_field="conv_id")
+    assert {(r["conv_id"], r["text"]) for r in dec.collect()} == {
+        ("conv1", "secret one"), ("conv2", "secret two")
+    }
+    # swap the AAD column -> decrypt must fail (typed, surfaces via action)
+    swapped = enc.withColumn(
+        "conv_id", F.when(F.col("conv_id") == "conv1", "conv2").otherwise("conv1")
+    )
+    with pytest.raises(Exception, match="AAD|mismatch"):
+        decrypt_fields(swapped, ["$.text"], aad_field="conv_id").collect()
+
+
+def test_binary_encoding_mode(spark):
+    # schemaless/binary analogue of TransformTest.java:139-162
+    df = spark.createDataFrame([("payload",)], ["text"])
+    enc = encrypt_fields(df, ["$.text"], encoding="binary")
+    assert dict(enc.dtypes)["text"] == "binary"
+    [row] = enc.collect()
+    assert isinstance(row["text"], (bytes, bytearray))
+    dec = decrypt_fields(enc, ["$.text"], encoding="string")
+    assert dec.collect()[0]["text"] == "payload"
+
+
+def test_transform_chain_smt_style(spark):
+    # e2e/vault_config.json:14-30: chain encrypt(userid,pageid) -> decrypt(userid);
+    # userid round-trips, pageid stays ciphertext (FIXTURES.md F3)
+    df = spark.createDataFrame(
+        [(91, "User_3", "Page_17"), (92, "User_5", "Page_29")],
+        ["viewtime", "userid", "pageid"],
+    )
+    out = decrypt_fields(encrypt_fields(df, ["$.userid", "$.pageid"]), ["$.userid"])
+    rows = sorted(out.collect(), key=lambda r: r["viewtime"])
+    assert [r["userid"] for r in rows] == ["User_3", "User_5"]
+    assert all(not r["pageid"].startswith("Page_") for r in rows)
+    assert [r["viewtime"] for r in rows] == [91, 92]  # untouched column
