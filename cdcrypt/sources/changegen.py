@@ -1,0 +1,247 @@
+"""Deterministic binlog/WAL-shaped change-event generator (FIXTURES.md F2).
+
+Produces the engine's input: epoch-sequenced parquet files of change events
+over the ``transcripts`` schema (BASELINE.json input_hint):
+
+    op(I|U|D), conv_id, turn_idx, op_seq, epoch, role, text, tool, ts
+    [+ model from the schema-evolution epoch onward]
+
+The reference consumes records from a Debezium-style CDC source
+(``README.md:20``); the sandbox has no Kafka JAR, so epochs-as-files stand in
+for topic offsets (SURVEY.md P1). Generation is numpy-vectorized and seeded —
+identical bytes for identical parameters — so the bench input is reproducible
+and the pure-Python/DuckDB oracle can be computed from the same files.
+
+Adversarial properties (all required by FIXTURES.md F2):
+- exact duplicate deliveries of the same (conv_id, turn_idx, op_seq), ~2%,
+  half pushed across an epoch boundary;
+- out-of-order op_seq within an epoch (events shuffled within a window);
+- hot keys: conv 0 receives >= 5% of all events (zipf-ish skew -> exercises
+  explicit salting in the measured run, BASELINE.md note);
+- delete-then-reinsert sequences;
+- schema evolution: files from ``evolve_epoch`` onward carry an added
+  nullable ``model`` column; earlier files do NOT have the column.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_ROLES = np.array(["user", "assistant", "tool"])
+_FILLER = np.array(
+    [
+        "the quick brown fox jumps over the lazy dog. ",
+        "pack my box with five dozen liquor jugs — quickly! ",
+        "σχεδόν όλα τα ελληνικά γράμματα εδώ ✓ ",
+        "日本語のテキストサンプルです。エンジンのテスト用。",
+        "zero-width and emoji 🧪🚀 mixed content sample. ",
+        "SELECT * FROM conversations WHERE turn > 0; ",
+        "",  # empty-string case
+    ]
+)
+_MODELS = np.array(["m-alpha", "m-beta", "m-gamma"])
+_BASE_TS = np.int64(1_700_000_000) * 1_000_000  # 2023-11-14 UTC, microseconds
+
+
+@dataclass
+class GenSpec:
+    n_convs: int = 200
+    avg_turns: int = 12  # geometric mean-ish, capped at 200
+    update_ratio: float = 0.35  # updates per insert
+    delete_ratio: float = 0.07  # deletes per insert
+    reinsert_ratio: float = 0.5  # fraction of deletes later re-inserted
+    dup_ratio: float = 0.02  # duplicated deliveries
+    n_epochs: int = 8
+    evolve_epoch: int | None = None  # default: 3/4 through
+    hot_conv_boost: float = 0.08  # fraction of updates forced onto conv 0
+    long_text_ratio: float = 0.002  # >16 KB texts
+    null_text_ratio: float = 0.01
+    seed: int = 42
+
+
+def _texts(conv: np.ndarray, turn: np.ndarray, seq: np.ndarray,
+           rng: np.random.Generator, spec: GenSpec) -> np.ndarray:
+    """Deterministic text from (conv, turn, seq): short header + filler."""
+    h = (conv.astype(np.int64) * 1_000_003 + turn * 8191 + seq * 131) % len(_FILLER)
+    base = np.char.add(
+        np.char.add(
+            np.char.add("c", conv.astype("U10")),
+            np.char.add(" t", turn.astype("U6")),
+        ),
+        np.char.add(np.char.add(" s", seq.astype("U12")), " :: "),
+    )
+    out = np.char.add(base, _FILLER[h])
+    n = len(out)
+    long_mask = rng.random(n) < spec.long_text_ratio
+    if long_mask.any():
+        out = out.astype(object)
+        big = "L" * 17000
+        for i in np.flatnonzero(long_mask):
+            out[i] = str(out[i]) + big
+    null_mask = rng.random(n) < spec.null_text_ratio
+    out = out.astype(object)
+    out[null_mask] = None
+    return out
+
+
+def generate_change_events(spec: GenSpec) -> dict:
+    """Build the full logical event sequence as numpy/object arrays.
+
+    Returns dict of columns + the per-event epoch assignment. Event order in
+    the arrays is DELIVERY order (shuffled); ``op_seq`` is the logical order.
+    """
+    rng = np.random.default_rng(spec.seed)
+
+    # --- base inserts: every (conv, turn) gets an I
+    sizes = np.minimum(rng.geometric(1.0 / spec.avg_turns, spec.n_convs), 200)
+    sizes[0] = max(sizes[0], 150)  # hot conversation is long too
+    conv_i = np.repeat(np.arange(spec.n_convs), sizes)
+    turn_i = np.concatenate([np.arange(s) for s in sizes])
+    n_ins = len(conv_i)
+
+    # key index table for picking update/delete targets
+    n_upd = int(n_ins * spec.update_ratio)
+    n_del = int(n_ins * spec.delete_ratio)
+
+    pick_u = rng.integers(0, n_ins, n_upd)
+    # force a share of updates onto the hot conversation (conv 0)
+    hot_rows = np.flatnonzero(conv_i == 0)
+    n_hot = int(n_upd * spec.hot_conv_boost) + int(0.05 * (n_ins + n_upd + n_del))
+    pick_u = np.concatenate([pick_u, rng.choice(hot_rows, n_hot)])
+    n_upd = len(pick_u)
+
+    pick_d = rng.choice(n_ins, n_del, replace=False)
+    n_rei = int(n_del * spec.reinsert_ratio)
+    pick_r = pick_d[:n_rei]  # delete-then-reinsert keys
+
+    op = np.concatenate([
+        np.full(n_ins, "I"), np.full(n_upd, "U"),
+        np.full(n_del, "D"), np.full(n_rei, "I"),
+    ])
+    conv = np.concatenate([conv_i, conv_i[pick_u], conv_i[pick_d], conv_i[pick_r]])
+    turn = np.concatenate([turn_i, turn_i[pick_u], turn_i[pick_d], turn_i[pick_r]])
+    n = len(op)
+
+    # --- logical order: inserts first-ish, then interleaved U/D/reinsert.
+    # A stable global order that keeps I-before-U/D per key: sort by
+    # (phase, rand) where phase(I base)=0, others get a random phase in [1,4).
+    phase = np.concatenate([
+        np.zeros(n_ins), rng.uniform(1, 4, n_upd),
+        rng.uniform(1, 3, n_del),
+        rng.uniform(3, 4, n_rei),  # reinserts strictly after their delete window
+    ])
+    order = np.argsort(phase, kind="stable")
+    op, conv, turn = op[order], conv[order], turn[order]
+    op_seq = np.arange(n, dtype=np.int64)  # logical LWW order == this order
+
+    # --- epochs: contiguous in logical order, then shuffle WITHIN epoch for
+    # out-of-order op_seq delivery
+    epoch = (op_seq * spec.n_epochs // n).astype(np.int64)
+
+    # --- after-images
+    role = _ROLES[(conv * 7 + turn) % 3]
+    text = _texts(conv, turn, op_seq, rng, spec)
+    tool = np.where(
+        role == "tool",
+        np.char.add('{"name":"tool_', np.char.add((conv % 17).astype("U4"), '"}')),
+        None,
+    ).astype(object)
+    ts = _BASE_TS + conv.astype(np.int64) * 10_000_000 + turn.astype(np.int64) * 1000 + op_seq
+    is_d = op == "D"
+    text[is_d] = None
+    role = role.astype(object); role[is_d] = None
+    tool[is_d] = None
+
+    evolve_epoch = spec.evolve_epoch
+    if evolve_epoch is None:
+        evolve_epoch = max(1, spec.n_epochs * 3 // 4)
+    model = _MODELS[(conv + turn) % 3].astype(object)
+    model[is_d] = None
+    model[epoch < evolve_epoch] = None  # pre-evolution events carry no model
+
+    # --- duplicates: exact redelivery (same op_seq & payload), half next epoch
+    n_dup = int(n * spec.dup_ratio)
+    di = rng.integers(0, n, n_dup)
+    dup_epoch = epoch[di] + (rng.random(n_dup) < 0.5).astype(np.int64)
+    dup_epoch = np.minimum(dup_epoch, spec.n_epochs - 1)
+
+    cols = {
+        "op": np.concatenate([op, op[di]]).astype(object),
+        "conv_id": None,  # filled below
+        "turn_idx": np.concatenate([turn, turn[di]]).astype(np.int32),
+        "op_seq": np.concatenate([op_seq, op_seq[di]]),
+        "epoch": np.concatenate([epoch, dup_epoch]),
+        "role": np.concatenate([role, role[di]]),
+        "text": np.concatenate([text, text[di]]),
+        "tool": np.concatenate([tool, tool[di]]),
+        "ts": np.concatenate([ts, ts[di]]),
+        "model": np.concatenate([model, model[di]]),
+    }
+    conv_all = np.concatenate([conv, conv[di]])
+    cols["conv_id"] = np.char.add("conv", np.char.zfill(conv_all.astype("U8"), 8)).astype(object)
+
+    # duplicates that landed in a later epoch keep pre-evolution nulls only if
+    # their ORIGINAL epoch was pre-evolution — exact redelivery, same payload.
+    cols["_evolve_epoch"] = evolve_epoch
+    return cols
+
+
+def write_epoch_files(cols: dict, out_dir: str, shuffle_seed: int = 7,
+                      files_per_epoch: int = 1) -> list[str]:
+    """Write per-epoch parquet files (delivery order shuffled within epoch).
+
+    Pre-evolution epochs omit the ``model`` column entirely (schema
+    evolution on read). Returns the written paths in epoch order.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    evolve_epoch = cols["_evolve_epoch"]
+    epochs = np.unique(cols["epoch"])
+    rng = np.random.default_rng(shuffle_seed)
+    paths = []
+    base_fields = ["op", "conv_id", "turn_idx", "op_seq", "epoch",
+                   "role", "text", "tool", "ts"]
+    for e in epochs:
+        m = cols["epoch"] == e
+        idx = np.flatnonzero(m)
+        rng.shuffle(idx)  # out-of-order op_seq within the epoch
+        fields = base_fields + (["model"] if e >= evolve_epoch else [])
+        arrays = []
+        for f in fields:
+            v = cols[f][idx]
+            if f == "ts":
+                arrays.append(pa.array(v, type=pa.timestamp("us")))
+            elif f == "turn_idx":
+                arrays.append(pa.array(v, type=pa.int32()))
+            elif f in ("op_seq", "epoch"):
+                arrays.append(pa.array(v, type=pa.int64()))
+            else:
+                arrays.append(pa.array(v, type=pa.string()))
+        tbl = pa.table(dict(zip(fields, arrays)))
+        chunks = np.array_split(np.arange(len(idx)), files_per_epoch)
+        for fi, ch in enumerate(chunks):
+            p = os.path.join(out_dir, f"epoch={int(e):06d}.part{fi:03d}.parquet")
+            pq.write_table(tbl.take(pa.array(ch)), p, compression="snappy")
+            paths.append(p)
+    return paths
+
+
+def generate_to_dir(out_dir: str, spec: GenSpec | None = None,
+                    files_per_epoch: int = 1) -> dict:
+    """Generate + write; returns summary stats for logging/bench."""
+    spec = spec or GenSpec()
+    cols = generate_change_events(spec)
+    paths = write_epoch_files(cols, out_dir, files_per_epoch=files_per_epoch)
+    n = len(cols["op"])
+    hot = (np.char.find(cols["conv_id"].astype("U16"), "conv00000000") == 0).sum()
+    return {
+        "events": int(n),
+        "epochs": int(cols["epoch"].max() + 1),
+        "evolve_epoch": int(cols["_evolve_epoch"]),
+        "hot_conv_share": float(hot / n),
+        "files": paths,
+    }

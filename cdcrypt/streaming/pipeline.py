@@ -1,0 +1,171 @@
+"""IngestPipeline — the CDC replay driver (SURVEY.md §7 stage 7).
+
+Structured-Streaming-shaped manual micro-batch loop (the sandbox has no Kafka
+JAR; epoch files stand in for topic offsets, SURVEY.md P1). Each epoch:
+
+    read epoch files -> FieldTransform(encrypt text/tool, AAD=conv_id)
+        -> resolve one final change per key (dedup + LWW, salted by default)
+        -> merge_upsert into the lake table -> atomic epoch commit
+        -> checkpoint JSON with per-partition lineage
+
+Delivery semantics: exactly-once. The lake commit records the epoch
+atomically; replaying an epoch (crash before commit, task retry, duplicate
+files) is detected via ``committed_epoch`` and skipped, and the merge itself
+carries a per-row ``op_seq`` stale-guard — both layers mirror how the
+reference relies on Connect redelivery + its RetriableException contract
+(``Transform.java:124-130``) but upgrade at-least-once to exactly-once.
+
+Error routing (O10): a ``ServerErrorException`` raised inside the crypto UDF
+surfaces through the Spark action; the driver retries the epoch (bounded),
+any other error aborts the job — transient vs data error, exactly the
+reference's RetriableException vs DataException split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cdcrypt.kms import MockKMS
+from cdcrypt.operators.dedup import (
+    resolve_latest_agg,
+    resolve_latest_salted,
+    resolve_latest_window,
+)
+from cdcrypt.operators.merge import merge_upsert
+from cdcrypt.operators.transform import FieldTransform, TransformConfig
+from cdcrypt.table.lake import LakeTable, LakeTableError
+
+_EPOCH_FILE = re.compile(r"epoch=(\d+)\b")
+
+BASE_TABLE_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("role", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("tool", StringType(), True),
+    StructField("ts", TimestampType(), True),
+    StructField("op_seq", LongType(), True),
+])
+
+_RESOLVERS = {
+    "salted": resolve_latest_salted,
+    "agg": resolve_latest_agg,
+    "window": resolve_latest_window,
+}
+
+
+def list_epochs(source_dir: str) -> dict[int, list[str]]:
+    """Epoch -> sorted file paths (the source's offset log)."""
+    out: dict[int, list[str]] = defaultdict(list)
+    for name in sorted(os.listdir(source_dir)):
+        m = _EPOCH_FILE.search(name)
+        if m and name.endswith(".parquet"):
+            out[int(m.group(1))].append(os.path.join(source_dir, name))
+    return dict(out)
+
+
+@dataclass
+class IngestPipeline:
+    source_dir: str
+    table_root: str
+    checkpoint_dir: str
+    key_id: str = "cdcrypt/transcripts"
+    encrypt_paths: tuple[str, ...] = ("$.text", "$.tool")
+    aad_field: str | None = "conv_id"
+    resolver: str = "salted"
+    salt_buckets: int = 16
+    bucket_count: int = 64
+    max_retries: int = 2
+    broadcast_merge: bool | None = None
+    kms: MockKMS = dc_field(default_factory=MockKMS)
+
+    # ---------- setup ----------
+    def table(self) -> LakeTable:
+        try:
+            return LakeTable(self.table_root)
+        except LakeTableError:
+            return LakeTable.create(
+                self.table_root, BASE_TABLE_SCHEMA, bucket_count=self.bucket_count
+            )
+
+    def _encryptor(self) -> FieldTransform:
+        return FieldTransform(TransformConfig(
+            mode="encrypt",
+            fields=list(self.encrypt_paths),
+            key_id=self.key_id,
+            aad_field=self.aad_field,
+            kms=self.kms,
+        ))
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        if self.resolver == "salted":
+            return resolve_latest_salted(df, self.salt_buckets)
+        return _RESOLVERS[self.resolver](df)
+
+    # ---------- one epoch ----------
+    def process_epoch(self, spark: SparkSession, table: LakeTable,
+                      epoch: int, files: list[str]) -> dict:
+        t0 = time.monotonic()
+        df = spark.read.parquet(*files)
+        encrypted = self._encryptor().apply(df)
+        resolved = self._resolve(encrypted)
+        lineage = merge_upsert(
+            spark, table, resolved, epoch, broadcast=self.broadcast_merge
+        )
+        lineage.update({
+            "files": [os.path.basename(f) for f in files],
+            "wall_sec": round(time.monotonic() - t0, 3),
+        })
+        self._write_checkpoint(epoch, lineage)
+        return lineage
+
+    def _write_checkpoint(self, epoch: int, lineage: dict) -> None:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = os.path.join(self.checkpoint_dir, f".epoch_{epoch:06d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(lineage, f, indent=1)
+        os.replace(tmp, os.path.join(self.checkpoint_dir, f"epoch_{epoch:06d}.json"))
+
+    # ---------- replay loop ----------
+    def run(self, spark: SparkSession, max_epochs: int | None = None) -> list[dict]:
+        """Process all pending epochs (resume = committed_epoch + 1)."""
+        table = self.table()
+        epochs = list_epochs(self.source_dir)
+        pending = sorted(e for e in epochs if e > table.committed_epoch)
+        if max_epochs is not None:
+            pending = pending[:max_epochs]
+        results = []
+        for e in pending:
+            attempt = 0
+            while True:
+                try:
+                    results.append(self.process_epoch(spark, table, e, epochs[e]))
+                    break
+                except Exception as exc:  # noqa: BLE001 - classified below
+                    if _is_retriable(exc) and attempt < self.max_retries:
+                        attempt += 1
+                        continue  # replay the epoch (idempotent sink)
+                    raise
+        return results
+
+
+def _is_retriable(exc: Exception) -> bool:
+    """O10 classification across the Py4J boundary: PySpark wraps executor
+    Python exceptions, so match the typed name in the traceback text."""
+    s = f"{type(exc).__name__}: {exc}"
+    return "ServerErrorException" in s

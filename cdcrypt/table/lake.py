@@ -1,0 +1,240 @@
+"""LakeTable — Iceberg-shaped table format implemented from scratch.
+
+Layout (all paths relative to the table root)::
+
+    _meta/v{N}.json      immutable snapshot: schema list + current schema id,
+                         partition spec, file manifest (path, bucket, schema_id,
+                         rows), committed_epoch, lineage metrics, parent version
+    _meta/current        text file holding "N"; swapped atomically (os.replace)
+    data/v{N}/bucket=K/  data files written by snapshot N (copy-on-write:
+                         a snapshot's manifest mixes its own new files with
+                         carried-over files from parent snapshots)
+
+Semantics ported from the Iceberg spec (public), not from any runtime:
+- snapshot isolation: readers resolve ``current`` once and read only that
+  manifest's files; old snapshots stay readable (time travel via version=N);
+- atomic commit: write ``v{N}.json`` fully, then ``os.replace`` a temp file
+  onto ``current`` — POSIX-atomic, torn commits impossible; a crash before
+  the swap leaves only orphan files, never a corrupt table;
+- idempotent epoch commit (exactly-once sink, SURVEY.md P3): every snapshot
+  records ``committed_epoch``; the ingest driver skips any epoch <= that,
+  so replayed micro-batches are no-ops;
+- add-column schema evolution (P7): each snapshot carries the full schema
+  list + the id each file was written with; the reader projects EVERY file
+  through the current schema (missing columns -> nulls) in one
+  ``spark.read.schema(current).parquet(*paths)`` call — no per-file pass;
+- manifest-level partition pruning: ``read(buckets=...)`` selects files by
+  the manifest's bucket entries — no directory listing, no Spark partition
+  discovery, mirroring Iceberg's scan planning.
+
+Partition spec: ``bucket(conv_id, B)`` = ``pmod(xxhash64(conv_id), B)``,
+computed in-JVM on write and recomputed on read when needed (cheaper than
+storing it; files do not contain the bucket column, the directory name and
+manifest do).
+
+Single-writer assumption (one streaming ingest job), like a Connect task
+owning its topic partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+BUCKET_EXPR = "pmod(xxhash64(conv_id), {b})"
+
+
+def bucket_col(bucket_count: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(bucket_count)).cast("int")
+
+
+class LakeTableError(RuntimeError):
+    pass
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = root
+        self._snapshot: dict | None = None
+        self._load()
+
+    # ---------- metadata ----------
+    @property
+    def meta_dir(self) -> str:
+        return os.path.join(self.root, "_meta")
+
+    def _load(self) -> None:
+        cur = os.path.join(self.meta_dir, "current")
+        if not os.path.exists(cur):
+            raise LakeTableError(f"not a lake table: {self.root}")
+        with open(cur) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            self._snapshot = json.load(f)
+
+    def refresh(self) -> "LakeTable":
+        self._load()
+        return self
+
+    @property
+    def snapshot(self) -> dict:
+        assert self._snapshot is not None
+        return self._snapshot
+
+    @property
+    def version(self) -> int:
+        return self.snapshot["version"]
+
+    @property
+    def committed_epoch(self) -> int:
+        return self.snapshot["committed_epoch"]
+
+    @property
+    def bucket_count(self) -> int:
+        return self.snapshot["bucket_count"]
+
+    @property
+    def schema(self) -> StructType:
+        sid = self.snapshot["schema_id"]
+        for s in self.snapshot["schemas"]:
+            if s["id"] == sid:
+                return StructType.fromJson(s["spark"])
+        raise LakeTableError(f"schema id {sid} missing")
+
+    def snapshot_at(self, version: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    # ---------- create ----------
+    @classmethod
+    def create(cls, root: str, schema: StructType, bucket_count: int = 64) -> "LakeTable":
+        meta = os.path.join(root, "_meta")
+        os.makedirs(meta, exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        snap = {
+            "format": "cdcrypt-lake/1",
+            "version": 0,
+            "parent": None,
+            "schema_id": 0,
+            "schemas": [{"id": 0, "spark": schema.jsonValue()}],
+            "partition_spec": f"bucket(conv_id, {bucket_count})",
+            "bucket_count": bucket_count,
+            "files": [],
+            "committed_epoch": -1,
+            "lineage": {},
+            "created_ms": int(time.time() * 1000),
+        }
+        with open(os.path.join(meta, "v0.json"), "w") as f:
+            json.dump(snap, f)
+        cls._swap_current(meta, 0)
+        return cls(root)
+
+    @staticmethod
+    def _swap_current(meta_dir: str, version: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=meta_dir, prefix=".current.")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(meta_dir, "current"))  # atomic
+
+    # ---------- commit ----------
+    def commit(
+        self,
+        *,
+        epoch: int,
+        keep_files: list[dict],
+        new_files: list[dict],
+        lineage: dict,
+        new_schema: StructType | None = None,
+    ) -> int:
+        """Write snapshot v{N+1} and atomically swap ``current``.
+
+        ``keep_files``/``new_files``: manifest entries
+        ``{path, bucket, schema_id, rows}`` (paths relative to root).
+        """
+        prev = self.snapshot
+        version = prev["version"] + 1
+        schemas = list(prev["schemas"])
+        schema_id = prev["schema_id"]
+        if new_schema is not None:
+            cur_json = json.dumps(self.schema.jsonValue(), sort_keys=True)
+            new_json = json.dumps(new_schema.jsonValue(), sort_keys=True)
+            if cur_json != new_json:
+                schema_id = max(s["id"] for s in schemas) + 1
+                schemas.append({"id": schema_id, "spark": new_schema.jsonValue()})
+        # files written by this commit carry the commit's schema id
+        new_files = [
+            {**f, "schema_id": schema_id} if f.get("schema_id") is None else f
+            for f in new_files
+        ]
+        snap = {
+            "format": "cdcrypt-lake/1",
+            "version": version,
+            "parent": prev["version"],
+            "schema_id": schema_id,
+            "schemas": schemas,
+            "partition_spec": prev["partition_spec"],
+            "bucket_count": prev["bucket_count"],
+            "files": keep_files + new_files,
+            "committed_epoch": epoch,
+            "lineage": lineage,
+            "created_ms": int(time.time() * 1000),
+        }
+        path = os.path.join(self.meta_dir, f"v{version}.json")
+        with open(path, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        self._swap_current(self.meta_dir, version)
+        self._snapshot = snap
+        return version
+
+    # ---------- read ----------
+    def files(self, buckets: set[int] | None = None, version: int | None = None) -> list[dict]:
+        snap = self.snapshot if version is None else self.snapshot_at(version)
+        out = snap["files"]
+        if buckets is not None:
+            out = [f for f in out if f["bucket"] in buckets]
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: set[int] | None = None,
+        version: int | None = None,
+        with_bucket: bool = False,
+    ) -> DataFrame:
+        """Scan the table (optionally bucket-pruned / time-traveled).
+
+        One parquet read for ALL files regardless of schema id: the current
+        schema is pushed as the read schema, so old files yield nulls for
+        added columns (add-column evolution on read).
+        """
+        snap_schema = (
+            self.schema
+            if version is None
+            else StructType.fromJson(
+                next(
+                    s["spark"]
+                    for s in self.snapshot_at(version)["schemas"]
+                    if s["id"] == self.snapshot_at(version)["schema_id"]
+                )
+            )
+        )
+        fs = self.files(buckets, version)
+        if not fs:
+            df = spark.createDataFrame([], snap_schema)
+        else:
+            paths = [os.path.join(self.root, f["path"]) for f in fs]
+            df = spark.read.schema(snap_schema).parquet(*paths)
+        if with_bucket:
+            df = df.withColumn("bucket", bucket_col(self.bucket_count))
+        return df
+
+    def total_rows(self) -> int:
+        return sum(f["rows"] for f in self.snapshot["files"])

@@ -1,0 +1,132 @@
+"""Dedup/LWW resolver equivalence + merge-level semantics (SURVEY.md P4/P5)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from cdcrypt.operators.dedup import (
+    dedup_changes,
+    last_writer_wins,
+    resolve_latest_agg,
+    resolve_latest_salted,
+    resolve_latest_window,
+)
+from cdcrypt.operators.merge import merge_upsert
+from cdcrypt.streaming.pipeline import BASE_TABLE_SCHEMA
+from cdcrypt.table.lake import LakeTable
+
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+TS = datetime.datetime(2024, 1, 1)
+COLS = StructType([
+    StructField("op", StringType()), StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()), StructField("op_seq", LongType()),
+    StructField("epoch", LongType()), StructField("role", StringType()),
+    StructField("text", StringType()), StructField("tool", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def events_df(spark):
+    rows = [
+        # key A: insert, update, exact duplicate of the update across epochs
+        ("I", "A", 0, 1, 0, "user", "a-v1", None, TS),
+        ("U", "A", 0, 5, 0, "user", "a-v2", None, TS),
+        ("U", "A", 0, 5, 1, "user", "a-v2", None, TS),  # duplicate delivery
+        # key B: out-of-order within epoch (op_seq 4 before 2)
+        ("U", "B", 1, 4, 0, "assistant", "b-final", None, TS),
+        ("I", "B", 1, 2, 0, "assistant", "b-old", None, TS),
+        # key C: delete wins
+        ("I", "C", 2, 3, 0, "tool", "c-v1", '{"x":1}', TS),
+        ("D", "C", 2, 6, 1, None, None, None, TS),
+        # key D: delete then re-insert
+        ("I", "D", 3, 7, 1, "user", "d-v1", None, TS),
+        ("D", "D", 3, 8, 1, None, None, None, TS),
+        ("I", "D", 3, 9, 1, "user", "d-v2", None, TS),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_dedup_then_lww(spark):
+    df = events_df(spark)
+    dd = dedup_changes(df)
+    assert dd.count() == 9  # one duplicate dropped
+    # duplicate kept the EARLIEST epoch's copy
+    [kept] = dd.where("conv_id='A' and op_seq=5").collect()
+    assert kept["epoch"] == 0
+    lw = last_writer_wins(dd)
+    assert lw.count() == 4
+    final = {r["conv_id"]: (r["op"], r["text"], r["op_seq"]) for r in lw.collect()}
+    assert final == {
+        "A": ("U", "a-v2", 5),
+        "B": ("U", "b-final", 4),
+        "C": ("D", None, 6),
+        "D": ("I", "d-v2", 9),
+    }
+
+
+def test_resolver_strategies_agree(spark):
+    df = events_df(spark)
+    cols = sorted(resolve_latest_window(df).columns)
+    ref = {tuple(r) for r in resolve_latest_window(df).select(*cols).collect()}
+    agg = {tuple(r) for r in resolve_latest_agg(df).select(*cols).collect()}
+    slt = {tuple(r) for r in resolve_latest_salted(df, 3).select(*cols).collect()}
+    assert ref == agg == slt and len(ref) == 4
+
+
+def test_merge_stale_guard_and_delete(spark, tmp_path):
+    root = str(tmp_path / "t")
+    table = LakeTable.create(root, BASE_TABLE_SCHEMA, bucket_count=4)
+    df = events_df(spark)
+    r1 = merge_upsert(spark, table, resolve_latest_window(df), epoch=0)
+    assert not r1.get("skipped")
+    state = {r["conv_id"]: r["text"] for r in table.read(spark).collect()}
+    assert state == {"A": "a-v2", "B": "b-final", "D": "d-v2"}  # C deleted
+
+    # stale batch (lower op_seq) must NOT overwrite; and epoch gate skips
+    stale = spark.createDataFrame(
+        [("U", "A", 0, 2, 0, "user", "a-stale", None, TS)], COLS
+    )
+    assert merge_upsert(spark, table, stale, epoch=0)["skipped"]
+    r2 = merge_upsert(spark, table, stale, epoch=1)  # new epoch, old op_seq
+    assert not r2.get("skipped")
+    [row] = table.read(spark).where("conv_id='A'").collect()
+    assert row["text"] == "a-v2" and row["op_seq"] == 5  # stale-guard held
+
+    # late REAL update applies
+    fresh = spark.createDataFrame(
+        [("U", "A", 0, 99, 2, "user", "a-v3", None, TS)], COLS
+    )
+    merge_upsert(spark, table, fresh, epoch=2)
+    [row] = table.read(spark).where("conv_id='A'").collect()
+    assert row["text"] == "a-v3"
+
+
+def test_merge_only_rewrites_dirty_buckets(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    table = LakeTable.create(root, BASE_TABLE_SCHEMA, bucket_count=16)
+    merge_upsert(spark, table, resolve_latest_window(events_df(spark)), epoch=0)
+    files_v1 = {f["path"] for f in table.snapshot["files"]}
+    # touch ONE key -> only its bucket rewritten, other files carried over
+    one = spark.createDataFrame(
+        [("U", "A", 0, 100, 1, "user", "a-new", None, TS)], COLS
+    )
+    lineage = merge_upsert(spark, table, one, epoch=1)
+    assert lineage["buckets_rewritten"] == 1
+    files_v2 = {f["path"] for f in table.snapshot["files"]}
+    carried = files_v1 & files_v2
+    assert carried  # clean buckets kept their old files (copy-on-write)
+
+
+def test_window_resolution_single_shuffle(spark):
+    """Scale guard: resolution must be ONE exchange, with map-side
+    rank-limit pushdown (WindowGroupLimit Partial) so hot keys collapse
+    before the shuffle at 10^10 events."""
+    plan = resolve_latest_window(events_df(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan

@@ -1,0 +1,142 @@
+"""Full CDC replay correctness harness (SURVEY.md §5.3 / §7 stage 8).
+
+Deterministic change stream -> IngestPipeline replay -> final lake state;
+oracle = DuckDB LWW over the same event files (FIXTURES.md F2 oracle).
+Per-turn invariant vs the reference: decrypt(text_enc) == text under stable
+(conv_id, turn_idx) ordering — the engine's version of the reference e2e
+greps (e2e/test.sh:31-35)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from cdcrypt.operators.transform import decrypt_fields
+from cdcrypt.sources.changegen import GenSpec, generate_to_dir
+from cdcrypt.streaming.pipeline import IngestPipeline, list_epochs
+from cdcrypt.table.lake import LakeTable
+
+KEY = "cdcrypt/transcripts"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("changes"))
+    stats = generate_to_dir(
+        d, GenSpec(n_convs=40, avg_turns=6, n_epochs=5, seed=11)
+    )
+    # generator must produce the adversarial properties it promises
+    assert stats["hot_conv_share"] >= 0.05
+    assert stats["epochs"] == 5 and stats["evolve_epoch"] == 3
+    return d
+
+
+def _oracle_final_state(stream_dir: str) -> dict:
+    files = sorted(glob.glob(os.path.join(stream_dir, "*.parquet")))
+    rows = duckdb.sql(
+        f"""
+        SELECT conv_id, turn_idx, role, text, tool, model FROM (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY op_seq DESC, epoch ASC) rn
+          FROM read_parquet({files!r}, union_by_name=true))
+        WHERE rn = 1 AND op <> 'D'
+        """
+    ).fetchall()
+    return {(r[0], r[1]): (r[2], r[3], r[4], r[5]) for r in rows}
+
+
+def _final_state(spark, table_root: str) -> dict:
+    t = LakeTable(table_root)
+    df = decrypt_fields(
+        t.read(spark), ["$.text", "$.tool"], aad_field="conv_id", key_id=KEY
+    )
+    return {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.model)
+        for r in df.collect()
+    }
+
+
+def test_full_replay_matches_oracle(spark, stream_dir, tmp_path):
+    pipe = IngestPipeline(
+        stream_dir, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        key_id=KEY, bucket_count=8, salt_buckets=4,
+    )
+    results = pipe.run(spark)
+    assert [r["epoch"] for r in results] == [0, 1, 2, 3, 4]
+    assert all(not r.get("skipped") for r in results)
+
+    got = _final_state(spark, str(tmp_path / "table"))
+    exp = _oracle_final_state(stream_dir)
+    assert got == exp  # byte-for-byte after decrypt, deletes applied
+
+    # ciphertext at rest: text column in the table is NOT plaintext
+    raw = LakeTable(str(tmp_path / "table")).read(spark)
+    sample = [r.text for r in raw.where(raw.text.isNotNull()).limit(5).collect()]
+    import base64
+    from cdcrypt.envelope import parse_envelope
+    for s in sample:
+        key_id, _, _, _ = parse_envelope(base64.b64decode(s))
+        assert key_id == KEY  # valid self-contained envelope, right key
+
+    # exactly-once: immediate replay is a no-op
+    again = pipe.run(spark)
+    assert again == []
+    t = LakeTable(str(tmp_path / "table"))
+    assert t.committed_epoch == 4 and t.version == 5
+
+    # checkpoints carry lineage per epoch
+    ckpts = sorted(os.listdir(tmp_path / "ckpt"))
+    assert len(ckpts) == 5
+    first = results[0]
+    assert first["batch_rows"] > 0 and "dirty_buckets" in first
+
+
+def test_crash_resume(spark, stream_dir, tmp_path):
+    troot, ckpt = str(tmp_path / "t2"), str(tmp_path / "c2")
+    a = IngestPipeline(stream_dir, troot, ckpt, key_id=KEY, bucket_count=8)
+    ra = a.run(spark, max_epochs=2)  # "crash" after 2 epochs
+    assert [r["epoch"] for r in ra] == [0, 1]
+    # brand-new driver object (process restart analogue) resumes at epoch 2
+    b = IngestPipeline(stream_dir, troot, ckpt, key_id=KEY, bucket_count=8)
+    rb = b.run(spark)
+    assert [r["epoch"] for r in rb] == [2, 3, 4]
+    assert _final_state(spark, troot) == _oracle_final_state(stream_dir)
+
+
+def test_schema_evolution_and_time_travel(spark, stream_dir, tmp_path):
+    troot = str(tmp_path / "t3")
+    IngestPipeline(stream_dir, troot, str(tmp_path / "c3"),
+                   key_id=KEY, bucket_count=8).run(spark)
+    t = LakeTable(troot)
+    # current schema evolved: model column present
+    assert "model" in [f.name for f in t.schema.fields]
+    cur = t.read(spark)
+    assert cur.where("model is not null").count() > 0
+    # pre-evolution rows read as null through the current schema
+    assert cur.where("model is null").count() > 0
+    # time travel: v1 snapshot has the ORIGINAL schema (no model column)
+    old = t.read(spark, version=1)
+    assert "model" not in old.columns
+    assert old.count() > 0
+    # snapshot history chains via parent pointers
+    assert t.snapshot_at(2)["parent"] == 1
+
+
+def test_retriable_vs_fatal_error_routing(spark, stream_dir, tmp_path):
+    from cdcrypt.kms import MockKMS
+
+    # server fail-mode -> retried max_retries times, then raised
+    p = IngestPipeline(stream_dir, str(tmp_path / "t4"), str(tmp_path / "c4"),
+                       key_id=KEY, kms=MockKMS(fail_mode="server"),
+                       bucket_count=4, max_retries=1)
+    with pytest.raises(Exception, match="ServerErrorException"):
+        p.run(spark, max_epochs=1)
+    # client fail-mode -> fatal, no retry loop needed to prove: raises
+    p2 = IngestPipeline(stream_dir, str(tmp_path / "t5"), str(tmp_path / "c5"),
+                        key_id=KEY, kms=MockKMS(fail_mode="client"),
+                        bucket_count=4)
+    with pytest.raises(Exception, match="ClientErrorException"):
+        p2.run(spark, max_epochs=1)
