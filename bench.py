@@ -1,0 +1,133 @@
+"""Benchmark driver: CDC replay throughput + operator query timings.
+
+Headline metric (BASELINE.json): change-events/sec applied (MERGE upsert +
+encrypt UDF) during replay of a seeded transcript change stream with
+hot-conversation skew. Also times every __spark_entry__ query at
+$SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total suite sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "extras": {cdc replay throughput breakdown, cores, event counts}}
+
+Scaling evidence (two-parallelism substitution for N vs 4N executors):
+run with SPARK_GRAFT_CPUS=8 and =32 on the same generated stream; see
+tools/scaling.py which automates both and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdcrypt.session import get_spark  # noqa: E402
+from cdcrypt.sources.changegen import GenSpec, generate_to_dir  # noqa: E402
+from cdcrypt.streaming.pipeline import IngestPipeline  # noqa: E402
+
+# stream size scales with the sf dir (events ~ 1.6x lineitem rows at sf0.1)
+SPECS = {
+    "sf0.001": GenSpec(n_convs=200, avg_turns=6, n_epochs=4),
+    "sf0.01": GenSpec(n_convs=2000, avg_turns=12, n_epochs=6),
+    "sf0.1": GenSpec(n_convs=60000, avg_turns=35, n_epochs=6, text_repeat=6),
+}
+
+
+def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str) -> dict:
+    spec = SPECS.get(sf_name, SPECS["sf0.1"])
+    stream_dir = os.path.join(work_root, f"stream_{sf_name}")
+    marker = os.path.join(stream_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        stats = generate_to_dir(stream_dir, spec, files_per_epoch=max(4, cpus // 2))
+        with open(marker, "w") as f:
+            json.dump({k: v for k, v in stats.items() if k != "files"}, f)
+    with open(marker) as f:
+        stats = json.load(f)
+
+    table_root = os.path.join(work_root, f"table_{sf_name}_{cpus}")
+    ckpt = os.path.join(work_root, f"ckpt_{sf_name}_{cpus}")
+    shutil.rmtree(table_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    pipe = IngestPipeline(
+        stream_dir, table_root, ckpt,
+        bucket_count=int(os.environ.get("CDCRYPT_BUCKETS", "64")),
+        salt_buckets=16,
+        resolver=os.environ.get("CDCRYPT_RESOLVER", "agg"),
+        table_mode=os.environ.get("CDCRYPT_TABLE_MODE", "mor"),
+        compact_threshold=int(os.environ.get("CDCRYPT_COMPACT_THRESHOLD", "8")),
+    )
+    t0 = time.monotonic()
+    results = pipe.run(spark)
+    wall = time.monotonic() - t0
+
+    n_events = stats["events"]
+    cold_sec = results[0]["wall_sec"]
+    steady_secs = [r["wall_sec"] for r in results[1:]] or [cold_sec]
+    epoch_events = n_events / len(results)
+    return {
+        "events": n_events,
+        "epochs": len(results),
+        "hot_conv_share": stats["hot_conv_share"],
+        "replay_sec": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1),
+        "cold_events_per_sec": round(epoch_events / cold_sec, 1),
+        "steady_events_per_sec": round(
+            epoch_events * len(steady_secs) / sum(steady_secs), 1
+        ),
+        "final_rows": sum(r["rows_written"] for r in results[-1:]),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.replace("sf", "") or 0.1)
+    work_root = os.environ.get("CDCRYPT_BENCH_DIR", "/tmp/cdcrypt_bench")
+    os.makedirs(work_root, exist_ok=True)
+
+    spark = get_spark("cdcrypt-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    # warm the JVM/Python-worker pools so per-query times measure the plan
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    t_suite = time.monotonic()
+
+    cdc = bench_cdc_replay(spark, sf_name, cpus, work_root)
+    timings["cdc_replay"] = cdc["replay_sec"]
+
+    if not os.environ.get("CDCRYPT_SKIP_QUERIES"):
+        for name, fn in entrymod.queries().items():
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()  # materialize
+            timings[name] = round(time.monotonic() - t0, 3)
+            _ = n
+    total = round(time.monotonic() - t_suite, 2)
+
+    print(json.dumps({
+        "metric": "cdc replay events/sec + operator suite wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": {
+            "cpus": cpus,
+            "cdc": cdc,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

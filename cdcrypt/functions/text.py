@@ -1,0 +1,104 @@
+"""Text-analysis expression builders for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen — no Python in the
+hot path): token counting, quality scoring, n-gram language ID heuristic,
+rolling-hash document fingerprinting. Each has a matching DuckDB-SQL oracle in
+``__spark_entry__.oracle_sql`` — the semantics are deliberately defined in
+engine-portable arithmetic (length/replace/regexp counts) so both engines
+compute bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens: count of maximal non-space runs."""
+    return F.size(F.split(F.trim(col), r"\s+")) - F.when(
+        F.length(F.trim(col)) == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count word chunks + digits + punctuation marks
+    separately (a cheap, deterministic stand-in for a real tokenizer)."""
+    words = F.size(F.split(F.trim(col), r"\s+"))
+    # every ~4 chars of a long word adds a subword
+    subwords = F.floor(F.length(F.regexp_replace(col, r"\s", "")) / F.lit(4))
+    return (words + subwords).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?'\"()\[\]{}]", ""))
+    return F.round(punct / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def digit_ratio(col: Column) -> Column:
+    digits = F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return F.round(digits / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def space_ratio(col: Column) -> Column:
+    spaces = F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit("")))
+    return F.round(spaces / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] doc-quality heuristic: long enough, word-shaped,
+    not punctuation/digit soup. Deterministic arithmetic only."""
+    len_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    space_term = F.least(space_ratio(col) * 8, F.lit(1.0))
+    noise = punct_ratio(col) + digit_ratio(col)
+    return F.round(
+        F.greatest(
+            (len_term * 0.4 + space_term * 0.4 + (1 - F.least(noise * 3, F.lit(1.0))) * 0.2),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+# --- language ID: counts of script ranges + top English stopwords -----------
+_EN_MARKERS = [" the ", " and ", " of ", " to "]
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language tag: 'cjk' | 'greek' | 'en' | 'other'.
+
+    Script detection by unicode-range regexp counts; English by stopword
+    hits. Mirrors fastText-style n-gram heuristics at toy fidelity — the
+    point is the *pipeline shape* (pure-Column, no UDF)."""
+    cjk = F.regexp_count(col, F.lit(r"[぀-ヿ一-鿿]"))
+    greek = F.regexp_count(col, F.lit(r"[Ͱ-Ͽ]"))
+    en = sum(
+        (F.length(col) - F.length(F.replace(col, F.lit(m), F.lit("")))) / len(m)
+        for m in _EN_MARKERS
+    )
+    return (
+        F.when(cjk > 0, F.lit("cjk"))
+        .when(greek > 0, F.lit("greek"))
+        .when(en >= 1, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """Order-sensitive 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized text (rolling-hash analogue, collision-grade)."""
+    return F.xxhash64(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        digit_ratio(c).alias("digit_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_guess"),
+        fingerprint64(c).alias("fp64"),
+    )

@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 KEY_COLS = ["conv_id", "turn_idx"]
-PAYLOAD_COLS = ["op", "role", "text", "tool", "ts", "model"]
+# resolution bookkeeping columns; everything else is payload (schema-agnostic,
+# so add-column evolution flows through resolution untouched)
+META_COLS = ["op_seq", "epoch"]
 
 
 def dedup_changes(df: DataFrame) -> DataFrame:
@@ -68,23 +70,40 @@ def resolve_latest_window(df: DataFrame) -> DataFrame:
 
 
 def _payload_cols(df: DataFrame) -> list[str]:
-    return [c for c in PAYLOAD_COLS if c in df.columns]
+    return [c for c in df.columns if c not in KEY_COLS + META_COLS]
 
 
-def resolve_latest_agg(df: DataFrame) -> DataFrame:
-    """groupBy + max_by(struct(payload), (op_seq, -epoch)): map-side partial
-    aggregation collapses duplicates/hot keys before the shuffle."""
+def _winner_struct(df: DataFrame) -> "F.Column":
+    """Comparator struct: lexicographic max = (max op_seq, then min epoch).
+
+    Deliberately ``max(struct(...))`` and NOT ``max_by``: max_by is a
+    TypedImperativeAggregate that runs as ObjectHashAggregate and silently
+    falls back to SORT-based aggregation after 128 distinct groups per
+    partition — at 10^6+ keys that is a full sort of wide rows per task.
+    Plain struct max is declarative, stays inside whole-stage-codegen hash
+    aggregation, and still gets map-side partial combine. (Found via the
+    anti-scaling compaction epoch in bench — see BENCH/BASELINE.md.)
+    """
     payload = _payload_cols(df)
-    # order key: max op_seq wins; on exact redelivery ties, min epoch —
-    # negate epoch inside the comparator struct
-    ordk = F.struct(F.col("op_seq"), (-F.col("epoch")).alias("nepoch"))
-    agg = df.groupBy(*KEY_COLS).agg(
-        F.max_by(F.struct(*payload, "op_seq", "epoch"), ordk).alias("_w")
+    return F.struct(
+        F.col("op_seq"), (-F.col("epoch")).alias("_nepoch"),
+        *[F.col(c) for c in payload], F.col("epoch"),
     )
+
+
+def _unpack_winner(agg: DataFrame, payload: list[str]) -> DataFrame:
     return agg.select(
         *KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in payload],
         F.col("_w.op_seq").alias("op_seq"), F.col("_w.epoch").alias("epoch"),
     )
+
+
+def resolve_latest_agg(df: DataFrame) -> DataFrame:
+    """groupBy + max(struct(op_seq, -epoch, payload)): map-side partial
+    aggregation collapses duplicates/hot keys before the shuffle."""
+    payload = _payload_cols(df)
+    agg = df.groupBy(*KEY_COLS).agg(F.max(_winner_struct(df)).alias("_w"))
+    return _unpack_winner(agg, payload)
 
 
 def resolve_latest_salted(df: DataFrame, salt_buckets: int = 16) -> DataFrame:
@@ -97,15 +116,11 @@ def resolve_latest_salted(df: DataFrame, salt_buckets: int = 16) -> DataFrame:
     way, but keeps phase-1 output minimal).
     """
     payload = _payload_cols(df)
-    ordk = F.struct(F.col("op_seq"), (-F.col("epoch")).alias("nepoch"))
     phase1 = (
         df.withColumn("_salt", F.pmod(F.col("op_seq"), F.lit(salt_buckets)).cast("int"))
         .groupBy(*KEY_COLS, "_salt")
-        .agg(F.max_by(F.struct(*payload, "op_seq", "epoch"), ordk).alias("_w"))
+        .agg(F.max(_winner_struct(df)).alias("_w"))
     )
-    ordk2 = F.struct(F.col("_w.op_seq"), (-F.col("_w.epoch")).alias("nepoch"))
-    phase2 = phase1.groupBy(*KEY_COLS).agg(F.max_by(F.col("_w"), ordk2).alias("_w"))
-    return phase2.select(
-        *KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in payload],
-        F.col("_w.op_seq").alias("op_seq"), F.col("_w.epoch").alias("epoch"),
-    )
+    # struct comparison leads with (op_seq, -epoch), so a plain max works
+    phase2 = phase1.groupBy(*KEY_COLS).agg(F.max(F.col("_w")).alias("_w"))
+    return _unpack_winner(phase2, payload)

@@ -1,27 +1,35 @@
 """Key-partitioned MERGE upsert into the lake table (SURVEY.md P5, §7 stage 6).
 
-Per micro-batch (events already resolved to one final change per key by
-operators/dedup.py):
+Two apply strategies over micro-batches already resolved to one final change
+per key (operators/dedup.py):
 
-1. assign ``bucket = pmod(xxhash64(conv_id), B)`` to the batch;
-2. dirty-bucket detection: only buckets touched by the batch are read and
-   rewritten (copy-on-write at bucket granularity) — at 100 TB the epoch's
-   working set is the dirty buckets, not the table;
-3. ``full_outer`` join of current dirty-bucket rows vs the batch on
-   ``(conv_id, turn_idx)`` — Catalyst/AQE picks broadcast when the batch
-   side is small (``broadcast=True`` forces it); the join key includes
-   turn_idx so a hot *conversation* does not make a hot *join key* (skew
-   lives in the dedup shuffle, which is salted — operators/dedup.py);
-4. apply I/U/D with a stale-guard: an after-image only replaces the table
-   row if ``b.op_seq > t.op_seq`` (protects against replayed or reordered
-   epochs even beyond the committed_epoch idempotency gate);
-5. rewrite dirty buckets under ``data/v{N+1}/bucket=K/`` and commit the new
-   snapshot (clean buckets carry their parent's files forward untouched).
+``mode='mor'`` (default, the 10^10-event path): merge-on-read — append the
+resolved batch as per-bucket delta files (write cost O(batch)); reads resolve
+last-writer-wins over base+delta (table/lake.py); buckets whose delta depth
+reaches ``compact_threshold`` are compacted back to base inside the same
+commit. For ingest-heavy CDC, where every epoch dirties most buckets, MoR
+replaces the per-epoch full-table rewrite with an append + amortized
+compaction.
+
+``mode='cow'``: copy-on-write — ``full_outer`` join current dirty-bucket rows
+vs the batch on ``(conv_id, turn_idx)`` with a per-row ``op_seq`` stale-guard,
+rewrite only dirty buckets. Reads stay plain scans.
+
+Physical-layout decisions (bench-driven, BENCH/BASELINE.md):
+- bucket(conv_id) == Spark HashPartitioning (table/lake.py bucket_col), so
+  bucketed writes are ``repartition(B, conv_id)`` + PLAIN parquet write:
+  no ``partitionBy`` => no per-task sort of wide rows; the file's
+  ``part-NNNNN`` index IS its bucket id. When the caller's plan is already
+  clustered by conv_id (``assume_bucketed=True``, the pipeline fuses
+  resolve+encrypt+write onto one exchange) the write adds NO shuffle.
+- lake files default to ``compression='none'``: the dominant bytes are
+  AES-GCM ciphertext (maximum entropy) — snappy/zstd cannot shrink them and
+  the codec CPU was a measured bottleneck.
 
 Schema evolution: columns present in the batch but not in the table (the
 ``model`` column arriving mid-stream, FIXTURES.md F2) extend the table schema
-at commit; columns in the table but not the batch are filled with nulls for
-new rows. Both reconciliations are projections — no file rewrite.
+at commit; columns in the table but not the batch are filled with nulls.
+Both reconciliations are projections — no file rewrite.
 """
 
 from __future__ import annotations
@@ -32,11 +40,14 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from cdcrypt.table.lake import LakeTable, bucket_col
+from cdcrypt.table.lake import LakeTable, bucket_col, repartition_by_bucket
 
 KEY_COLS = ["conv_id", "turn_idx"]
+
+# ciphertext is incompressible; codec CPU is pure overhead on encrypted tables
+LAKE_CODEC = "none"
 
 
 def _aligned_schema(table: LakeTable, batch: DataFrame) -> StructType:
@@ -53,44 +64,77 @@ def _aligned_schema(table: LakeTable, batch: DataFrame) -> StructType:
     return StructType(list(cur.fields) + extra)
 
 
+def _cast_to(df_cols: list[str], target: StructType) -> list:
+    return [
+        (F.col(f.name).cast(f.dataType) if f.name in df_cols
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in target.fields
+    ]
+
+
+def _write_bucketed(
+    df: DataFrame,
+    staging: str,
+    root: str,
+    bucket_count: int,
+    kind: str,
+    assume_bucketed: bool = False,
+    codec: str = LAKE_CODEC,
+) -> tuple[list[dict], int]:
+    """Write ``df`` as one plain parquet file per bucket; return manifest
+    entries. partition_id == bucket (see table/lake.py bucket_col), so the
+    bucket id comes from the ``part-NNNNN`` filename index."""
+    out = df if assume_bucketed else repartition_by_bucket(df, bucket_count)
+    out.write.mode("overwrite").option("compression", codec).parquet(staging)
+    entries, total = [], 0
+    for p in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        nrows = pq.ParquetFile(p).metadata.num_rows
+        if nrows == 0:
+            continue
+        bkt = int(os.path.basename(p).split("-")[1])
+        entries.append({"path": os.path.relpath(p, root), "bucket": bkt,
+                        "schema_id": None, "rows": nrows, "kind": kind})
+        total += nrows
+    return entries, total
+
+
 def merge_upsert(
     spark: SparkSession,
     table: LakeTable,
     resolved: DataFrame,
     epoch: int,
     broadcast: bool | None = None,
+    mode: str = "cow",
+    compact_threshold: int = 8,
+    assume_bucketed: bool = False,
 ) -> dict:
     """Apply one resolved micro-batch; returns lineage metrics.
 
-    ``resolved``: one row per (conv_id, turn_idx) with columns
-    op, op_seq, epoch + after-image payload. Idempotent: epochs at or below
+    ``resolved``: one row per (conv_id, turn_idx) with columns op, op_seq,
+    epoch + after-image payload. Idempotent: epochs at or below
     ``table.committed_epoch`` are skipped (exactly-once under replay).
+    ``assume_bucketed``: caller guarantees ``resolved`` is already
+    repartition(B, conv_id)-clustered — the MoR delta write then adds no
+    shuffle.
     """
     if epoch <= table.committed_epoch:
         return {"epoch": epoch, "skipped": True,
                 "committed_epoch": table.committed_epoch}
+    if mode == "mor":
+        return _merge_mor(spark, table, resolved, epoch, compact_threshold,
+                          assume_bucketed)
 
     target = _aligned_schema(table, resolved)
     tcols = [f.name for f in target.fields]
 
-    batch = resolved.withColumn("bucket", bucket_col(table.bucket_count))
-    # project batch to target columns (+op/bucket); missing -> null
-    bsel = [
-        (F.col(c).cast(f.dataType) if c in resolved.columns
-         else F.lit(None).cast(f.dataType)).alias(c)
-        for c, f in zip(tcols, target.fields)
-    ]
-    batch = batch.select(*bsel, "op", "bucket").persist()
+    batch = resolved.select(
+        *_cast_to(resolved.columns, target), "op",
+        bucket_col(table.bucket_count).alias("bucket"),
+    ).persist()
     dirty = {r["bucket"] for r in batch.select("bucket").distinct().collect()}
 
-    current = table.read(spark, buckets=dirty, with_bucket=True)
-    # old snapshot files may lack evolved columns: project through target
-    csel = [
-        (F.col(c).cast(f.dataType) if c in current.columns
-         else F.lit(None).cast(f.dataType)).alias(c)
-        for c, f in zip(tcols, target.fields)
-    ]
-    current = current.select(*csel, "bucket")
+    current = table.read(spark, buckets=dirty)
+    current = current.select(*_cast_to(current.columns, target))
 
     b = F.broadcast(batch) if broadcast else batch
     j = current.alias("t").join(b.alias("b"), KEY_COLS, "full_outer")
@@ -100,62 +144,124 @@ def merge_upsert(
     is_delete = take_batch & (F.col("b.op") == "D")
 
     data_cols = [c for c in tcols if c not in KEY_COLS]
-    merged = (
-        j.where(~is_delete)
-        .select(
-            *KEY_COLS,
-            *[
-                F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                for c in data_cols
-            ],
-            F.when(take_batch, F.col("b.bucket")).otherwise(F.col("t.bucket")).alias("bucket"),
-        )
+    merged = j.where(~is_delete).select(
+        *KEY_COLS,
+        *[F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+          for c in data_cols],
     )
 
-    # ---- write dirty buckets (copy-on-write) ----
     next_version = table.version + 1
-    rel_staging = os.path.join("data", f"v{next_version}")
-    staging = os.path.join(table.root, rel_staging)
-    (
-        merged.repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(staging)
-    )
-
-    new_files = []
-    new_rows = 0
-    for p in sorted(glob.glob(os.path.join(staging, "bucket=*", "*.parquet"))):
-        nrows = pq.ParquetFile(p).metadata.num_rows
-        if nrows == 0:
-            continue
-        bkt = int(os.path.basename(os.path.dirname(p)).split("=")[1])
-        new_files.append({
-            "path": os.path.relpath(p, table.root),
-            "bucket": bkt,
-            "schema_id": None,  # commit() stamps the final schema id
-            "rows": nrows,
-        })
-        new_rows += nrows
-
+    staging = os.path.join(table.root, "data", f"v{next_version}")
+    new_files, new_rows = _write_bucketed(
+        merged, staging, table.root, table.bucket_count, "base")
     keep_files = [f for f in table.snapshot["files"] if f["bucket"] not in dirty]
 
     batch_rows = batch.count()
+    batch.unpersist()
     lineage = {
         "epoch": epoch,
+        "mode": "cow",
         "batch_rows": batch_rows,
         "dirty_buckets": sorted(int(x) for x in dirty),
         "rows_written": int(new_rows),
         "buckets_rewritten": len({f["bucket"] for f in new_files}),
     }
-    batch.unpersist()
+    version = table.commit(epoch=epoch, keep_files=keep_files,
+                           new_files=new_files, lineage=lineage,
+                           new_schema=target)
+    lineage["version"] = version
+    return lineage
 
-    version = table.commit(
-        epoch=epoch,
-        keep_files=keep_files,
-        new_files=new_files,
-        lineage=lineage,
-        new_schema=target,
+
+def _merge_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    resolved: DataFrame,
+    epoch: int,
+    compact_threshold: int,
+    assume_bucketed: bool,
+) -> dict:
+    """Merge-on-read apply: append delta files, compact deep buckets.
+
+    One commit may mix delta appends and compacted bases; readers of the
+    previous snapshot are unaffected (snapshot isolation)."""
+    target = _aligned_schema(table, resolved)
+    tcols = [f.name for f in target.fields]
+
+    delta_df = resolved.select(
+        *_cast_to(resolved.columns, target),
+        F.col("op").cast("string").alias("op"),
+        (F.col("epoch").cast("long") if "epoch" in resolved.columns
+         else F.lit(epoch).cast("long")).alias("epoch"),
     )
+
+    next_version = table.version + 1
+    staging_delta = os.path.join(table.root, "data", f"v{next_version}", "delta")
+    new_delta, appended_rows = _write_bucketed(
+        delta_df, staging_delta, table.root, table.bucket_count, "delta",
+        assume_bucketed=assume_bucketed)
+
+    keep = list(table.snapshot["files"])
+
+    # --- compaction decision: delta FILE depth per bucket after this append
+    depth: dict[int, int] = {}
+    for f in keep + new_delta:
+        if f.get("kind", "base") == "delta":
+            depth[f["bucket"]] = depth.get(f["bucket"], 0) + 1
+    compact = {b for b, d in depth.items() if d >= compact_threshold}
+
+    compact_files: list[dict] = []
+    compacted_rows = 0
+    if compact:
+        delta_schema = StructType(
+            list(target.fields)
+            + [StructField("op", StringType(), True),
+               StructField("epoch", LongType(), True)]
+        )
+        in_scope = [f for f in keep + new_delta if f["bucket"] in compact]
+        base_paths = [os.path.join(table.root, f["path"])
+                      for f in in_scope if f.get("kind", "base") == "base"]
+        delta_paths = [os.path.join(table.root, f["path"])
+                       for f in in_scope if f.get("kind") == "delta"]
+        parts = []
+        if base_paths:
+            parts.append(
+                spark.read.schema(target).parquet(*base_paths)
+                .withColumn("op", F.lit("I"))
+                .withColumn("epoch", F.lit(-1).cast("long"))
+            )
+        if delta_paths:
+            parts.append(spark.read.schema(delta_schema).parquet(*delta_paths))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        from cdcrypt.operators.dedup import resolve_latest_agg
+        # repartition first: the resolve groupBy reuses the bucket clustering
+        # (one exchange) and the write needs none
+        live = (
+            resolve_latest_agg(repartition_by_bucket(u, table.bucket_count))
+            .where(F.col("op") != "D")
+            .select(*tcols)
+        )
+        staging_compact = os.path.join(
+            table.root, "data", f"v{next_version}", "compact")
+        compact_files, compacted_rows = _write_bucketed(
+            live, staging_compact, table.root, table.bucket_count, "base",
+            assume_bucketed=True)
+        keep = [f for f in keep if f["bucket"] not in compact]
+        new_delta = [f for f in new_delta if f["bucket"] not in compact]
+
+    lineage = {
+        "epoch": epoch,
+        "mode": "mor",
+        "batch_rows": int(appended_rows),
+        "rows_written": int(appended_rows + compacted_rows),
+        "dirty_buckets": sorted({f["bucket"] for f in new_delta + compact_files}),
+        "buckets_compacted": sorted(int(b) for b in compact),
+        "compacted_rows": int(compacted_rows),
+    }
+    version = table.commit(epoch=epoch, keep_files=keep,
+                           new_files=new_delta + compact_files,
+                           lineage=lineage, new_schema=target)
     lineage["version"] = version
     return lineage

@@ -61,6 +61,7 @@ class GenSpec:
     hot_conv_boost: float = 0.08  # fraction of updates forced onto conv 0
     long_text_ratio: float = 0.002  # >16 KB texts
     null_text_ratio: float = 0.01
+    text_repeat: int = 1  # filler repetitions (scales avg text bytes)
     seed: int = 42
 
 
@@ -75,7 +76,12 @@ def _texts(conv: np.ndarray, turn: np.ndarray, seq: np.ndarray,
         ),
         np.char.add(np.char.add(" s", seq.astype("U12")), " :: "),
     )
-    out = np.char.add(base, _FILLER[h])
+    filler = _FILLER[h]
+    if spec.text_repeat > 1:
+        # vary length 1..2*repeat deterministically (realistic turn sizes)
+        reps = ((conv + turn * 3 + seq) % (2 * spec.text_repeat)) + 1
+        filler = np.char.multiply(filler, reps)
+    out = np.char.add(base, filler)
     n = len(out)
     long_mask = rng.random(n) < spec.long_text_ratio
     if long_mask.any():

@@ -87,11 +87,19 @@ class IngestPipeline:
     key_id: str = "cdcrypt/transcripts"
     encrypt_paths: tuple[str, ...] = ("$.text", "$.tool")
     aad_field: str | None = "conv_id"
-    resolver: str = "salted"
+    # resolver default: 'agg' (groupBy max_by) — map-side combine collapses
+    # duplicates/hot keys before the shuffle and A/Bs ~2x faster than the
+    # explicit two-phase salted resolver at the generator's skew profile
+    # (bench grid in BENCH/BASELINE.md); 'salted' stays selectable for
+    # extreme-skew streams, 'window' for rank-pushdown comparison.
+    resolver: str = "agg"
     salt_buckets: int = 16
     bucket_count: int = 64
     max_retries: int = 2
     broadcast_merge: bool | None = None
+    table_mode: str = "mor"  # 'mor' (append+compact) | 'cow' (rewrite dirty)
+    compact_threshold: int = 8
+    cluster_strategy: str = "fused"  # 'fused' (1 shuffle) | 'post' (skew-safe)
     kms: MockKMS = dc_field(default_factory=MockKMS)
 
     # ---------- setup ----------
@@ -120,12 +128,37 @@ class IngestPipeline:
     # ---------- one epoch ----------
     def process_epoch(self, spark: SparkSession, table: LakeTable,
                       epoch: int, files: list[str]) -> dict:
+        """One micro-batch. Physical shape (cluster_strategy='fused'):
+
+            scan -> Exchange(B, conv_id) -> resolve (NO exchange: the
+            groupBy/window reuses the bucket clustering via subset
+            satisfaction) -> encrypt UDF (partitioning preserved) ->
+            plain per-bucket file write (NO exchange, NO partitionBy sort)
+
+        ONE shuffle end-to-end per epoch. Encryption runs AFTER resolution
+        so superseded/duplicate events never pay crypto.
+
+        'post' resolves on (conv_id, turn_idx) spread BEFORE bucket
+        clustering: +1 shuffle, but resolution compute is skew-free even if
+        one conversation dominates the stream — the bucket-aligned write
+        stays skewed either way (a hot conversation lives in one bucket by
+        layout). 'fused' is the throughput default; 'post' the extreme-skew
+        escape hatch.
+        """
+        from cdcrypt.table.lake import repartition_by_bucket
+
         t0 = time.monotonic()
         df = spark.read.parquet(*files)
-        encrypted = self._encryptor().apply(df)
-        resolved = self._resolve(encrypted)
+        if self.cluster_strategy == "fused":
+            resolved = self._resolve(repartition_by_bucket(df, self.bucket_count))
+        else:
+            resolved = repartition_by_bucket(
+                self._resolve(df), self.bucket_count)
+        encrypted = self._encryptor().apply(resolved)
         lineage = merge_upsert(
-            spark, table, resolved, epoch, broadcast=self.broadcast_merge
+            spark, table, encrypted, epoch, broadcast=self.broadcast_merge,
+            mode=self.table_mode, compact_threshold=self.compact_threshold,
+            assume_bucketed=True,
         )
         lineage.update({
             "files": [os.path.basename(f) for f in files],

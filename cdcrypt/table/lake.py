@@ -47,11 +47,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-BUCKET_EXPR = "pmod(xxhash64(conv_id), {b})"
+BUCKET_EXPR = "pmod(hash(conv_id), {b})"
 
 
 def bucket_col(bucket_count: int):
-    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(bucket_count)).cast("int")
+    """bucket(conv_id) = pmod(murmur3(conv_id), B) — deliberately the SAME
+    function Spark's HashPartitioning uses, so ``df.repartition(B,
+    col('conv_id'))`` yields partition_id == bucket. Writers then emit plain
+    parquet (no partitionBy => no per-task sort of wide rows) and the
+    manifest derives each file's bucket from its ``part-NNNNN`` index.
+    Verified in tests: spark_partition_id() == bucket_col for all rows."""
+    return F.pmod(F.hash(F.col("conv_id")), F.lit(bucket_count)).cast("int")
+
+
+def repartition_by_bucket(df: DataFrame, bucket_count: int) -> DataFrame:
+    """Cluster rows so partition id == bucket id (one exchange; downstream
+    groupBy(conv_id, ...) reuses it — subset clustering satisfaction)."""
+    return df.repartition(bucket_count, F.col("conv_id"))
 
 
 class LakeTableError(RuntimeError):
@@ -211,9 +223,15 @@ class LakeTable:
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-traveled).
 
-        One parquet read for ALL files regardless of schema id: the current
-        schema is pushed as the read schema, so old files yield nulls for
-        added columns (add-column evolution on read).
+        One parquet read for ALL files of a kind regardless of schema id:
+        the current schema is pushed as the read schema, so old files yield
+        nulls for added columns (add-column evolution on read).
+
+        Merge-on-read: when the scope contains delta files (appended change
+        batches — see operators/merge.py MoR path), base and delta rows are
+        unioned and resolved last-writer-wins per key, deletes dropped —
+        Iceberg MoR semantics. Tables maintained copy-on-write never have
+        deltas and skip all of this (plain scan, no shuffle).
         """
         snap_schema = (
             self.schema
@@ -227,11 +245,37 @@ class LakeTable:
             )
         )
         fs = self.files(buckets, version)
-        if not fs:
-            df = spark.createDataFrame([], snap_schema)
+        base_fs = [f for f in fs if f.get("kind", "base") == "base"]
+        delta_fs = [f for f in fs if f.get("kind", "base") == "delta"]
+
+        def _scan(files: list[dict], schema: StructType) -> DataFrame:
+            if not files:
+                return spark.createDataFrame([], schema)
+            paths = [os.path.join(self.root, f["path"]) for f in files]
+            return spark.read.schema(schema).parquet(*paths)
+
+        if not delta_fs:
+            df = _scan(base_fs, snap_schema)
         else:
-            paths = [os.path.join(self.root, f["path"]) for f in fs]
-            df = spark.read.schema(snap_schema).parquet(*paths)
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            from cdcrypt.operators.dedup import resolve_latest_agg
+
+            delta_schema = StructType(
+                list(snap_schema.fields)
+                + [StructField("op", StringType(), True),
+                   StructField("epoch", LongType(), True)]
+            )
+            base = (
+                _scan(base_fs, snap_schema)
+                .withColumn("op", F.lit("I"))
+                .withColumn("epoch", F.lit(-1).cast("long"))
+            )
+            delta = _scan(delta_fs, delta_schema)
+            resolved = resolve_latest_agg(base.unionByName(delta))
+            df = resolved.where(
+                F.coalesce(F.col("op") != "D", F.lit(True))
+            ).drop("op", "epoch").select(*[f.name for f in snap_schema.fields])
         if with_bucket:
             df = df.withColumn("bucket", bucket_col(self.bucket_count))
         return df
