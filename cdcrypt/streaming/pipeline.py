@@ -3,9 +3,10 @@
 Structured-Streaming-shaped manual micro-batch loop (the sandbox has no Kafka
 JAR; epoch files stand in for topic offsets, SURVEY.md P1). Each epoch:
 
-    read epoch files -> FieldTransform(encrypt text/tool, AAD=conv_id)
-        -> resolve one final change per key (dedup + LWW, salted by default)
-        -> merge_upsert into the lake table -> atomic epoch commit
+    read epoch files -> cluster by bucket (ONE exchange)
+        -> resolve one final change per key (dedup + LWW, exchange reused)
+        -> FieldTransform(encrypt text/tool, AAD=conv_id) on winners only
+        -> merge_upsert delta append (no shuffle) -> atomic epoch commit
         -> checkpoint JSON with per-partition lineage
 
 Delivery semantics: exactly-once. The lake commit records the epoch
@@ -202,3 +203,49 @@ def _is_retriable(exc: Exception) -> bool:
     Python exceptions, so match the typed name in the traceback text."""
     s = f"{type(exc).__name__}: {exc}"
     return "ServerErrorException" in s
+
+
+def _main() -> None:
+    """CLI for spark-submit deployment:
+
+        spark-submit --py-files cdcrypt.zip -m ... \
+            cdcrypt/streaming/pipeline.py --source DIR --table DIR --ckpt DIR
+
+    (In-sandbox: python -m cdcrypt.streaming.pipeline ...)
+    """
+    import argparse
+
+    from cdcrypt.session import get_spark
+
+    ap = argparse.ArgumentParser(description="cdcrypt CDC ingest replay")
+    ap.add_argument("--source", required=True, help="change-event epoch dir")
+    ap.add_argument("--table", required=True, help="lake table root")
+    ap.add_argument("--ckpt", required=True, help="checkpoint dir")
+    ap.add_argument("--key-id", default="cdcrypt/transcripts")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--resolver", default="agg",
+                    choices=["agg", "salted", "window"])
+    ap.add_argument("--table-mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--compact-threshold", type=int, default=8)
+    ap.add_argument("--cluster-strategy", default="fused",
+                    choices=["fused", "post"])
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("cdcrypt-ingest", master=args.master)
+    pipe = IngestPipeline(
+        args.source, args.table, args.ckpt, key_id=args.key_id,
+        bucket_count=args.buckets, resolver=args.resolver,
+        table_mode=args.table_mode, compact_threshold=args.compact_threshold,
+        cluster_strategy=args.cluster_strategy,
+    )
+    results = pipe.run(spark, max_epochs=args.max_epochs)
+    for r in results:
+        print(json.dumps(r))
+    print(json.dumps({"epochs_applied": len(results),
+                      "committed_epoch": pipe.table().committed_epoch}))
+
+
+if __name__ == "__main__":
+    _main()
