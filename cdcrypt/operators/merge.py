@@ -80,12 +80,16 @@ def _write_bucketed(
     kind: str,
     assume_bucketed: bool = False,
     codec: str = LAKE_CODEC,
+    timings: dict | None = None,
 ) -> tuple[list[dict], int]:
     """Write ``df`` as one plain parquet file per bucket; return manifest
     entries. partition_id == bucket (see table/lake.py bucket_col), so the
     bucket id comes from the ``part-NNNNN`` filename index."""
+    import time
+    t0 = time.monotonic()
     out = df if assume_bucketed else repartition_by_bucket(df, bucket_count)
     out.write.mode("overwrite").option("compression", codec).parquet(staging)
+    t1 = time.monotonic()
     entries, total = [], 0
     for p in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
         nrows = pq.ParquetFile(p).metadata.num_rows
@@ -95,6 +99,9 @@ def _write_bucketed(
         entries.append({"path": os.path.relpath(p, root), "bucket": bkt,
                         "schema_id": None, "rows": nrows, "kind": kind})
         total += nrows
+    if timings is not None:
+        timings[f"{kind}_write_sec"] = round(t1 - t0, 3)
+        timings[f"{kind}_manifest_sec"] = round(time.monotonic() - t1, 3)
     return entries, total
 
 
@@ -185,6 +192,9 @@ def _merge_mor(
 
     One commit may mix delta appends and compacted bases; readers of the
     previous snapshot are unaffected (snapshot isolation)."""
+    import time
+    timings: dict = {}
+    t_start = time.monotonic()
     target = _aligned_schema(table, resolved)
     tcols = [f.name for f in target.fields]
 
@@ -199,7 +209,7 @@ def _merge_mor(
     staging_delta = os.path.join(table.root, "data", f"v{next_version}", "delta")
     new_delta, appended_rows = _write_bucketed(
         delta_df, staging_delta, table.root, table.bucket_count, "delta",
-        assume_bucketed=assume_bucketed)
+        assume_bucketed=assume_bucketed, timings=timings)
 
     keep = list(table.snapshot["files"])
 
@@ -247,7 +257,7 @@ def _merge_mor(
             table.root, "data", f"v{next_version}", "compact")
         compact_files, compacted_rows = _write_bucketed(
             live, staging_compact, table.root, table.bucket_count, "base",
-            assume_bucketed=True)
+            assume_bucketed=True, timings=timings)
         keep = [f for f in keep if f["bucket"] not in compact]
         new_delta = [f for f in new_delta if f["bucket"] not in compact]
 
@@ -260,8 +270,12 @@ def _merge_mor(
         "buckets_compacted": sorted(int(b) for b in compact),
         "compacted_rows": int(compacted_rows),
     }
+    t_commit = time.monotonic()
     version = table.commit(epoch=epoch, keep_files=keep,
                            new_files=new_delta + compact_files,
                            lineage=lineage, new_schema=target)
+    timings["commit_sec"] = round(time.monotonic() - t_commit, 3)
+    timings["merge_total_sec"] = round(time.monotonic() - t_start, 3)
     lineage["version"] = version
+    lineage["timings"] = timings
     return lineage

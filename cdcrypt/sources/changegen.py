@@ -67,30 +67,38 @@ class GenSpec:
 
 def _texts(conv: np.ndarray, turn: np.ndarray, seq: np.ndarray,
            rng: np.random.Generator, spec: GenSpec) -> np.ndarray:
-    """Deterministic text from (conv, turn, seq): short header + filler."""
+    """Deterministic text from (conv, turn, seq): short header + filler.
+
+    Object-array construction via a precomputed (filler x reps) table plus one
+    list-comprehension pass: ``np.char`` elementwise string ops over millions
+    of rows allocate multi-GB fixed-width unicode arrays and ran ~100x slower
+    (17 min / 11 GB at sf0.1) — this path generates 3.3M events in seconds.
+    """
+    n_reps = max(1, 2 * spec.text_repeat)
     h = (conv.astype(np.int64) * 1_000_003 + turn * 8191 + seq * 131) % len(_FILLER)
-    base = np.char.add(
-        np.char.add(
-            np.char.add("c", conv.astype("U10")),
-            np.char.add(" t", turn.astype("U6")),
-        ),
-        np.char.add(np.char.add(" s", seq.astype("U12")), " :: "),
-    )
-    filler = _FILLER[h]
     if spec.text_repeat > 1:
         # vary length 1..2*repeat deterministically (realistic turn sizes)
-        reps = ((conv + turn * 3 + seq) % (2 * spec.text_repeat)) + 1
-        filler = np.char.multiply(filler, reps)
-    out = np.char.add(base, filler)
+        reps = ((conv + turn * 3 + seq) % n_reps).astype(np.int64)
+    else:
+        reps = np.zeros(len(conv), dtype=np.int64)
+    # one table entry per (filler, rep) pair; indexing an object array is C-speed
+    table = np.empty(len(_FILLER) * n_reps, dtype=object)
+    for fi, f in enumerate(_FILLER):
+        for r in range(n_reps):
+            table[fi * n_reps + r] = f * (r + 1)
+    fillers = table[h * n_reps + reps]
+    out = np.array(
+        [f"c{c} t{t} s{s} :: {fl}" for c, t, s, fl in
+         zip(conv.tolist(), turn.tolist(), seq.tolist(), fillers.tolist())],
+        dtype=object,
+    )
     n = len(out)
     long_mask = rng.random(n) < spec.long_text_ratio
     if long_mask.any():
-        out = out.astype(object)
         big = "L" * 17000
         for i in np.flatnonzero(long_mask):
             out[i] = str(out[i]) + big
     null_mask = rng.random(n) < spec.null_text_ratio
-    out = out.astype(object)
     out[null_mask] = None
     return out
 
@@ -152,11 +160,8 @@ def generate_change_events(spec: GenSpec) -> dict:
     # --- after-images
     role = _ROLES[(conv * 7 + turn) % 3]
     text = _texts(conv, turn, op_seq, rng, spec)
-    tool = np.where(
-        role == "tool",
-        np.char.add('{"name":"tool_', np.char.add((conv % 17).astype("U4"), '"}')),
-        None,
-    ).astype(object)
+    tool_table = np.array([f'{{"name":"tool_{i}"}}' for i in range(17)], dtype=object)
+    tool = np.where(role == "tool", tool_table[conv % 17], None)
     ts = _BASE_TS + conv.astype(np.int64) * 10_000_000 + turn.astype(np.int64) * 1000 + op_seq
     is_d = op == "D"
     text[is_d] = None
@@ -189,7 +194,9 @@ def generate_change_events(spec: GenSpec) -> dict:
         "model": np.concatenate([model, model[di]]),
     }
     conv_all = np.concatenate([conv, conv[di]])
-    cols["conv_id"] = np.char.add("conv", np.char.zfill(conv_all.astype("U8"), 8)).astype(object)
+    conv_id_table = np.array(
+        [f"conv{i:08d}" for i in range(spec.n_convs)], dtype=object)
+    cols["conv_id"] = conv_id_table[conv_all]
 
     # duplicates that landed in a later epoch keep pre-evolution nulls only if
     # their ORIGINAL epoch was pre-evolution — exact redelivery, same payload.
@@ -238,10 +245,21 @@ def write_epoch_files(cols: dict, out_dir: str, shuffle_seed: int = 7,
 
 def generate_to_dir(out_dir: str, spec: GenSpec | None = None,
                     files_per_epoch: int = 1) -> dict:
-    """Generate + write; returns summary stats for logging/bench."""
+    """Generate + write; returns summary stats for logging/bench.
+
+    Cyclic GC is suspended for the duration: the generator materializes
+    millions of Python strings and repeated full-heap GC passes made the
+    sf0.1 build ~2x slower (no cycles are created here)."""
+    import gc
     spec = spec or GenSpec()
-    cols = generate_change_events(spec)
-    paths = write_epoch_files(cols, out_dir, files_per_epoch=files_per_epoch)
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        cols = generate_change_events(spec)
+        paths = write_epoch_files(cols, out_dir, files_per_epoch=files_per_epoch)
+    finally:
+        if was_enabled:
+            gc.enable()
     n = len(cols["op"])
     hot = (np.char.find(cols["conv_id"].astype("U16"), "conv00000000") == 0).sum()
     return {
