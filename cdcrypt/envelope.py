@@ -144,7 +144,10 @@ def decrypt_batch(
             continue
         if isinstance(v, str):
             try:
-                blob = base64.b64decode(v, validate=True)
+                # tolerate MIME line breaks (JVM base64 producers chunk at 76
+                # chars); our own encoder never emits them
+                blob = base64.b64decode(v.replace("\r", "").replace("\n", ""),
+                                        validate=True)
             except Exception as e:  # noqa: BLE001 - classified as data error
                 raise ClientErrorException(f"invalid base64 envelope: {e}") from e
         else:

@@ -75,10 +75,19 @@ class TransformConfig:
     aad_field: str | None = None  # per-row AAD column (e.g. conv_id)
     kms: MockKMS = dc_field(default_factory=MockKMS)
     context: dict[str, str] | None = None
+    # 'udf' = pandas-UDF envelope crypto, per-Arrow-batch data keys (the north
+    # rule's canonical path); 'jvm' = builtin aes_encrypt/aes_decrypt building
+    # the identical envelope with a per-micro-batch data key — no Python
+    # boundary (functions/crypto_jvm.py; array paths fall back to 'udf')
+    backend: str = "udf"
+    # decrypt + backend='jvm': wrapped DEKs expected in the column (e.g. from
+    # ingest lineage); None -> one-pass discovery scan at plan build
+    wrapped_deks: list[bytes] | None = None
 
     def __post_init__(self) -> None:
         _one_of("mode", self.mode, _MODES)
         _one_of("encoding", self.encoding, _ENCODINGS)
+        _one_of("backend", self.backend, ("udf", "jvm"))
         if not self.fields:
             raise ConfigError("at least one field path is required")
         if (self.condition_field is None) != (self.condition_equals is None):
@@ -90,10 +99,16 @@ class TransformConfig:
 
 
 class FieldTransform:
-    """Compiled transform; construct once per job, apply per micro-batch."""
+    """Compiled transform; construct once per job, apply per micro-batch.
+
+    After an ``apply()`` with ``backend='jvm'`` in encrypt mode,
+    ``last_wrapped_deks`` holds the wrapped data key(s) minted for that
+    micro-batch — the ingest pipeline records them in commit lineage so
+    later decrypts skip key discovery."""
 
     def __init__(self, config: TransformConfig):
         self.config = config
+        self.last_wrapped_deks: list[bytes] = []
         try:
             self._paths: list[tuple[str, CompiledPath]] = [
                 (p, compile_path(p)) for p in config.fields
@@ -117,11 +132,41 @@ class FieldTransform:
             else None
         )
         use_aad = cfg.aad_field is not None
+        if cfg.mode == "encrypt":
+            self.last_wrapped_deks = []
 
         for _, cp in self._paths:
             if not path_exists(df, cp):
                 continue  # missing optional target -> skip (Transform.java:99-101)
             cur = select_column(cp)
+            if cfg.backend == "jvm" and not cp.is_array:
+                from cdcrypt.functions.crypto_jvm import (
+                    discover_wrapped_deks,
+                    jvm_decrypt_col,
+                    jvm_encrypt_col,
+                )
+
+                if cfg.mode == "encrypt":
+                    new, wrapped = jvm_encrypt_col(
+                        cur, cfg.key_id, cfg.kms, aad_field=cfg.aad_field,
+                        encoding=cfg.encoding, context=cfg.context, gate=gate,
+                    )
+                    self.last_wrapped_deks.append(wrapped)
+                else:
+                    from pyspark.sql.types import BinaryType
+
+                    env_enc = ("binary" if isinstance(
+                        df.select(cur).schema[0].dataType, BinaryType)
+                        else "string")
+                    wd = cfg.wrapped_deks or discover_wrapped_deks(
+                        df, cur, cfg.key_id, encoding=env_enc)
+                    new = jvm_decrypt_col(
+                        cur, cfg.key_id, cfg.kms, wd,
+                        aad_field=cfg.aad_field, encoding=env_enc,
+                        output=cfg.encoding, context=cfg.context, gate=gate,
+                    )
+                df = rewrite(df, cp, new)
+                continue
             if cp.is_array:
                 if cfg.mode == "encrypt":
                     udf = make_encrypt_array_udf(

@@ -46,6 +46,19 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # Single-node: shuffle bytes never cross a network, so compression is
+        # pure CPU overhead (drop it), and tmpfs shuffle dirs skip ext4
+        # journaling syscalls. On a real cluster keep the defaults
+        # (lz4 + fast local disks) — these keys are only set for local[*].
+        local_dir = os.environ.get("CDCRYPT_LOCAL_DIR", "/dev/shm/sparktmp")
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+            b = b.config("spark.local.dir", local_dir)
+        except OSError:
+            pass
+        b = (b.config("spark.shuffle.compress", "false")
+             .config("spark.shuffle.spill.compress", "false"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
