@@ -72,6 +72,19 @@ def _q_smt_encrypt_roundtrip(spark, sf_dir):
     return dec.select("doc_id", "text")
 
 
+def _q_smt_roundtrip_jvm(spark, sf_dir):
+    # same semantics through the JVM aes_encrypt backend (crypto_jvm.py);
+    # cross-backend: encrypt via builtin AES-GCM, decrypt via pandas UDF
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encrypt_fields(docs, ["$.text"], key_id="cdcrypt/docs",
+                         aad_field="source", backend="jvm")
+    dec = decrypt_fields(enc, ["$.text"], key_id="cdcrypt/docs",
+                         aad_field="source")
+    return dec.select("doc_id", "text")
+
+
 def _q_condition_gate(spark, sf_dir):
     # O6 as pure SQL: per-row branch, non-matching rows unmodified
     ev = _t(spark, sf_dir, "events")
@@ -243,6 +256,7 @@ def _q_multimodal_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
+        "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "condition_gate": _q_condition_gate,
         "cdc_window_dedup": _q_cdc_window_dedup,
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
@@ -268,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "smt_encrypt_roundtrip": "SELECT doc_id, text FROM documents",
+        "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
         "condition_gate": """
             SELECT event_id,
                    CASE WHEN event_type = 'click' THEN round(value * 2, 6)

@@ -66,6 +66,7 @@ def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str,
         resolver=os.environ.get("CDCRYPT_RESOLVER", "agg"),
         table_mode=os.environ.get("CDCRYPT_TABLE_MODE", "mor"),
         compact_threshold=int(os.environ.get("CDCRYPT_COMPACT_THRESHOLD", "8")),
+        crypto_backend=os.environ.get("CDCRYPT_CRYPTO_BACKEND", "udf"),
     )
     t0 = time.monotonic()
     results = pipe.run(spark)

@@ -101,6 +101,9 @@ class IngestPipeline:
     table_mode: str = "mor"  # 'mor' (append+compact) | 'cow' (rewrite dirty)
     compact_threshold: int = 8
     cluster_strategy: str = "fused"  # 'fused' (1 shuffle) | 'post' (skew-safe)
+    # 'udf' = pandas-UDF crypto, per-Arrow-batch DEKs (north-rule canonical);
+    # 'jvm' = builtin aes_encrypt, per-epoch DEK recorded in commit lineage
+    crypto_backend: str = "udf"
     kms: MockKMS = dc_field(default_factory=MockKMS)
 
     # ---------- setup ----------
@@ -119,6 +122,7 @@ class IngestPipeline:
             key_id=self.key_id,
             aad_field=self.aad_field,
             kms=self.kms,
+            backend=self.crypto_backend,
         ))
 
     def _resolve(self, df: DataFrame) -> DataFrame:
@@ -155,7 +159,8 @@ class IngestPipeline:
         else:
             resolved = repartition_by_bucket(
                 self._resolve(df), self.bucket_count)
-        encrypted = self._encryptor().apply(resolved)
+        encryptor = self._encryptor()
+        encrypted = encryptor.apply(resolved)
         lineage = merge_upsert(
             spark, table, encrypted, epoch, broadcast=self.broadcast_merge,
             mode=self.table_mode, compact_threshold=self.compact_threshold,
@@ -165,6 +170,14 @@ class IngestPipeline:
             "files": [os.path.basename(f) for f in files],
             "wall_sec": round(time.monotonic() - t0, 3),
         })
+        if encryptor.last_wrapped_deks:
+            # per-epoch wrapped DEKs (jvm backend): decrypt-side jobs read
+            # these from lineage instead of running key discovery
+            import base64 as _b64
+            lineage["wrapped_deks"] = [
+                _b64.b64encode(w).decode("ascii")
+                for w in encryptor.last_wrapped_deks
+            ]
         self._write_checkpoint(epoch, lineage)
         return lineage
 
@@ -229,6 +242,7 @@ def _main() -> None:
     ap.add_argument("--compact-threshold", type=int, default=8)
     ap.add_argument("--cluster-strategy", default="fused",
                     choices=["fused", "post"])
+    ap.add_argument("--crypto-backend", default="udf", choices=["udf", "jvm"])
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -239,6 +253,7 @@ def _main() -> None:
         bucket_count=args.buckets, resolver=args.resolver,
         table_mode=args.table_mode, compact_threshold=args.compact_threshold,
         cluster_strategy=args.cluster_strategy,
+        crypto_backend=args.crypto_backend,
     )
     results = pipe.run(spark, max_epochs=args.max_epochs)
     for r in results:
