@@ -246,6 +246,24 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_bits=6)
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    # exact embedding-cosine near-dup pairs (oracle-checkable baseline);
+    # the LSH-banded variant (embedding_neardup_lsh) is the 100TB path,
+    # verified subset+recall in tests/test_training_ops.py
+    from cdcrypt.operators.similarity import embedding_neardup_exact
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_exact(emb, threshold=0.4)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    # IVF with full probe == exact brute force (same oracle as cosine_topk);
+    # pruned-probe recall covered in tests
+    from cdcrypt.operators.similarity import ann_ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                        n_centroids=8, n_probe=8)
+
+
 def _q_multimodal_features(spark, sf_dir):
     from cdcrypt.operators.multimodal import attach_fake_media, extract_media_features
     docs = _t(spark, sf_dir, "documents")
@@ -271,6 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "embedding_neardup": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -410,6 +430,29 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q, embeddings b
               WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id)
             WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            SELECT query_id, neighbor_id, rank, sim FROM (
+              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                                DESC, b.vec_id ASC) AS rank
+              FROM embeddings q, embeddings b
+              WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id)
+            WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(
+                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
         """,
         "multimodal_features": """
             SELECT doc_id,

@@ -99,6 +99,166 @@ def signature_bits(vec_col, planes: list[list[float]]):
     return sig
 
 
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    Brute-force upper-triangle cross join — the oracle-checkable baseline.
+    At 100 TB scale use :func:`embedding_neardup_lsh`, which restricts the
+    quadratic comparison to LSH band buckets."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        F.broadcast(a).crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                cosine_sim(
+                    F.transform("va", lambda x: x.cast("double")),
+                    F.transform("vb", lambda x: x.cast("double")),
+                ), round_digits,
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """LSH-banded near-dup: candidates collide in >=1 sign-LSH band, then an
+    exact cosine verify keeps sim >= threshold (precision 1.0 vs exact;
+    recall grows with n_bands — high-threshold near-dups agree on most
+    hyperplane signs, so a short band matches with high probability).
+
+    Scale shape: |bands| x |rows| band keys -> equi-join per band bucket ->
+    dedup pairs -> verify. Shuffle is proportional to collisions, never the
+    |rows|^2 cross product."""
+    dim = len(df.select(vec_col).first()[0])
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bands = []
+    for band in range(n_bands):
+        planes = lsh_planes(dim, bits_per_band, seed + 1000 * band)
+        bands.append(
+            vecs.select(
+                "_id", "_v",
+                F.lit(band).alias("band"),
+                signature_bits(F.col("_v"), planes).alias("bucket"),
+            )
+        )
+    tagged = bands[0]
+    for extra in bands[1:]:
+        tagged = tagged.unionByName(extra)
+    left = tagged.select("band", "bucket", F.col("_id").alias("id_a"),
+                         F.col("_v").alias("va"))
+    right = tagged.select("band", "bucket", F.col("_id").alias("id_b"),
+                          F.col("_v").alias("vb"))
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select(
+        "id_a", "id_b",
+        F.round(
+            cosine_sim(
+                F.transform("va", lambda x: x.cast("double")),
+                F.transform("vb", lambda x: x.cast("double")),
+            ), round_digits,
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)
+
+
+def ann_ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means quantizer partitions the base;
+    each query probes its ``n_probe`` nearest centroids and searches only
+    those cells — the classic Faiss-IVF shape expressed in DataFrames.
+
+    Spark mapping: centroids trained with pyspark.ml KMeans (on a sample at
+    scale), cell assignment = ml transform, probe lists exploded to
+    (query, cell) rows, candidate search = equi-join on cell id. With
+    ``n_probe == n_centroids`` results equal exact :func:`cosine_topk`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = base if sample_fraction >= 1.0 else base.sample(
+        fraction=sample_fraction, seed=seed)
+    fv = train.select(array_to_vector(
+        F.transform(vec_col, lambda x: x.cast("double"))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(fv)
+    cents = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_cells(vcol, n: int):
+        """Array of the n nearest centroid ids (squared L2) as a map-side
+        expression — centroids are literals, no ml transform needed on the
+        full table."""
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(vcol, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ).alias(f"d{i}")
+            for i, c in enumerate(cents)
+        ])
+        idx = F.array(*[F.struct(dists[i].alias("d"),
+                                 F.lit(i).alias("cell"))
+                        for i in range(len(cents))])
+        return F.slice(
+            F.transform(F.array_sort(idx), lambda s: s["cell"]), 1, n)
+
+    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv"),
+        nearest_cells(dvec(F.col(vec_col)), 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(nearest_cells(dvec(F.col(vec_col)), n_probe)).alias("cell"),
+    )
+    sims = (
+        q.join(b, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_sim(dvec(F.col("qv")), dvec(F.col("bv"))), 4)
+            .alias("sim"),
+        )
+        # no pair dedup needed: each base vector lives in exactly one cell
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ann_lsh_topk(
     base: DataFrame,
     queries: DataFrame,

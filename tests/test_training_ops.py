@@ -116,3 +116,72 @@ def test_multimodal_feature_extraction(docs):
     # deterministic: identical bytes -> identical features
     assert feats[0]["features"] == feats[1]["features"]
     assert feats[6]["n_frames"] == 1 and feats[6]["byte_len"] == 0
+
+
+def _clustered_embeddings(spark, n_clusters=5, per_cluster=12, dim=8, seed=9):
+    """Clusters of near-identical vectors (base + small noise) — planted
+    near-dups with known ground truth."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + rng.standard_normal(dim) * 0.02
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_embedding_neardup_exact_finds_planted_clusters(spark):
+    from cdcrypt.operators.similarity import embedding_neardup_exact
+    emb = _clustered_embeddings(spark)
+    pairs = embedding_neardup_exact(emb, threshold=0.98).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert pairs  # near-dups exist by construction
+    # every reported pair is intra-cluster (precision on planted truth)
+    assert all(labels[p.id_a] == labels[p.id_b] for p in pairs)
+    # all intra-cluster pairs found: 5 clusters x C(12,2)
+    assert len(pairs) >= 5 * 66 * 0.95
+
+
+def test_embedding_neardup_lsh_subset_and_recall(spark):
+    from cdcrypt.operators.similarity import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+    emb = _clustered_embeddings(spark)
+    exact = {(p.id_a, p.id_b) for p in
+             embedding_neardup_exact(emb, threshold=0.98).collect()}
+    lsh = {(p.id_a, p.id_b) for p in
+           embedding_neardup_lsh(emb, threshold=0.98, n_bands=8,
+                                 bits_per_band=8).collect()}
+    assert lsh <= exact  # verify stage -> precision 1.0 vs exact
+    assert len(lsh) >= 0.9 * len(exact)  # banding recall
+
+
+def test_ann_ivf_full_probe_equals_exact(spark):
+    from cdcrypt.operators.similarity import ann_ivf_topk, cosine_topk
+    emb = _clustered_embeddings(spark)
+    queries = emb.where("vec_id < 5")
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id
+           for r in ann_ivf_topk(emb, queries, k=3, n_centroids=4,
+                                 n_probe=4).collect()}
+    assert ivf == exact  # probing every cell == brute force
+
+
+def test_ann_ivf_pruned_probe_recall(spark):
+    from cdcrypt.operators.similarity import ann_ivf_topk, cosine_topk
+    emb = _clustered_embeddings(spark)
+    queries = emb.where("vec_id < 5")
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id
+           for r in ann_ivf_topk(emb, queries, k=3, n_centroids=8,
+                                 n_probe=2).collect()}
+    # tight clusters: a query's neighbors live in its own cell
+    hits = sum(1 for k_, v in ivf.items() if exact.get(k_) == v)
+    assert hits >= 0.8 * len(exact)
