@@ -130,6 +130,18 @@ class IngestPipeline:
             return resolve_latest_salted(df, self.salt_buckets)
         return _RESOLVERS[self.resolver](df)
 
+    @staticmethod
+    def _epoch_schema(spark: SparkSession, files: list[str]) -> StructType:
+        """Epoch read schema from ONE parquet footer via pyarrow (driver,
+        sub-ms) — skips the per-epoch Spark schema-inference job (a measured
+        ~0.15s of fixed latency per micro-batch). Files within an epoch share
+        a schema by construction (the binlog emits one schema per position;
+        add-column evolution changes it only at an epoch boundary)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+
     # ---------- one epoch ----------
     def process_epoch(self, spark: SparkSession, table: LakeTable,
                       epoch: int, files: list[str]) -> dict:
@@ -153,7 +165,7 @@ class IngestPipeline:
         from cdcrypt.table.lake import repartition_by_bucket
 
         t0 = time.monotonic()
-        df = spark.read.parquet(*files)
+        df = spark.read.schema(self._epoch_schema(spark, files)).parquet(*files)
         if self.cluster_strategy == "fused":
             resolved = self._resolve(repartition_by_bucket(df, self.bucket_count))
         else:
@@ -190,24 +202,38 @@ class IngestPipeline:
 
     # ---------- replay loop ----------
     def run(self, spark: SparkSession, max_epochs: int | None = None) -> list[dict]:
-        """Process all pending epochs (resume = committed_epoch + 1)."""
+        """Process all pending epochs (resume = committed_epoch + 1).
+
+        AQE is suspended for the duration: every exchange in the ingest plan
+        is explicitly sized (repartition to the table's bucket count), so
+        adaptive execution has nothing to improve, while its per-stage query
+        materialization added 2-6x wall latency per micro-batch (measured:
+        AQE-on epochs 5-22s erratic vs AQE-off 3.4-4.8s uniform at the same
+        input). Analytics reads keep AQE (skew joins, coalescing)."""
         table = self.table()
         epochs = list_epochs(self.source_dir)
         pending = sorted(e for e in epochs if e > table.committed_epoch)
         if max_epochs is not None:
             pending = pending[:max_epochs]
         results = []
-        for e in pending:
-            attempt = 0
-            while True:
-                try:
-                    results.append(self.process_epoch(spark, table, e, epochs[e]))
-                    break
-                except Exception as exc:  # noqa: BLE001 - classified below
-                    if _is_retriable(exc) and attempt < self.max_retries:
-                        attempt += 1
-                        continue  # replay the epoch (idempotent sink)
-                    raise
+        aqe_key = "spark.sql.adaptive.enabled"
+        prev_aqe = spark.conf.get(aqe_key, "true")
+        spark.conf.set(aqe_key, "false")
+        try:
+            for e in pending:
+                attempt = 0
+                while True:
+                    try:
+                        results.append(
+                            self.process_epoch(spark, table, e, epochs[e]))
+                        break
+                    except Exception as exc:  # noqa: BLE001 - classified below
+                        if _is_retriable(exc) and attempt < self.max_retries:
+                            attempt += 1
+                            continue  # replay the epoch (idempotent sink)
+                        raise
+        finally:
+            spark.conf.set(aqe_key, prev_aqe)
         return results
 
 
