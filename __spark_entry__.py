@@ -85,6 +85,36 @@ def _q_smt_roundtrip_jvm(spark, sf_dir):
     return dec.select("doc_id", "text")
 
 
+def _q_smt_array_wildcard(spark, sf_dir):
+    # O4/O5: $.path[*] wildcard over an array column — all elements of all
+    # gated rows form ONE crypto batch (one KMS wrap per Arrow batch)
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array(F.col("text"), F.col("source")).alias("vals"))
+    enc = encrypt_fields(docs, ["$.vals[*]"], key_id="cdcrypt/docs")
+    dec = decrypt_fields(enc, ["$.vals[*]"], key_id="cdcrypt/docs")
+    return dec.select(
+        "doc_id",
+        F.col("vals")[0].alias("text"),
+        F.col("vals")[1].alias("source"),
+    )
+
+
+def _q_smt_conditional_crypto(spark, sf_dir):
+    # O6 through the crypto path: only source='web' rows are encrypted
+    # (then decrypted back); others pass through untouched — round-trip
+    # identity either way, which is exactly what the oracle checks
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encrypt_fields(docs, ["$.text"], key_id="cdcrypt/docs",
+                         condition_field="$.source", condition_equals="web")
+    dec = decrypt_fields(enc, ["$.text"], key_id="cdcrypt/docs",
+                         condition_field="$.source", condition_equals="web")
+    return dec.select("doc_id", "text", "source")
+
+
 def _q_condition_gate(spark, sf_dir):
     # O6 as pure SQL: per-row branch, non-matching rows unmodified
     ev = _t(spark, sf_dir, "events")
@@ -275,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
+        "smt_array_wildcard": _q_smt_array_wildcard,
+        "smt_conditional_crypto": _q_smt_conditional_crypto,
         "condition_gate": _q_condition_gate,
         "cdc_window_dedup": _q_cdc_window_dedup,
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
@@ -303,6 +335,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "smt_encrypt_roundtrip": "SELECT doc_id, text FROM documents",
         "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
+        "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",
+        "smt_conditional_crypto": "SELECT doc_id, text, source FROM documents",
         "condition_gate": """
             SELECT event_id,
                    CASE WHEN event_type = 'click' THEN round(value * 2, 6)
