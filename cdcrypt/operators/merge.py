@@ -172,6 +172,9 @@ def merge_upsert(
         "dirty_buckets": sorted(int(x) for x in dirty),
         "rows_written": int(new_rows),
         "buckets_rewritten": len({f["bucket"] for f in new_files}),
+        # per-partition lineage (P8): live rows per rewritten bucket
+        "rows_merged_per_bucket": {
+            str(f["bucket"]): int(f["rows"]) for f in new_files},
     }
     version = table.commit(epoch=epoch, keep_files=keep_files,
                            new_files=new_files, lineage=lineage,
@@ -269,6 +272,10 @@ def _merge_mor(
         "dirty_buckets": sorted({f["bucket"] for f in new_delta + compact_files}),
         "buckets_compacted": sorted(int(b) for b in compact),
         "compacted_rows": int(compacted_rows),
+        # per-partition lineage: rows merged into each bucket this epoch
+        # (bucket == shuffle partition == file index; P8)
+        "rows_merged_per_bucket": {
+            str(f["bucket"]): int(f["rows"]) for f in new_delta},
     }
     t_commit = time.monotonic()
     version = table.commit(epoch=epoch, keep_files=keep,

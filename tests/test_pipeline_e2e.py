@@ -92,6 +92,10 @@ def test_full_replay_matches_oracle(spark, stream_dir, tmp_path):
     assert len(ckpts) == 5
     first = results[0]
     assert first["batch_rows"] > 0 and "dirty_buckets" in first
+    # per-partition lineage: per-bucket merged-row counts cover the batch
+    per_bucket = first["rows_merged_per_bucket"]
+    assert sum(per_bucket.values()) == first["batch_rows"]
+    assert set(map(int, per_bucket)) == set(first["dirty_buckets"])
 
 
 def test_full_replay_jvm_backend_matches_oracle(spark, stream_dir, tmp_path):
