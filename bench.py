@@ -61,7 +61,7 @@ def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str,
 
     pipe = IngestPipeline(
         stream_dir, table_root, ckpt,
-        bucket_count=int(os.environ.get("CDCRYPT_BUCKETS", "64")),
+        bucket_count=int(os.environ.get("CDCRYPT_BUCKETS", "128")),
         salt_buckets=16,
         resolver=os.environ.get("CDCRYPT_RESOLVER", "agg"),
         table_mode=os.environ.get("CDCRYPT_TABLE_MODE", "mor"),
