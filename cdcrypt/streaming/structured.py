@@ -1,0 +1,122 @@
+"""Structured Streaming driver: the same ingest, under Spark's native
+streaming runtime (SURVEY.md P1/P3 expressed with readStream/foreachBatch).
+
+The manual epoch loop (pipeline.py) exists because epoch files stand in for
+Kafka offsets and give the bench deterministic batch boundaries. This module
+runs the IDENTICAL per-batch logic — bucket-cluster -> resolve (dedup+LWW)
+-> encrypt -> MoR merge — as a `foreachBatch` sink of a file-source stream,
+so the engine also deploys as a plain Structured Streaming job:
+
+    readStream.schema(S).parquet(dir)          # binlog tail (file source)
+      .writeStream.foreachBatch(apply_batch)   # resolve+encrypt+merge
+      .option("checkpointLocation", ckpt)      # SS offset log
+      .trigger(availableNow=True | processingTime=...)
+
+Exactly-once holds through BOTH layers: Structured Streaming's checkpointed
+offset log gives at-least-once delivery of each micro-batch, and the lake's
+epoch-keyed atomic commit (epoch = SS batch_id) makes redelivery a no-op —
+the same contract the manual loop proves in tests/test_commit_atomicity.py.
+
+Batch boundaries need NOT align with generator epochs: resolution is a pure
+function of (conv_id, turn_idx, op_seq), so ANY partitioning of the change
+stream into micro-batches converges to the same final table (asserted
+against the DuckDB oracle in tests/test_structured_streaming.py with
+maxFilesPerTrigger forcing misaligned batches).
+
+Schema: the file source requires a fixed read schema. Pass the POST-evolution
+schema (superset); pre-evolution files yield nulls for added columns —
+add-column evolution on read, same as the lake reader. (A column added while
+the stream runs requires a stream restart with the new schema — the standard
+Structured Streaming contract; the lake side needs no migration.)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from cdcrypt.operators.merge import merge_upsert
+from cdcrypt.streaming.pipeline import IngestPipeline
+from cdcrypt.table.lake import repartition_by_bucket
+
+
+def infer_stream_schema(source_dir: str) -> StructType:
+    """Union of all epoch-file footers (pyarrow, driver-side): the
+    post-evolution superset schema the file source needs."""
+    import pyarrow.parquet as pq
+    from pyarrow import unify_schemas
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    schemas = [
+        pq.ParquetFile(p).schema_arrow
+        for p in sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
+    ]
+    return from_arrow_schema(unify_schemas(schemas, promote_options="default"))
+
+
+class StructuredIngest(IngestPipeline):
+    """IngestPipeline variant driven by Structured Streaming.
+
+    Reuses every component (resolver, encryptor, MoR merge, lake commit);
+    only the driver loop differs. ``checkpoint_dir`` holds the SS offset
+    log instead of per-epoch JSON."""
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = self.table()
+        if batch_id <= table.committed_epoch:
+            return  # SS redelivery after restart -> idempotent skip
+        if self.cluster_strategy == "fused":
+            resolved = self._resolve(
+                repartition_by_bucket(batch_df, self.bucket_count))
+        else:
+            resolved = repartition_by_bucket(
+                self._resolve(batch_df), self.bucket_count)
+        encrypted = self._encryptor().apply(resolved)
+        merge_upsert(
+            spark, table, encrypted, epoch=batch_id,
+            broadcast=self.broadcast_merge, mode=self.table_mode,
+            compact_threshold=self.compact_threshold, assume_bucketed=True,
+        )
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        schema: StructType,
+        *,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Start (and for ``available_now`` await) the streaming query."""
+        self.table()  # create on first run
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(max_files_per_trigger))
+        # glob keeps non-parquet bookkeeping files (_DONE markers) out
+        src = reader.parquet(os.path.join(self.source_dir, "*.parquet"))
+        writer = (
+            src.writeStream
+            .foreachBatch(self.apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            # same rationale as IngestPipeline.run: the fused plan is
+            # explicitly partitioned; AQE only adds per-batch re-planning
+            aqe_key = "spark.sql.adaptive.enabled"
+            prev = spark.conf.get(aqe_key, "true")
+            spark.conf.set(aqe_key, "false")
+            try:
+                q = writer.trigger(availableNow=True).start()
+                q.awaitTermination()
+            finally:
+                spark.conf.set(aqe_key, prev)
+            return q
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
