@@ -83,6 +83,13 @@ class TransformConfig:
     # decrypt + backend='jvm': wrapped DEKs expected in the column (e.g. from
     # ingest lineage); None -> one-pass discovery scan at plan build
     wrapped_deks: list[bytes] | None = None
+    # decrypt: verify each envelope's key id against ``key_id`` (the
+    # reference's master-key check, AWSKeyManagementService.java:138-140).
+    # False enables KEY ROTATION reads (C12): the UDF backend resolves each
+    # row's master key from its own envelope header, so one column may mix
+    # epochs encrypted under rotated key ids. (The jvm backend requires a
+    # single key id per read and always verifies.)
+    verify_key_id: bool = True
 
     def __post_init__(self) -> None:
         _one_of("mode", self.mode, _MODES)
@@ -189,7 +196,8 @@ class FieldTransform:
                     udf = make_decrypt_udf(
                         output=cfg.encoding,
                         kms=cfg.kms, context=cfg.context, use_aad=use_aad,
-                        use_gate=use_gate, expect_key_id=cfg.key_id,
+                        use_gate=use_gate,
+                        expect_key_id=cfg.key_id if cfg.verify_key_id else None,
                     )
                 args = [cur]
                 if use_aad:

@@ -125,3 +125,24 @@ def test_error_classification_routing():
     with pytest.raises(ClientErrorException) as cli:
         MockKMS(fail_mode="client").generate_data_key(KEY)
     assert classify(cli.value) == "fatal"
+
+
+def test_key_rotation_mixed_envelopes_decrypt():
+    """C12: rotation = a new key_id in the envelope header. Decrypt resolves
+    each envelope's master key from its own header (no expect check), so a
+    batch may mix epochs encrypted under rotated keys."""
+    from cdcrypt.envelope import decrypt_batch, encrypt_batch
+    from cdcrypt.kms import MockKMS
+
+    kms = MockKMS()
+    old = encrypt_batch(["v1-a", "v1-b"], "tenants/t1/v1", kms)
+    new = encrypt_batch(["v2-a"], "tenants/t1/v2", kms)
+    mixed = [old[0], new[0], old[1]]
+    assert decrypt_batch(mixed, kms) == ["v1-a", "v2-a", "v1-b"]
+
+    # strict mode still rejects foreign key ids (the reference's check)
+    import pytest as _pytest
+
+    from cdcrypt.errors import ClientErrorException
+    with _pytest.raises(ClientErrorException, match="key id"):
+        decrypt_batch(mixed, kms, expect_key_id="tenants/t1/v2")

@@ -185,3 +185,19 @@ def test_transform_chain_smt_style(spark):
     assert [r["userid"] for r in rows] == ["User_3", "User_5"]
     assert all(not r["pageid"].startswith("Page_") for r in rows)
     assert [r["viewtime"] for r in rows] == [91, 92]  # untouched column
+
+
+def test_key_rotation_read_via_transform(spark):
+    """verify_key_id=False: one column carries envelopes under two rotated
+    key ids; the UDF backend decrypts both (key resolved per envelope)."""
+    df = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "id string, text string")
+    enc_v1 = encrypt_fields(df.where("id = 'a'"), ["$.text"], key_id="k/v1")
+    enc_v2 = encrypt_fields(df.where("id = 'b'"), ["$.text"], key_id="k/v2")
+    mixed = enc_v1.unionByName(enc_v2)
+    dec = decrypt_fields(mixed, ["$.text"], key_id="k/v2",
+                         verify_key_id=False)
+    assert {r.id: r.text for r in dec.collect()} == {"a": "alpha", "b": "beta"}
+    strict = decrypt_fields(mixed, ["$.text"], key_id="k/v2")
+    with pytest.raises(Exception, match="key id"):
+        strict.collect()
