@@ -57,20 +57,44 @@ def _shingles(text_col: str, k: int = 5):
     )).otherwise(F.array(F.array_join(words, " ")))
 
 
+def _shingle_hashes(text_col: str, k: int = 5):
+    """64-bit shingle fingerprints WITHOUT materializing shingle strings:
+    hash each word once (xxhash64), then combine k consecutive word-hashes
+    with a rotate-xor fold (order-sensitive; shift ops cannot overflow, so
+    ANSI mode stays on). O(words) string hashing instead of O(words x k)
+    char copying, and everything downstream (explode, shuffle,
+    min-aggregate) moves longs, not text."""
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    n = F.size(wh)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    poly = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"),
+        lambda acc, h: (
+            F.shiftleft(acc, 13).bitwiseOR(F.shiftrightunsigned(acc, 51))
+        ).bitwiseXOR(h),
+    )
+    return F.when(n >= k, F.transform(
+        idx, lambda i: poly(F.slice(wh, i + 1, k))
+    )).otherwise(F.array(poly(wh)))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
                        shingle_k: int = 5) -> DataFrame:
     """(id, array<long> minhash signature). Each hash family member is
-    xxhash64(shingle, seed_i); min over shingles — all JVM-side.
+    xxhash64(shingle_hash, seed_i); min over shingles — all JVM-side.
 
-    Shape: explode distinct shingles once, then ONE hash-aggregate with
-    ``num_hashes`` mins — map-side partial combine collapses each doc's
-    shingles before the shuffle, and the shingle array is computed once
-    (not once per hash function)."""
+    Shape: explode distinct 64-bit shingle fingerprints once (longs, never
+    shingle text), then ONE hash-aggregate with ``num_hashes`` mins —
+    map-side partial combine collapses each doc's shingles before the
+    shuffle."""
     ex = (
         df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
         .select(F.col(id_col),
-                F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("sh"))
+                F.explode(F.array_distinct(
+                    _shingle_hashes(text_col, shingle_k))).alias("sh"))
     )
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     return ex.groupBy(id_col).agg(*aggs).select(
@@ -80,8 +104,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
-                           bands: int = 8, shingle_k: int = 5) -> DataFrame:
+                           bands: int = 16, shingle_k: int = 5) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_shared_bands).
+
+    Default 16 bands x 2 rows: candidate generation is the RECALL stage
+    (P[band match] = s^2 per band -> ~0.997 overall at shingle-Jaccard 0.55);
+    the exact n-gram Jaccard verify downstream restores precision.
 
     band hash = xxhash64 over the band's slice of the signature; pairs
     sharing >= 1 band bucket become candidates. The bucket join is a

@@ -50,7 +50,7 @@ def test_minhash_lsh_finds_near_dup(docs):
     pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
              for r in minhash_lsh_candidates(docs).collect()}
     assert (0, 1) in pairs  # exact dup: all bands shared
-    assert pairs[(0, 1)] == 8
+    assert pairs[(0, 1)] == 16
     assert (0, 2) in pairs  # near dup: some bands shared
     assert (0, 3) not in pairs  # unrelated text: no candidate
 
