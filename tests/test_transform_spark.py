@@ -201,3 +201,28 @@ def test_key_rotation_read_via_transform(spark):
     strict = decrypt_fields(mixed, ["$.text"], key_id="k/v2")
     with pytest.raises(Exception, match="key id"):
         strict.collect()
+
+
+def test_schemaless_json_payload_roundtrip(spark):
+    """O3 schema dispatch: the reference's schemaless Map mode
+    (Transform.java:64-65) maps to a from_json pre-step — parse the JSON
+    value, run the SAME transform, re-serialize. The pageviews e2e shape
+    (userid encrypted, pageid left encrypted after the chain,
+    e2e/vault_config.json:14-30) transliterated."""
+    raw = spark.createDataFrame(
+        [('{"userid":"User_1","pageid":"Page_11","viewtime":91}',),
+         ('{"userid":"User_2","pageid":"Page_12","viewtime":92}',)],
+        "value string")
+    parsed = raw.select(F.from_json(
+        "value", "userid string, pageid string, viewtime long").alias("v")
+    ).select("v.*")
+    # SMT chain (P2): encrypt(userid, pageid) -> decrypt(userid)
+    enc = encrypt_fields(parsed, ["$.userid", "$.pageid"], key_id="k/e2e")
+    dec = decrypt_fields(enc, ["$.userid"], key_id="k/e2e")
+    out = dec.select(F.to_json(F.struct("userid", "pageid", "viewtime"))
+                     .alias("value")).collect()
+    import json as _json
+    vals = [_json.loads(r.value) for r in out]
+    assert {v["userid"] for v in vals} == {"User_1", "User_2"}  # decrypted
+    assert all(len(v["pageid"]) > 40 for v in vals)  # still ciphertext
+    assert {v["viewtime"] for v in vals} == {91, 92}  # untouched passthrough
