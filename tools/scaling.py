@@ -249,7 +249,8 @@ def main() -> None:
                     "headline=min-wall per size, medians alongside",
         "raw": {str(s): results[s] for s in SIZES},
     }
-    out = os.path.join(REPO, "BENCH", "scaling.json")
+    out = os.environ.get(
+        "CDCRYPT_SCALING_OUT", os.path.join(REPO, "BENCH", "scaling.json"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
