@@ -379,12 +379,18 @@ def oracle_sql() -> dict[str, str]:
             FROM state t FULL OUTER JOIN change b
               USING (user_id, event_type)
         """,
+        # NOTE: DuckDB's sum(BIGINT) returns HUGEINT (int128) — the OUTER
+        # CAST back to BIGINT makes the value dtype match Spark's bigint
+        # (values were already identical; round-1 hash mismatch was this
+        # dtype artifact, VERDICT.md "What's wrong" #1).
         "tpch_q1_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_e4,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                     AS sum_disc_e4,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -392,8 +398,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_join_revenue": """
             SELECT n_name,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                     AS revenue_e4,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
