@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Maps the engine's operator inventory (SURVEY.md §2 + the training-data ops)
-onto the driver-provided tables. Every SQL-expressible operator has a DuckDB
-oracle; crypto/minhash/simhash/LSH rely on Spark-only primitives (AES-GCM,
-xxhash64) and use the rows-only path, with their real correctness gates in
-``tests/`` (round-trip equality, resolver equivalence, e2e replay oracle).
+onto the driver-provided tables. EVERY query has a DuckDB oracle: crypto
+round-trips check against the identity projection, and the
+minhash/simhash/LSH family hashes with the md5-derived 60-bit family
+(cdcrypt/functions/hash64.py) that DuckDB computes bit-identically, so the
+oracles replicate the full candidate-generation pipelines, not just row
+counts. Deeper gates (resolver equivalence, e2e replay, recall on planted
+dups) live in ``tests/``.
 
 Numeric discipline for value-hash matches: money sums use exact integer
 cents/e4 arithmetic (doubles summed in different orders do NOT hash-match);
@@ -243,10 +246,24 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+# shared LSH/minhash gate parameters — the oracle SQL builders below must
+# use the exact same values (they replicate the full pipeline in DuckDB)
+_MINHASH = dict(num_hashes=32, bands=16, shingle_k=5, max_bucket_size=64)
+_SIMHASH_NEAR = dict(max_hamming=3, n_bands=4)
+_ANN_LSH = dict(k=5, n_bits=6, dim=64, seed=42)
+_NEARDUP_LSH = dict(threshold=0.4, n_bands=6, bits_per_band=6, dim=64, seed=42)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
-    # Spark-only hashing (xxhash64) -> rows-only check; Jaccard-verified in tests
+    # md5-family hashing (functions/hash64.py) is DuckDB-identical, so the
+    # full shingle->minhash->band->bucket-join pipeline is oracle-verified;
+    # max_bucket_size is the 100TB hot-bucket skew guard (also in the oracle)
     from cdcrypt.operators.docdedup import minhash_lsh_candidates
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
 
 
 def _q_simhash_groups(spark, sf_dir):
@@ -254,11 +271,23 @@ def _q_simhash_groups(spark, sf_dir):
     return simhash_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+def _q_simhash_near_pairs(spark, sf_dir):
+    # banded pigeonhole hamming<=k near-dup pairs (n_bands > max_hamming)
+    from cdcrypt.operators.docdedup import simhash_near_pairs
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"),
+                              max_hamming=_SIMHASH_NEAR["max_hamming"],
+                              n_bands=_SIMHASH_NEAR["n_bands"])
+
+
 def _q_ngram_jaccard(spark, sf_dir):
-    # LSH candidates -> exact n-gram Jaccard verify stage
+    # LSH candidates -> exact n-gram Jaccard verify stage (over shingle-hash
+    # sets: longs shuffle, never shingle strings)
     from cdcrypt.operators.docdedup import minhash_lsh_candidates, ngram_jaccard
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs)
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
     return ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.8)
 
 
@@ -272,17 +301,26 @@ def _q_cosine_topk(spark, sf_dir):
 def _q_ann_lsh(spark, sf_dir):
     from cdcrypt.operators.similarity import ann_lsh_topk
     emb = _t(spark, sf_dir, "embeddings")
-    # 6 bits ~ |base|/64 candidates per bucket at sf0.01; scale n_bits with |base|
-    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_bits=6)
+    # 6 bits ~ |base|/64 candidates per bucket at sf0.01; scale n_bits with
+    # |base|. The oracle replicates the hyperplane signs with unrolled
+    # identical-order arithmetic, so buckets match bit-for-bit.
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10),
+                        k=_ANN_LSH["k"], n_bits=_ANN_LSH["n_bits"],
+                        seed=_ANN_LSH["seed"], dim=_ANN_LSH["dim"])
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    # exact embedding-cosine near-dup pairs (oracle-checkable baseline);
-    # the LSH-banded variant (embedding_neardup_lsh) is the 100TB path,
-    # verified subset+recall in tests/test_training_ops.py
-    from cdcrypt.operators.similarity import embedding_neardup_exact
+    # the 100TB scale path: banded sign-LSH candidates + exact cosine verify
+    # — no driver collect, shuffle ~ collisions. The oracle replicates the
+    # full band/bucket pipeline in SQL; embedding_neardup_exact remains the
+    # small-N baseline (recall quantified in tests/test_training_ops.py).
+    from cdcrypt.operators.similarity import embedding_neardup_lsh
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_exact(emb, threshold=0.4)
+    return embedding_neardup_lsh(
+        emb, threshold=_NEARDUP_LSH["threshold"],
+        n_bands=_NEARDUP_LSH["n_bands"],
+        bits_per_band=_NEARDUP_LSH["bits_per_band"],
+        seed=_NEARDUP_LSH["seed"], dim=_NEARDUP_LSH["dim"])
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -318,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_groups": _q_simhash_groups,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -330,6 +369,215 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+#
+# The LSH/minhash/simhash oracles REPLICATE the engine's full pipeline in
+# SQL: both sides hash with the md5-derived 60-bit family
+# (cdcrypt/functions/hash64.py — bit-identical across Spark and DuckDB) and
+# the hyperplane-sign buckets use unrolled identical-order double
+# arithmetic, so candidate sets match exactly, not just statistically.
+
+_WORDS_SQL = ("regexp_split_to_array(regexp_replace(trim(lower(text)), "
+              "'\\s+', ' ', 'g'), ' ')")
+
+
+def _minhash_cte() -> str:
+    """CTEs shared by minhash_lsh_pairs / ngram_jaccard: words -> distinct
+    shingle hashes -> 32 minhashes -> 16 band hashes -> hot-bucket cap."""
+    from cdcrypt.functions.hash64 import (
+        h60_combine_sql, h60_seeded_sql, h60_sql,
+    )
+    nh, bands = _MINHASH["num_hashes"], _MINHASH["bands"]
+    k, cap = _MINHASH["shingle_k"], _MINHASH["max_bucket_size"]
+    rpb = nh // bands
+    sh_expr = h60_sql(f"array_to_string(ws[i:i+{k - 1}], ' ')")
+    single = h60_sql("array_to_string(ws, ' ')")
+    mins = ",\n             ".join(
+        f"min({h60_seeded_sql('s', i)}) AS h{i}" for i in range(nh))
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + h60_combine_sql(str(b), *[f"h{b * rpb + r}" for r in range(rpb)])
+        + " AS bhash FROM sig"
+        for b in range(bands))
+    return f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        shs AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(ws) >= {k}
+              THEN [{sh_expr} for i in range(1, len(ws) - {k - 2})]
+              ELSE [{single}] END) AS sh
+          FROM w
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        sig AS (SELECT doc_id,
+             {mins}
+             FROM ex GROUP BY doc_id),
+        banded_all AS ({band_selects}),
+        hot AS (SELECT band, bhash FROM banded_all
+                GROUP BY band, bhash HAVING count(*) > {cap}),
+        banded AS (
+          SELECT ba.* FROM banded_all ba
+          LEFT JOIN hot h ON h.band = ba.band AND h.bhash = ba.bhash
+          WHERE h.band IS NULL
+        )
+    """
+
+
+def _minhash_pairs_sql() -> str:
+    return _minhash_cte() + """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def _ngram_jaccard_sql() -> str:
+    return _minhash_cte() + """
+        , pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT p.id_a, p.id_b,
+                 round(len(list_intersect(sa.sh, sb.sh))
+                       / greatest(len(list_distinct(sa.sh || sb.sh)), 1),
+                       6) AS jaccard
+          FROM pairs p
+          JOIN shs sa ON sa.doc_id = p.id_a
+          JOIN shs sb ON sb.doc_id = p.id_b)
+        WHERE jaccard >= 0.8
+    """
+
+
+def _simhash_cte() -> str:
+    """words -> h60 word hashes -> 60 bit-vote sums -> fingerprint."""
+    from cdcrypt.functions.hash64 import h60_sql
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60))
+    fp_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    return f"""
+        WITH wx AS (
+          SELECT doc_id, unnest({_WORDS_SQL}) AS wrd
+          FROM documents WHERE text IS NOT NULL
+        ),
+        hx AS (SELECT doc_id, {h60_sql('wrd')} AS h FROM wx),
+        bits AS (SELECT doc_id,
+           {bit_sums}
+           FROM hx GROUP BY doc_id),
+        fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM bits)
+    """
+
+
+def _simhash_groups_sql() -> str:
+    return _simhash_cte() + """
+        SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+        FROM fp GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+def _simhash_near_pairs_sql() -> str:
+    km, nb = _SIMHASH_NEAR["max_hamming"], _SIMHASH_NEAR["n_bands"]
+    width = 60 // nb
+    mask = (1 << width) - 1
+    bands = ", ".join(str(b) for b in range(nb))
+    return _simhash_cte() + f"""
+        , banded AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (band * {width})) & {mask} AS bits
+          FROM fp, (SELECT unnest([{bands}]) AS band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS fp_a, b.simhash AS fp_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {km}
+    """
+
+
+def _plane_dot_sql(vec_expr: str, plane: list[float], dim: int) -> str:
+    """Unrolled left-associated double dot product — identical fp order to
+    Spark's F.aggregate fold, so sign decisions match bit-for-bit."""
+    return " + ".join(
+        f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * {plane[i]!r}"
+        for i in range(dim))
+
+
+def _ann_lsh_sql() -> str:
+    from cdcrypt.operators.similarity import lsh_planes
+    k, n_bits = _ANN_LSH["k"], _ANN_LSH["n_bits"]
+    dim, seed = _ANN_LSH["dim"], _ANN_LSH["seed"]
+    planes = lsh_planes(dim, n_bits, seed)
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_dot_sql('embedding', p, dim)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+          FROM embeddings
+        ),
+        cand AS (
+          SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+          FROM sig q JOIN sig b
+            ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM cand)
+        WHERE rank <= {k}
+    """
+
+
+def _neardup_lsh_sql() -> str:
+    from cdcrypt.operators.similarity import lsh_planes
+    t, nb = _NEARDUP_LSH["threshold"], _NEARDUP_LSH["n_bands"]
+    bpb, dim = _NEARDUP_LSH["bits_per_band"], _NEARDUP_LSH["dim"]
+    seed = _NEARDUP_LSH["seed"]
+    band_selects = []
+    for band in range(nb):
+        planes = lsh_planes(dim, bpb, seed + 1000 * band)
+        bucket = " + ".join(
+            f"CASE WHEN {_plane_dot_sql('embedding', p, dim)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes))
+        band_selects.append(
+            f"SELECT vec_id, {band} AS band, CAST({bucket} AS BIGINT) "
+            "AS bucket FROM embeddings")
+    tagged = "\n          UNION ALL ".join(band_selects)
+    return f"""
+        WITH tagged AS ({tagged}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM tagged a JOIN tagged b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, sim FROM (
+          SELECT c.id_a, c.id_b,
+                 round(list_cosine_similarity(
+                   ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.id_a
+          JOIN embeddings eb ON eb.vec_id = c.id_b)
+        WHERE sim >= {t}
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -486,15 +734,12 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id)
             WHERE rank <= 5
         """,
-        "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
-                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND round(list_cosine_similarity(
-                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
-        """,
+        "embedding_neardup": _neardup_lsh_sql(),
+        "minhash_lsh_pairs": _minhash_pairs_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "simhash_groups": _simhash_groups_sql(),
+        "simhash_near_pairs": _simhash_near_pairs_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "multimodal_features": """
             SELECT doc_id,
               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -508,6 +753,4 @@ def oracle_sql() -> dict[str, str]:
               END AS INTEGER) AS n_frames
             FROM documents
         """,
-        # minhash_lsh_pairs / simhash_groups / ngram_jaccard / ann_lsh_topk:
-        # Spark-only xxhash64 seeds -> rows-only check (verified in tests/)
     }

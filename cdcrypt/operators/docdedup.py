@@ -7,20 +7,39 @@ for the 100 TB shape, not just the 60k-row test:
   (hash, id) pairs only (never the text);
 - MinHash + LSH: shingle -> K minhashes -> B bands -> bucket-join; candidate
   pairs only ever meet inside a band bucket, so the quadratic blowup is
-  bounded per bucket; all hashing is JVM xxhash64 (no Python);
-- SimHash: 64-bit sign-vote fingerprint via explode + bit-population sums,
-  near-dups = equal fingerprint (or banded prefix for hamming<=k scale-out);
-- n-gram Jaccard verify: exact set similarity for candidate pairs (the
-  verify stage after LSH candidates).
+  bounded per bucket, and ``max_bucket_size`` drops degenerate hot buckets
+  (boilerplate text) before the self-join goes quadratic;
+- SimHash: sign-vote fingerprint via explode + bit-population sums;
+  near-dups = equal fingerprint (hamming 0) or banded hamming<=k
+  (:func:`simhash_near_pairs`);
+- n-gram Jaccard verify: exact set similarity over shingle HASH sets for
+  candidate pairs (the verify stage after LSH) — longs shuffle, never text.
 
-Everything is pure DataFrame ops — deterministic given Spark's xxhash64, so
-results are stable across runs and cluster sizes.
+Hash families (``family=``):
+- ``"md5"`` (default): 60-bit md5-derived hashes (functions/hash64.py) that
+  DuckDB computes bit-identically — every operator here is fully
+  oracle-verifiable end-to-end (the driver's CORRECTNESS gate);
+- ``"xx64"``: JVM xxhash64 — ~3x cheaper per hash, Spark-only; use for
+  production corpus scale where the oracle isn't in the loop. Both families
+  produce the same candidate structure on planted duplicates (tested).
+
+Everything is pure DataFrame ops — deterministic hashing, so results are
+stable across runs and cluster sizes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from cdcrypt.functions.hash64 import h60, h60_combine, h60_seeded
+
+_FAMILIES = ("md5", "xx64")
+
+
+def _check_family(family: str) -> None:
+    if family not in _FAMILIES:
+        raise ValueError(f"hash family {family!r} must be one of {_FAMILIES}")
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -47,28 +66,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def _shingles(text_col: str, k: int = 5):
-    """Word k-shingles of the normalized text."""
-    words = F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+def _words(text_col: str):
+    """Whitespace-normalized lowercase word array (oracle: regexp_split_to_
+    array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))."""
+    return F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+
+
+def _shingle_hashes(text_col: str, k: int = 5, family: str = "md5"):
+    """Array of 64/60-bit word-k-shingle fingerprints.
+
+    md5 family: shingle string -> h60 (DuckDB-identical). xx64 family: hash
+    each word once, combine k consecutive word-hashes with a rotate-xor fold
+    — O(words) string hashing instead of O(words x k) char copying (shift
+    ops cannot overflow, so ANSI mode stays on); everything downstream
+    (explode, shuffle, min-aggregate) moves longs, not text, in BOTH
+    families."""
+    words = _words(text_col)
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
-    )).otherwise(F.array(F.array_join(words, " ")))
-
-
-def _shingle_hashes(text_col: str, k: int = 5):
-    """64-bit shingle fingerprints WITHOUT materializing shingle strings:
-    hash each word once (xxhash64), then combine k consecutive word-hashes
-    with a rotate-xor fold (order-sensitive; shift ops cannot overflow, so
-    ANSI mode stays on). O(words) string hashing instead of O(words x k)
-    char copying, and everything downstream (explode, shuffle,
-    min-aggregate) moves longs, not text."""
-    words = F.split(
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+    if family == "md5":
+        return F.when(n >= k, F.transform(
+            idx, lambda i: h60(F.array_join(F.slice(words, i + 1, k), " "))
+        )).otherwise(F.array(h60(F.array_join(words, " "))))
     wh = F.transform(words, lambda w: F.xxhash64(w))
-    n = F.size(wh)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     poly = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("long"),
         lambda acc, h: (
@@ -82,21 +103,26 @@ def _shingle_hashes(text_col: str, k: int = 5):
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
-                       shingle_k: int = 5) -> DataFrame:
-    """(id, array<long> minhash signature). Each hash family member is
-    xxhash64(shingle_hash, seed_i); min over shingles — all JVM-side.
+                       shingle_k: int = 5, family: str = "md5") -> DataFrame:
+    """(id, array<long> minhash signature). Each hash family member is a
+    seeded re-hash of the shingle fingerprint; min over shingles — all
+    JVM-side columns, no Python.
 
-    Shape: explode distinct 64-bit shingle fingerprints once (longs, never
-    shingle text), then ONE hash-aggregate with ``num_hashes`` mins —
-    map-side partial combine collapses each doc's shingles before the
-    shuffle."""
+    Shape: explode distinct shingle fingerprints once (longs, never shingle
+    text), then ONE hash-aggregate with ``num_hashes`` mins — map-side
+    partial combine collapses each doc's shingles before the shuffle."""
+    _check_family(family)
     ex = (
         df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
         .select(F.col(id_col),
                 F.explode(F.array_distinct(
-                    _shingle_hashes(text_col, shingle_k))).alias("sh"))
+                    _shingle_hashes(text_col, shingle_k, family))).alias("sh"))
     )
-    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    if family == "md5":
+        member = lambda i: h60_seeded(F.col("sh"), i)  # noqa: E731
+    else:
+        member = lambda i: F.xxhash64("sh", F.lit(i))  # noqa: E731
+    aggs = [F.min(member(i)).alias(f"h{i}") for i in range(num_hashes)]
     return ex.groupBy(id_col).agg(*aggs).select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -104,34 +130,56 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
-                           bands: int = 16, shingle_k: int = 5) -> DataFrame:
+                           bands: int = 16, shingle_k: int = 5,
+                           family: str = "md5",
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_shared_bands).
 
     Default 16 bands x 2 rows: candidate generation is the RECALL stage
     (P[band match] = s^2 per band -> ~0.997 overall at shingle-Jaccard 0.55);
     the exact n-gram Jaccard verify downstream restores precision.
 
-    band hash = xxhash64 over the band's slice of the signature; pairs
-    sharing >= 1 band bucket become candidates. The bucket join is a
-    self-join on (band_idx, band_hash) — hot buckets (boilerplate text)
-    are the skew risk at scale; cap bucket size upstream if needed.
+    band hash = seeded hash over the band's slice of the signature; pairs
+    sharing >= 1 band bucket become candidates via a self-join on
+    (band_idx, band_hash).
+
+    Skew guard (the 100 TB must-have): ``max_bucket_size`` drops band
+    buckets holding more than that many docs BEFORE the self-join — one
+    boilerplate bucket of B docs otherwise costs B^2/2 join rows. The recall
+    cost is confined to docs that are near-dups of >max_bucket_size others,
+    which a dedup pipeline wants to collapse via exact-dup/clustering
+    anyway (their text is degenerate). The bucket-size count reuses the
+    banded relation (one extra linear aggregation, broadcast back as an
+    anti-join — no extra shuffle of the banded rows).
     """
+    _check_family(family)
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              family)
+    if family == "md5":
+        bhash = lambda b: h60_combine(  # noqa: E731
+            F.lit(b),
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+    else:
+        bhash = lambda b: F.xxhash64(  # noqa: E731
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
     banded = sigs.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    ).alias("bhash"),
-                )
+                F.struct(F.lit(b).alias("band"), bhash(b).alias("bhash"))
                 for b in range(bands)
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bhash")
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bhash")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -146,11 +194,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", shingle_k: int = 5) -> DataFrame:
-    """Exact Jaccard over word shingle SETS for candidate pairs (the verify
-    stage after LSH). Joins the docs twice; pairs is small post-LSH."""
+                  id_col: str = "doc_id", shingle_k: int = 5,
+                  family: str = "md5") -> DataFrame:
+    """Exact Jaccard over word-shingle HASH sets for candidate pairs (the
+    verify stage after LSH). Joins the docs twice; pairs is small post-LSH.
+
+    Shuffles shingle-hash longs, never shingle strings — the set cardinality
+    arithmetic is identical (60-bit collisions are ~0 at any realistic doc
+    size, and the oracle mirrors the same hash so even a collision matches).
+    """
+    _check_family(family)
     sh = df.select(
-        F.col(id_col), F.array_distinct(_shingles(text_col, shingle_k)).alias("sh")
+        F.col(id_col),
+        F.array_distinct(_shingle_hashes(text_col, shingle_k, family)).alias("sh"),
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -165,24 +221,27 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per word, xxhash64 votes +1/-1 on each bit; sign of
-    the per-bit sum forms the fingerprint. explode + 64 conditional sums,
-    all codegen'd; one shuffle on id."""
-    words = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
-        ).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+              id_col: str = "doc_id", family: str = "md5") -> DataFrame:
+    """SimHash fingerprint: per word, the word hash votes +1/-1 on each bit;
+    the sign of the per-bit sum forms the fingerprint. explode + N
+    conditional sums, all codegen'd; one shuffle on id.
+
+    md5 family: 60-bit fingerprint (h60 word hashes, oracle-identical);
+    xx64: 64-bit. The fingerprint is always non-negative under md5."""
+    _check_family(family)
+    n_bits = 60 if family == "md5" else 64
+    wcol = F.explode(_words(text_col)).alias("w")
+    words = df.where(F.col(text_col).isNotNull()).select(F.col(id_col), wcol)
+    hcol = h60(F.col("w")) if family == "md5" else F.xxhash64("w")
+    words = words.withColumn("h", hcol)
     sums = words.groupBy(id_col).agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ])
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
@@ -190,11 +249,63 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       family: str = "md5") -> DataFrame:
     """Docs sharing an identical simhash (near-dup clusters at hamming 0)."""
-    s = simhash64(df, text_col, id_col)
+    s = simhash64(df, text_col, id_col, family)
     return (
         s.groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       n_bands: int = 4, family: str = "md5") -> DataFrame:
+    """Near-dup pairs at hamming distance <= ``max_hamming`` via the banded
+    pigeonhole trick: split the fingerprint into ``n_bands`` equal bit bands;
+    two fingerprints within hamming k share at least one EXACT band whenever
+    ``n_bands >= k + 1`` (k flipped bits can dirty at most k bands). The
+    equi-join on (band, band_bits) makes this a bucket join — shuffle
+    proportional to collisions, never |docs|^2 — and the popcount verify
+    restores exactness.
+
+    Requires ``n_bands > max_hamming`` (else recall is not guaranteed);
+    raises otherwise. Output: (id_a, id_b, hamming).
+    """
+    _check_family(family)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for the pigeonhole guarantee")
+    n_bits = 60 if family == "md5" else 64
+    if n_bits % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide {n_bits}")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    s = simhash64(df, text_col, id_col, family)
+    banded = s.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask)).alias("bits"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bits")
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("fp_a"), "band", "bits")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("fp_b"), "band", "bits")
+    return (
+        a.join(b, ["band", "bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                .cast("int").alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
     )

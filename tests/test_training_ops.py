@@ -72,6 +72,61 @@ def test_simhash_clusters_exact_dups(docs):
     assert any(g["keep_id"] == 0 and g["n_docs"] >= 2 for g in groups)
 
 
+def test_simhash_near_pairs_banded_hamming(docs, spark):
+    from cdcrypt.operators.docdedup import simhash_near_pairs
+
+    # 1-2 word substitutions on a long doc flip few fingerprint bits; the
+    # banded pigeonhole join must recover those pairs with exact hamming
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),          # near variant
+        (2, BASE.replace("quick", "swift").replace("far", "near")),
+        (3, "entirely unrelated corpus about columnar shuffle exchanges "
+            "and adaptive query execution in distributed engines " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    ham01 = bin(fps[0] ^ fps[1]).count("1")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(df, max_hamming=30,
+                                         n_bands=60).collect()}
+    # with n_bands=60 (1-bit bands) every <=30-hamming pair must surface
+    assert pairs.get((0, 1)) == ham01
+    # verify stage is exact: reported hamming equals true popcount
+    for (a, b), h in pairs.items():
+        assert bin(fps[a] ^ fps[b]).count("1") == h
+    # pigeonhole precondition enforced
+    with pytest.raises(ValueError):
+        simhash_near_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    rows = [(i, boiler) for i in range(300)]          # planted mega-bucket
+    rows += [(1000, BASE), (1001, BASE.replace("lazy", "sleepy"))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = minhash_lsh_candidates(df, max_bucket_size=50).collect()
+    # the 300-doc boilerplate bucket (C(300,2)*16 join rows uncapped) is
+    # dropped entirely; the genuine near-dup pair survives
+    pair_ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in pair_ids
+    assert all(a >= 1000 for a, _ in pair_ids)
+    assert len(capped) < 10
+
+
+def test_hash_families_agree_on_planted_dups(docs):
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+
+    for family in ("md5", "xx64"):
+        pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+                 for r in minhash_lsh_candidates(docs, family=family).collect()}
+        assert pairs[(0, 1)] == 16, family   # exact dup: all bands
+        assert (0, 2) in pairs, family       # near dup: some bands
+        assert (0, 3) not in pairs, family   # unrelated: none
+
+
 def test_text_stats_shapes(docs):
     out = {r["doc_id"]: r for r in text_stats(docs).collect()}
     assert out[0]["lang_guess"] == "en"

