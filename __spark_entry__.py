@@ -118,6 +118,45 @@ def _q_smt_conditional_crypto(spark, sf_dir):
     return dec.select("doc_id", "text", "source")
 
 
+def _q_smt_schemaless_roundtrip(spark, sf_dir):
+    # O3 schemaless Map mode as an engine API (Transform.java:63-69):
+    # JSON-string payload -> from_json promote -> FieldTransform -> to_json
+    # repack; the oracle checks the extracted fields against the originals
+    from cdcrypt.operators.schemaless import (
+        decrypt_json_payload, encrypt_json_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.to_json(F.struct("text", "source"),
+                  {"ignoreNullFields": "false"}).alias("payload"))
+    schema = "text string, source string"
+    enc = encrypt_json_payload(docs, "payload", schema, ["$.text"],
+                               key_id="cdcrypt/docs")
+    dec = decrypt_json_payload(enc, "payload", schema, ["$.text"],
+                               key_id="cdcrypt/docs")
+    p = F.from_json("payload", schema)
+    return dec.select(
+        "doc_id",
+        p.getField("text").alias("text"),
+        p.getField("source").alias("source"),
+    )
+
+
+def _q_smt_asym_roundtrip(spark, sf_dir):
+    # C9/C10: RSA-OAEP-wrapped DEKs — public key fetched once at compile,
+    # encrypt fully local, decrypt unwraps via the (mock) KMS private key
+    from cdcrypt.kms import MockKMS
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    kms = MockKMS()  # shared: the RSA pair lives in the KMS instance
+    docs = _t(spark, sf_dir, "documents")
+    enc = encrypt_fields(docs, ["$.text"], key_id="cdcrypt/asym", kms=kms,
+                         asymmetric=True)
+    dec = decrypt_fields(enc, ["$.text"], key_id="cdcrypt/asym", kms=kms)
+    return dec.select("doc_id", "text")
+
+
 def _q_condition_gate(spark, sf_dir):
     # O6 as pure SQL: per-row branch, non-matching rows unmodified
     ev = _t(spark, sf_dir, "events")
@@ -333,10 +372,14 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    # real struct-parsed header probes (PNG IHDR, WAV RIFF/fmt/data, MP4 box
+    # walk) over synthesized-but-valid container bytes; the oracle derives
+    # every header field from (doc_id, byte length) — the synthesis contract
     from cdcrypt.operators.multimodal import attach_fake_media, extract_media_features
     docs = _t(spark, sf_dir, "documents")
     feats = extract_media_features(attach_fake_media(docs))
-    return feats.select("doc_id", "media_type", "byte_len", "n_frames")
+    return feats.select("doc_id", "media_type", "byte_len", "n_frames",
+                        "width", "height", "sample_rate", "duration_s")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -345,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "smt_array_wildcard": _q_smt_array_wildcard,
         "smt_conditional_crypto": _q_smt_conditional_crypto,
+        "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
+        "smt_asym_roundtrip": _q_smt_asym_roundtrip,
         "condition_gate": _q_condition_gate,
         "cdc_window_dedup": _q_cdc_window_dedup,
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
@@ -585,6 +630,8 @@ def oracle_sql() -> dict[str, str]:
         "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
         "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",
         "smt_conditional_crypto": "SELECT doc_id, text, source FROM documents",
+        "smt_schemaless_roundtrip": "SELECT doc_id, text, source FROM documents",
+        "smt_asym_roundtrip": "SELECT doc_id, text FROM documents",
         "condition_gate": """
             SELECT event_id,
                    CASE WHEN event_type = 'click' THEN round(value * 2, 6)
@@ -740,17 +787,36 @@ def oracle_sql() -> dict[str, str]:
         "simhash_groups": _simhash_groups_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        # replicates the synthesis contract of attach_fake_media + the real
+        # header probes: PNG = sig(8)+IHDR(25)+IDAT(12+t)+IEND(12);
+        # WAV = RIFF(12)+fmt(24)+data(8+aligned); MP4 = ftyp(16)+mdat(8+t)
         "multimodal_features": """
             SELECT doc_id,
-              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                   WHEN 1 THEN 'audio/wav'
                    ELSE 'video/mp4' END AS media_type,
-              CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS byte_len,
-              CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                   WHEN doc_id % 3 = 1 THEN
-                     greatest(1, octet_length(encode(COALESCE(text, ''))) // 64)
-                   ELSE greatest(1, octet_length(encode(COALESCE(text, ''))) // 256)
-              END AS INTEGER) AS n_frames
-            FROM documents
+              CAST(CASE doc_id % 3
+                   WHEN 0 THEN 57 + t
+                   WHEN 1 THEN 44 + (t // ba) * ba
+                   ELSE 24 + t END AS BIGINT) AS byte_len,
+              CAST(CASE doc_id % 3
+                   WHEN 0 THEN 1
+                   WHEN 1 THEN t // ba
+                   ELSE greatest(1, t // 256) END AS INTEGER) AS n_frames,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 241 END
+                   AS INTEGER) AS width,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 181 END
+                   AS INTEGER) AS height,
+              CAST(CASE WHEN doc_id % 3 = 1 THEN rate END
+                   AS INTEGER) AS sample_rate,
+              CASE WHEN doc_id % 3 = 1 THEN round((t // ba) / rate, 6) END
+                AS duration_s
+            FROM (
+              SELECT doc_id,
+                     octet_length(encode(COALESCE(text, ''))) AS t,
+                     CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 10000
+                          WHEN 2 THEN 20000 ELSE 40000 END AS rate,
+                     (1 + doc_id % 2) * 2 AS ba
+              FROM documents)
         """,
     }

@@ -90,6 +90,11 @@ def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str,
         "events": n_events,
         "epochs": len(results),
         "hot_conv_share": stats["hot_conv_share"],
+        # methodology: replay_sec is the BEST of `reps` full replays (the
+        # host's delivered CPU varies up to 3x between identical runs);
+        # recorded explicitly so historical records aren't silently mixed
+        "reps": reps,
+        "selection": "min",
         "replay_sec": round(wall, 2),
         "replay_walls_all_reps": [round(a[0], 2) for a in attempts],
         "events_per_sec": round(n_events / wall, 1),

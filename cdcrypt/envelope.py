@@ -37,22 +37,23 @@ from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 from cdcrypt.errors import ClientErrorException
 from cdcrypt.kms import DEFAULT_KMS, MockKMS
 
-_VERSION = 1
+_VERSION = 1          # symmetric wrap (mock-KMS AES-GCM wrapped DEK)
+_VERSION_ASYM = 2     # asymmetric wrap (RSA-OAEP under a fetched public key)
 _NONCE_LEN = 12
 
 
-def _build_header(key_id: str, wrapped: bytes) -> bytes:
+def _build_header(key_id: str, wrapped: bytes, version: int = _VERSION) -> bytes:
     kid = key_id.encode("utf-8")
     if len(kid) > 255:
         raise ClientErrorException("key id too long")
-    return struct.pack(">BB", _VERSION, len(kid)) + kid + struct.pack(">H", len(wrapped)) + wrapped
+    return struct.pack(">BB", version, len(kid)) + kid + struct.pack(">H", len(wrapped)) + wrapped
 
 
-def parse_envelope(blob: bytes) -> tuple[str, bytes, bytes, bytes]:
-    """Return ``(key_id, wrapped_dek, nonce, ciphertext)``."""
+def parse_envelope_full(blob: bytes) -> tuple[int, str, bytes, bytes, bytes]:
+    """Return ``(version, key_id, wrapped_dek, nonce, ciphertext)``."""
     try:
         version, kid_len = struct.unpack_from(">BB", blob, 0)
-        if version != _VERSION:
+        if version not in (_VERSION, _VERSION_ASYM):
             raise ClientErrorException(f"unsupported envelope version {version}")
         off = 2
         key_id = blob[off : off + kid_len].decode("utf-8")
@@ -63,11 +64,16 @@ def parse_envelope(blob: bytes) -> tuple[str, bytes, bytes, bytes]:
         off += wrapped_len
         nonce = blob[off : off + _NONCE_LEN]
         ct = blob[off + _NONCE_LEN :]
-        if len(nonce) != _NONCE_LEN or len(ct) < 16:
+        if len(wrapped) != wrapped_len or len(nonce) != _NONCE_LEN or len(ct) < 16:
             raise ClientErrorException("truncated envelope")
-        return key_id, wrapped, nonce, ct
+        return version, key_id, wrapped, nonce, ct
     except (struct.error, UnicodeDecodeError) as e:
         raise ClientErrorException(f"malformed envelope: {e}") from e
+
+
+def parse_envelope(blob: bytes) -> tuple[str, bytes, bytes, bytes]:
+    """Return ``(key_id, wrapped_dek, nonce, ciphertext)``."""
+    return parse_envelope_full(blob)[1:]
 
 
 def _to_plain_bytes(v: object) -> bytes:
@@ -86,6 +92,7 @@ def encrypt_batch(
     aad: Sequence[object] | None = None,
     encoding: str = "string",
     context: dict[str, str] | None = None,
+    public_key_pem: bytes | None = None,
 ) -> list[object]:
     """Encrypt a batch of str/bytes values under ONE fresh data key.
 
@@ -93,14 +100,31 @@ def encrypt_batch(
     ``Transform.java:57-60``). ``aad`` (optional, same length) supplies
     per-row associated data. ``encoding``: 'string' -> base64 str,
     'binary' -> bytes.
+
+    ``public_key_pem`` switches to the ASYMMETRIC wrap (C9): the DEK is
+    generated locally and RSA-OAEP-wrapped under the supplied public key —
+    zero KMS calls on the encrypt path (the pem was fetched once at
+    plan-compile time, ``GCPKeyManagementService.java:119-165``). The
+    encryption context authenticates only the symmetric wrap; it is not
+    supported with RSA-OAEP (same as the reference's GCP asymmetric mode).
     """
     kms = kms or DEFAULT_KMS
     n = len(values)
     out: list[object] = [None] * n
     if n == 0:
         return out  # empty-batch short-circuit (VaultClientImpl.java:56-58)
-    dek, wrapped = kms.generate_data_key(key_id, context)
-    header = _build_header(key_id, wrapped)
+    if public_key_pem is not None:
+        if context:
+            raise ClientErrorException(
+                "encryption context is not supported with asymmetric wrap")
+        from cdcrypt.kms import rsa_oaep_wrap
+        import os as _os
+        dek = _os.urandom(32)
+        wrapped = rsa_oaep_wrap(dek, public_key_pem)
+        header = _build_header(key_id, wrapped, version=_VERSION_ASYM)
+    else:
+        dek, wrapped = kms.generate_data_key(key_id, context)
+        header = _build_header(key_id, wrapped)
     gcm = AESGCM(dek)
     as_string = encoding == "string"
     pack_nonce = struct.pack  # local bind for the hot loop
@@ -152,14 +176,19 @@ def decrypt_batch(
                 raise ClientErrorException(f"invalid base64 envelope: {e}") from e
         else:
             blob = bytes(v)
-        key_id, wrapped, nonce, ct = parse_envelope(blob)
+        version, key_id, wrapped, nonce, ct = parse_envelope_full(blob)
         if expect_key_id is not None and key_id != expect_key_id:
             raise ClientErrorException(
                 f"envelope key id {key_id!r} != configured {expect_key_id!r}"
             )
         gcm = cache.get(wrapped)
         if gcm is None:
-            gcm = AESGCM(kms.unwrap(wrapped, key_id, context))
+            if version == _VERSION_ASYM:
+                # private key never leaves the KMS: one remote unwrap per
+                # distinct wrapped DEK per executor (C10)
+                gcm = AESGCM(kms.asym_unwrap(wrapped, key_id))
+            else:
+                gcm = AESGCM(kms.unwrap(wrapped, key_id, context))
             cache[wrapped] = gcm
         ad = None
         if aad is not None and aad[i] is not None:

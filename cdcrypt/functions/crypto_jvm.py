@@ -34,7 +34,9 @@ Notes anchored in measured behavior:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import struct as _struct
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdcrypt.envelope import _NONCE_LEN, _build_header
@@ -43,6 +45,39 @@ from cdcrypt.kms import MockKMS
 
 _MAX_LEN = 2147483647
 _WRAPPED_LEN = 60  # kms.py: nonce(12) + AESGCM(dek 32 + tag 16); fixed
+
+# Spark renders a 32-byte binary literal as 0x + 64 hex chars in plan
+# strings (explain, event logs, the UI SQL tab) — exactly the shape of a
+# plaintext DEK this backend must embed in the plan.
+_DEK_LIT_PATTERN = "0x[0-9A-Fa-f]{64}"
+
+# NIST SP 800-38D §8.3: at most 2^32 invocations with random 96-bit IVs
+# under one key. The jvm backend draws a random IV per row under ONE
+# per-micro-batch DEK, so micro-batches must stay under this bound (the udf
+# backend is immune: counter nonces under per-Arrow-batch keys).
+MAX_ROWS_PER_DEK = 2**32
+
+
+def _enable_dek_redaction() -> None:
+    """Mask plaintext-DEK literals in every plan rendering Spark controls.
+
+    The jvm backend necessarily places the per-batch DEK into the query plan
+    (``F.lit(dek)`` feeding ``aes_encrypt``; the hex->dek map literal on
+    decrypt). ``spark.sql.redaction.string.regex`` makes explain/event-log/
+    UI renderings print ``*********(redacted)`` instead (verified in
+    tests). Residual exposure: code that walks the UNREDACTED logical plan
+    programmatically still sees key bytes — deployments where that matters
+    should use the udf backend, whose keys never leave the KMS/executor
+    call path (round-1 ADVICE item)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    key = "spark.sql.redaction.string.regex"
+    cur = spark.conf.get(key, None)
+    if not cur:
+        spark.conf.set(key, _DEK_LIT_PATTERN)
+    elif _DEK_LIT_PATTERN not in cur:
+        spark.conf.set(key, f"(?:{cur})|(?:{_DEK_LIT_PATTERN})")
 
 
 def _aad_col(aad_field: str | None) -> Column:
@@ -64,6 +99,7 @@ def jvm_encrypt_col(
 ) -> tuple[Column, bytes]:
     """Column expression encrypting ``col`` into an envelope; returns
     ``(expr, wrapped_dek)`` — the wrapped DEK goes to lineage."""
+    _enable_dek_redaction()
     dek, wrapped = kms.generate_data_key(key_id, context)
     header = _build_header(key_id, wrapped)
     body = F.aes_encrypt(
@@ -131,6 +167,7 @@ def jvm_decrypt_col(
     key-id verification, AWSKeyManagementService.java:138-140)."""
     if not wrapped_deks:
         raise ClientErrorException("no wrapped DEKs supplied for decrypt")
+    _enable_dek_redaction()
     kid = key_id.encode("utf-8")
     deks = {w.hex().upper(): kms.unwrap(w, key_id, context) for w in wrapped_deks}
     km = F.map_from_arrays(
@@ -154,6 +191,17 @@ def jvm_decrypt_col(
             F.substring(blob, 1, len(prefix)) != F.lit(prefix),
             F.raise_error(F.lit(
                 f"envelope key id != configured {key_id!r}")).cast(err_t),
+        )
+        .when(
+            # validate the envelope's own wrapped_len field so a KMS whose
+            # wrap size differs fails LOUDLY at the format layer instead of
+            # surfacing as an opaque GCM tag error (round-1 ADVICE item)
+            F.substring(blob, len(prefix) + 1, 2)
+            != F.lit(_struct.pack(">H", _WRAPPED_LEN)),
+            F.raise_error(F.lit(
+                f"envelope wrapped-DEK length != {_WRAPPED_LEN} "
+                "(unsupported KMS wrap format for the jvm backend)"
+            )).cast(err_t),
         )
         .when(
             key_col.isNull(),

@@ -123,17 +123,26 @@ def make_encrypt_udf(
     context: dict[str, str] | None = None,
     use_aad: bool = False,
     use_gate: bool = False,
+    asymmetric: bool = False,
 ) -> Callable:
-    """Pandas UDF: (value[, aad][, gate]) -> envelope (base64 str or bytes)."""
+    """Pandas UDF: (value[, aad][, gate]) -> envelope (base64 str or bytes).
+
+    ``asymmetric=True`` fetches the RSA public key ONCE here (driver-side,
+    plan-compile time — the reference's ``init()`` fetch-once pattern,
+    ``GCPKeyManagementService.java:119-132``) and ships the PEM in the
+    closure: executors then wrap per-batch DEKs locally with ZERO KMS calls
+    on the encrypt path (C9)."""
     ret = StringType() if encoding == "string" else BinaryType()
     kms_inst = kms or MockKMS()
     passthrough = _str_passthrough_for(encoding)
+    pub_pem = kms_inst.asym_public_pem(key_id) if asymmetric else None
 
     def core(vals, aad, gate):
         return _gated_apply(
             vals, gate, aad,
             lambda v, a: encrypt_batch(v, key_id, kms_inst, aad=a,
-                                       encoding=encoding, context=context),
+                                       encoding=encoding, context=context,
+                                       public_key_pem=pub_pem),
             passthrough,
         )
 

@@ -56,12 +56,25 @@ def _canon_context(context: dict[str, str] | None) -> bytes:
 
 
 class MockKMS:
-    """In-process KMS. ``fail_mode`` injects faults for retry-path tests."""
+    """In-process KMS. ``fail_mode`` injects faults for retry-path tests.
+
+    Asymmetric (RSA-OAEP) key material mirrors the reference's GCP
+    asymmetric mode (``GCPKeyManagementService.java:119-199``): the public
+    key is fetched ONCE at plan-compile time and shipped to executors so
+    encrypt-side DEK wrapping is fully local (C9); the private key never
+    leaves the KMS — decrypt unwraps via :meth:`asym_unwrap`, once per
+    distinct wrapped DEK thanks to the executor-local cache (C10). Keypairs
+    are generated per key id on first use and stored as PEM bytes, so the
+    instance pickles cleanly into UDF closures (a real deployment would hold
+    only the key *name* and call out)."""
 
     def __init__(self, fail_mode: str | None = None):
         self.fail_mode = fail_mode  # None | 'server' | 'client'
         self.wrap_calls = 0
         self.unwrap_calls = 0
+        self.public_key_fetches = 0
+        self.asym_unwrap_calls = 0
+        self._asym_pems: dict[str, tuple[bytes, bytes]] = {}
 
     def _maybe_fail(self) -> None:
         if self.fail_mode == "server":
@@ -108,6 +121,76 @@ class MockKMS:
         if len(dek) != _DEK_LEN:
             raise ClientErrorException("unwrapped data key has wrong length")
         return dek
+
+    # ---- asymmetric (RSA-OAEP) mode: C9/C10 ----
+
+    def _asym_pair(self, key_id: str) -> tuple[bytes, bytes]:
+        if not key_id:
+            raise ClientErrorException("empty key id")
+        if key_id not in self._asym_pems:
+            from cryptography.hazmat.primitives import serialization
+            from cryptography.hazmat.primitives.asymmetric import rsa
+
+            key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+            priv = key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                serialization.NoEncryption(),
+            )
+            pub = key.public_key().public_bytes(
+                serialization.Encoding.PEM,
+                serialization.PublicFormat.SubjectPublicKeyInfo,
+            )
+            self._asym_pems[key_id] = (pub, priv)
+        return self._asym_pems[key_id]
+
+    def asym_public_pem(self, key_id: str) -> bytes:
+        """Fetch the public key (PEM) — the ONE remote call of the
+        asymmetric encrypt path, made at plan-compile time and cached by the
+        caller (``GCPKeyManagementService.java:119-132`` fetch-once)."""
+        self._maybe_fail()
+        self.public_key_fetches += 1
+        return self._asym_pair(key_id)[0]
+
+    def asym_unwrap(self, wrapped: bytes, key_id: str) -> bytes:
+        """RSA-OAEP unwrap of a data key — the private key stays inside the
+        KMS (``GCPKeyManagementService.java:184-199``); called once per
+        distinct wrapped DEK per executor (cache on the caller side)."""
+        self._maybe_fail()
+        self.asym_unwrap_calls += 1
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding
+
+        priv = serialization.load_pem_private_key(
+            self._asym_pair(key_id)[1], password=None)
+        try:
+            dek = priv.decrypt(
+                wrapped,
+                padding.OAEP(mgf=padding.MGF1(hashes.SHA256()),
+                             algorithm=hashes.SHA256(), label=None),
+            )
+        except ValueError as e:
+            raise ClientErrorException(
+                f"asymmetric unwrap failed for key_id={key_id!r}: wrong key"
+            ) from e
+        if len(dek) != _DEK_LEN:
+            raise ClientErrorException("unwrapped data key has wrong length")
+        return dek
+
+
+def rsa_oaep_wrap(dek: bytes, public_key_pem: bytes) -> bytes:
+    """Local RSA-OAEP wrap under a fetched public key — the executor-side
+    half of C9 (``GCPKeyManagementService.java:147-165``): after the one
+    public-key fetch, encryption makes ZERO KMS calls."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    pub = serialization.load_pem_public_key(public_key_pem)
+    return pub.encrypt(
+        dek,
+        padding.OAEP(mgf=padding.MGF1(hashes.SHA256()),
+                     algorithm=hashes.SHA256(), label=None),
+    )
 
 
 # Default shared instance: executors construct their own (module import is

@@ -1,113 +1,233 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video payloads are ``binary`` columns with a metadata struct;
-decode / feature-extract run as Arrow-batched ``mapInPandas`` so each Python
-worker sees whole record batches (the only sane shape for media decoding on
-a cluster — per-row Python or driver-side loops do not survive 100 TB).
+Image/audio/video payloads are ``binary`` columns; decode / feature-extract
+run as Arrow-batched ``mapInPandas`` so each Python worker sees whole record
+batches (the only sane shape for media decoding on a cluster — per-row
+Python or driver-side loops do not survive 100 TB).
 
-The actual media codecs are NOT in this container, so the decode step is a
-deterministic STUB (clearly marked): it derives pseudo-features from the
-bytes. The Spark-side contract — schema, batch iteration, partitioning,
-output shape — is real and tested; swapping in PIL/ffmpeg is a one-function
-change inside ``_decode_stub``.
+The header probes are REAL (pure ``struct`` on bytes, no codecs needed):
+PNG signature + IHDR width/height/bit-depth, WAV RIFF/fmt/data sample rate,
+channels and frame count, and an ISO-BMFF box walk for MP4. Only the
+*content* decode (pixel data, PCM samples, video frames) would need
+PIL/soundfile/av, which this container lacks — that single step is a
+declared stub: MP4 ``n_frames`` is a sampling estimate from the mdat size
+(``_MP4_FRAME_STRIDE``), clearly marked below.
+
+``attach_fake_media`` synthesizes deterministic, VALID container bytes from
+each doc (real 8-byte PNG signature and chunk CRC-less layout aside — CRCs
+are zeroed, which the probe does not check, as a streaming prober must not
+anyway), so tests and the DuckDB oracle can derive the expected header
+fields from ``doc_id`` alone.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    ArrayType, BinaryType, DoubleType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
-
-MEDIA_SCHEMA = StructType([
-    StructField("doc_id", LongType(), False),
-    StructField("media_type", StringType(), True),
-    StructField("payload", StructType([  # opaque bytes + typed metadata
-        StructField("data", StringType(), True),  # binary stored alongside
-    ]), True),
-])
 
 FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("media_type", StringType(), True),
     StructField("byte_len", LongType(), True),
     StructField("n_frames", IntegerType(), True),
+    StructField("width", IntegerType(), True),        # PNG
+    StructField("height", IntegerType(), True),       # PNG
+    StructField("sample_rate", IntegerType(), True),  # WAV
+    StructField("duration_s", DoubleType(), True),    # WAV
     StructField("features", ArrayType(FloatType()), True),
 ])
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# synthetic rates divide 10^6 so frames/rate terminates within 6 decimals —
+# round(x, 6) is then tie-free and engine-independent (oracle parity)
+_WAV_RATES = (8000, 10000, 20000, 40000)
+_MP4_FRAME_STRIDE = 256  # STUB: frames estimated as mdat_len // stride
+
+
+# ---- deterministic synthesis (test/bench input; doc_id-derived headers) ----
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 241, 16 + (doc_id * 7) % 181
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, channels)."""
+    return _WAV_RATES[doc_id % 4], 1 + doc_id % 2
+
+
+def _synth_png(doc_id: int, payload: bytes) -> bytes:
+    w, h = _png_dims(doc_id)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    out = [_PNG_SIG,
+           struct.pack(">I", len(ihdr)), b"IHDR", ihdr, b"\0\0\0\0",
+           struct.pack(">I", len(payload)), b"IDAT", payload, b"\0\0\0\0",
+           struct.pack(">I", 0), b"IEND", b"\0\0\0\0"]
+    return b"".join(out)
+
+
+def _synth_wav(doc_id: int, payload: bytes) -> bytes:
+    rate, channels = _wav_params(doc_id)
+    bits = 16
+    block_align = channels * bits // 8
+    data = payload[: (len(payload) // block_align) * block_align]
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * block_align, block_align, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _synth_mp4(doc_id: int, payload: bytes) -> bytes:
+    ftyp = b"isom\x00\x00\x02\x00"
+    return (struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+            + struct.pack(">I", 8 + len(payload)) + b"mdat" + payload)
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
-    """Test/bench helper: wrap each doc's utf-8 bytes as an opaque media blob
-    with metadata — the shape a real ingest would produce from object
-    storage pointers."""
-    return df.select(
+    """Test/bench helper: wrap each doc's utf-8 bytes inside a VALID media
+    container (PNG / WAV / MP4 by doc_id % 3) with doc_id-derived header
+    fields — the shape a real ingest would produce from object storage.
+
+    Container synthesis runs in the same mapInPandas stage as any downstream
+    probe (one Python crossing), and every header value is a pure function
+    of (doc_id, len(text)) so oracles can verify the probe output."""
+    media_type = (
+        F.when(F.col(id_col) % 3 == 0, "image/png")
+        .when(F.col(id_col) % 3 == 1, "audio/wav")
+        .otherwise("video/mp4"))
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        (F.when(F.col(id_col) % 3 == 0, "image/png")
-         .when(F.col(id_col) % 3 == 1, "audio/wav")
-         .otherwise("video/mp4")).alias("media_type"),
-        F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("media_bytes"),
+        media_type.alias("media_type"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("payload"),
     )
-
-
-def _decode_stub(media_type: str, data: bytes) -> tuple[int, list[float]]:
-    """STUB — deterministic fake decoder.
-
-    A real deployment imports PIL / soundfile / av here (NotImplementedError
-    if asked for true decoding). Frame count and features derive from the
-    bytes so results are stable for tests.
-    """
-    if data is None:
-        return 0, []
-    n = len(data)
-    if media_type == "image/png":
-        frames = 1
-    elif media_type == "audio/wav":
-        frames = max(1, n // 64)  # fake 'samples/window'
-    else:
-        frames = max(1, n // 256)  # fake sampled video frames
-    # fake 4-dim feature: byte-value moments (deterministic, vectorizable)
-    if n:
-        s = sum(data)
-        mx = max(data)
-        mn = min(data)
-        feats = [float(n), float(s % 997), float(mx), float(mn)]
-    else:
-        feats = [0.0, 0.0, 0.0, 0.0]
-    return frames, feats
-
-
-def extract_media_features(df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over (doc_id, media_type, media_bytes).
-
-    Batch shape: one pandas DataFrame per Arrow batch; the stub loop runs
-    per row *inside* the batch (as a real decoder must), but the
-    JVM<->Python boundary is crossed once per batch.
-    """
-    out_schema = FEATURE_SCHEMA
+    out_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("media_bytes", BinaryType(), True),
+    ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        synth = {"image/png": _synth_png, "audio/wav": _synth_wav,
+                 "video/mp4": _synth_mp4}
         for pdf in batches:
-            frames = []
-            feats = []
-            blens = []
-            for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
-                b = bytes(data) if data is not None else None
-                f, v = _decode_stub(mt, b)
-                frames.append(f)
-                feats.append(v)
-                blens.append(len(b) if b is not None else 0)
+            blobs = [synth[mt](int(i), bytes(p))
+                     for i, mt, p in zip(pdf["doc_id"], pdf["media_type"],
+                                         pdf["payload"])]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "byte_len": pd.Series(blens, dtype="int64"),
-                "n_frames": pd.Series(frames, dtype="int32"),
-                "features": feats,
+                "media_bytes": blobs,
             })
 
-    return df.mapInPandas(run, out_schema)
+    return base.mapInPandas(run, out_schema)
+
+
+# ---- real header probes (struct-only, codec-free) ----
+
+def _probe_png(data: bytes) -> dict:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    n_chunks = 0
+    off = 8
+    w = h = depth = 0
+    while off + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, off)
+        ctype = data[off + 4: off + 8]
+        if ctype == b"IHDR":
+            w, h, depth = struct.unpack_from(">IIB", data, off + 8)
+        n_chunks += 1
+        off += 12 + length
+    return {"n_frames": 1, "width": w, "height": h,
+            "sample_rate": None, "duration_s": None,
+            "features": [float(w), float(h), float(depth), float(n_chunks)]}
+
+
+def _probe_wav(data: bytes) -> dict:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    off = 12
+    rate = channels = bits = block_align = 0
+    data_len = 0
+    while off + 8 <= len(data):
+        cid = data[off: off + 4]
+        (clen,) = struct.unpack_from("<I", data, off + 4)
+        if cid == b"fmt ":
+            _, channels, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", data, off + 8)
+        elif cid == b"data":
+            data_len = clen
+        off += 8 + clen + (clen & 1)
+    frames = data_len // block_align if block_align else 0
+    duration = frames / rate if rate else 0.0
+    return {"n_frames": frames, "width": None, "height": None,
+            "sample_rate": rate, "duration_s": round(duration, 6),
+            "features": [float(rate), float(channels), float(bits),
+                         float(round(duration, 6))]}
+
+
+def _probe_mp4(data: bytes) -> dict:
+    boxes = []
+    mdat_len = 0
+    off = 0
+    while off + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, off)
+        btype = data[off + 4: off + 8]
+        if btype == b"mdat":
+            mdat_len = size - 8
+        boxes.append(btype)
+        if size < 8:
+            break
+        off += size
+    if b"ftyp" not in boxes:
+        raise ValueError("not an ISO-BMFF file")
+    # STUB: true frame extraction needs a demuxer (av); estimate by stride
+    frames = max(1, mdat_len // _MP4_FRAME_STRIDE) if mdat_len else 1
+    return {"n_frames": frames, "width": None, "height": None,
+            "sample_rate": None, "duration_s": None,
+            "features": [float(len(boxes)), float(mdat_len), 0.0, 0.0]}
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas header-probe over (doc_id, media_type, media_bytes).
+
+    Batch shape: one pandas DataFrame per Arrow batch; the probe loop runs
+    per row *inside* the batch (as a real decoder must), but the
+    JVM<->Python boundary is crossed once per batch.
+    """
+    probes = {"image/png": _probe_png, "audio/wav": _probe_wav,
+              "video/mp4": _probe_mp4}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("byte_len", "n_frames", "width", "height",
+                                    "sample_rate", "duration_s", "features")}
+            for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
+                b = bytes(data) if data is not None else b""
+                r = probes[mt](b)
+                rows["byte_len"].append(len(b))
+                for k in ("n_frames", "width", "height", "sample_rate",
+                          "duration_s", "features"):
+                    rows[k].append(r[k])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": pd.Series(rows["byte_len"], dtype="int64"),
+                "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="Int32"),
+                "duration_s": pd.Series(rows["duration_s"], dtype="float64"),
+                "features": rows["features"],
+            })
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,95 @@
+"""Schemaless (JSON-string) payload mode — the reference's Map dispatch.
+
+The reference SMT dispatches per record on whether a Connect schema is
+attached: Struct path vs ``Map<String,Object>`` path
+(``Transform.java:62-69``; schemaless fixture ``TransformTest.java:62-72``).
+Spark DataFrames are always schema'd, so the engine's equivalent is a
+*column-level* dispatch: a payload that arrives as a JSON string column is
+promoted to typed columns with ``from_json`` (the caller supplies the
+payload schema, as Connect's JSON converter does via its envelope), the SAME
+FieldTransform runs over the promoted columns, and the payload is re-packed
+with ``to_json`` — one Catalyst projection chain, fused into the same stage
+as the crypto UDF; the JSON parse/serialize never touches Python.
+
+Null payload rows pass through as null output (O2,
+``Transform.java:57-60``); malformed JSON behaves like ``from_json``'s
+null-on-corrupt (a null payload), which mirrors Connect's converter
+rejecting the record before the SMT ever runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cdcrypt.operators.transform import (
+    ConfigError,
+    FieldTransform,
+    TransformConfig,
+)
+
+_PAYLOAD = "__cdcrypt_payload"
+_WAS_NULL = "__cdcrypt_payload_null"
+
+
+def transform_json_payload(
+    df: DataFrame,
+    json_col: str,
+    schema: StructType | str,
+    transform: FieldTransform,
+) -> DataFrame:
+    """Parse ``json_col`` with ``schema``, apply ``transform`` to the
+    promoted payload fields, re-serialize into ``json_col``.
+
+    The payload field names become top-level columns while the transform
+    runs (field paths in the transform config address them as ``$.name``,
+    exactly like the schema'd path), so they must not collide with the
+    frame's other columns — a collision raises ``ConfigError`` rather than
+    silently shadowing."""
+    payload_schema = (
+        schema if isinstance(schema, StructType)
+        else StructType.fromDDL(schema)
+    )
+    payload_fields = [f.name for f in payload_schema.fields]
+    others = [c for c in df.columns if c != json_col]
+    collisions = set(payload_fields) & set(others)
+    if collisions:
+        raise ConfigError(
+            f"payload fields {sorted(collisions)} collide with frame columns")
+
+    parsed = df.withColumn(_PAYLOAD, F.from_json(F.col(json_col), payload_schema))
+    flat = parsed.select(
+        *others,
+        F.col(_PAYLOAD).isNull().alias(_WAS_NULL),
+        F.col(f"{_PAYLOAD}.*"),
+    )
+    out = transform.apply(flat)
+    repacked = out.withColumn(
+        json_col,
+        F.when(F.col(_WAS_NULL), F.lit(None).cast("string")).otherwise(
+            # keep null fields in the output object so the round trip is
+            # shape-faithful (to_json drops them by default)
+            F.to_json(F.struct(*payload_fields),
+                      {"ignoreNullFields": "false"})
+        ),
+    )
+    return repacked.select(*df.columns)
+
+
+def encrypt_json_payload(df: DataFrame, json_col: str,
+                         schema: StructType | str, fields: list[str],
+                         **kw) -> DataFrame:
+    """One-shot schemaless encrypt (``fields`` address the payload)."""
+    return transform_json_payload(
+        df, json_col, schema,
+        FieldTransform(TransformConfig(mode="encrypt", fields=fields, **kw)))
+
+
+def decrypt_json_payload(df: DataFrame, json_col: str,
+                         schema: StructType | str, fields: list[str],
+                         **kw) -> DataFrame:
+    """One-shot schemaless decrypt."""
+    return transform_json_payload(
+        df, json_col, schema,
+        FieldTransform(TransformConfig(mode="decrypt", fields=fields, **kw)))

@@ -90,6 +90,11 @@ class TransformConfig:
     # epochs encrypted under rotated key ids. (The jvm backend requires a
     # single key id per read and always verifies.)
     verify_key_id: bool = True
+    # encrypt: wrap per-batch DEKs with RSA-OAEP under a public key fetched
+    # ONCE at compile (C9, GCPKeyManagementService.java:119-165) — zero KMS
+    # calls on the encrypt path. Decrypt auto-detects the envelope version;
+    # the private key stays in the KMS (C10). udf backend only.
+    asymmetric: bool = False
 
     def __post_init__(self) -> None:
         _one_of("mode", self.mode, _MODES)
@@ -103,6 +108,12 @@ class TransformConfig:
             )
         if not self.key_id:
             raise ConfigError("key_id is required")
+        if self.asymmetric and self.backend == "jvm":
+            raise ConfigError(
+                "asymmetric mode requires the udf backend (no RSA builtin)")
+        if self.asymmetric and self.context:
+            raise ConfigError(
+                "encryption context is not supported with asymmetric wrap")
 
 
 class FieldTransform:
@@ -191,6 +202,7 @@ class FieldTransform:
                     udf = make_encrypt_udf(
                         cfg.key_id, encoding=cfg.encoding, kms=cfg.kms,
                         context=cfg.context, use_aad=use_aad, use_gate=use_gate,
+                        asymmetric=cfg.asymmetric,
                     )
                 else:
                     udf = make_decrypt_udf(

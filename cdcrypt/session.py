@@ -4,8 +4,8 @@ Scale rationale (local[32] sandbox, designed for 1000-executor clusters):
 - Arrow vectorization on, 10k rows/batch: amortizes the JVM<->Python boundary
   for the crypto UDFs (one data-key wrap per 10k rows).
 - AQE on with coalescing + skew-join: runtime re-planning for the merge join;
-  we additionally salt hot keys explicitly (operators/salting.py) as the
-  north rule requires, and can A/B the two.
+  we additionally salt hot keys explicitly (operators/dedup.py
+  resolve_latest_salted) as the north rule requires, and can A/B the two.
 - shuffle.partitions defaults to 2x cores locally; on a real cluster set it
   near (executors * cores * 2) or rely on AQE coalescing from a higher value.
 """
@@ -51,10 +51,17 @@ def get_spark(
         # pure CPU overhead (drop it), and tmpfs shuffle dirs skip ext4
         # journaling syscalls. On a real cluster keep the defaults
         # (lz4 + fast local disks) — these keys are only set for local[*].
+        # tmpfs only helps while shuffle/spill fits in RAM; fall back to the
+        # default disk dirs when /dev/shm is small so jobs that would
+        # survive on disk don't die on a full tmpfs (round-1 ADVICE item).
+        # CDCRYPT_LOCAL_DIR overrides both the path and the fallback.
         local_dir = os.environ.get("CDCRYPT_LOCAL_DIR", "/dev/shm/sparktmp")
         try:
             os.makedirs(local_dir, exist_ok=True)
-            b = b.config("spark.local.dir", local_dir)
+            st = os.statvfs(local_dir)
+            free_gb = st.f_bavail * st.f_frsize / (1 << 30)
+            if "CDCRYPT_LOCAL_DIR" in os.environ or free_gb >= 8:
+                b = b.config("spark.local.dir", local_dir)
         except OSError:
             pass
         b = (b.config("spark.shuffle.compress", "false")

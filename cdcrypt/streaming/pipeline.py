@@ -142,6 +142,25 @@ class IngestPipeline:
 
         return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
 
+    @staticmethod
+    def _check_iv_budget(files: list[str]) -> None:
+        """NIST SP 800-38D guard for the jvm backend: random 96-bit IVs cap
+        at 2^32 invocations per key, and this backend uses ONE DEK per
+        micro-batch. Row counts come from parquet footers (driver-side
+        metadata, no scan). Over-budget epochs must be split or switched to
+        the udf backend (counter nonces, per-Arrow-batch DEKs)."""
+        import pyarrow.parquet as pq
+
+        from cdcrypt.errors import ClientErrorException
+        from cdcrypt.functions.crypto_jvm import MAX_ROWS_PER_DEK
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if rows >= MAX_ROWS_PER_DEK:
+            raise ClientErrorException(
+                f"epoch has {rows} rows >= 2^32 random-IV budget of one "
+                "jvm-backend DEK (NIST SP 800-38D); split the epoch or use "
+                "crypto_backend='udf'")
+
     # ---------- one epoch ----------
     def process_epoch(self, spark: SparkSession, table: LakeTable,
                       epoch: int, files: list[str]) -> dict:
@@ -165,6 +184,8 @@ class IngestPipeline:
         from cdcrypt.table.lake import repartition_by_bucket
 
         t0 = time.monotonic()
+        if self.crypto_backend == "jvm":
+            self._check_iv_budget(files)
         df = spark.read.schema(self._epoch_schema(spark, files)).parquet(*files)
         if self.cluster_strategy == "fused":
             resolved = self._resolve(repartition_by_bucket(df, self.bucket_count))
@@ -238,10 +259,26 @@ class IngestPipeline:
 
 
 def _is_retriable(exc: Exception) -> bool:
-    """O10 classification across the Py4J boundary: PySpark wraps executor
-    Python exceptions, so match the typed name in the traceback text."""
-    s = f"{type(exc).__name__}: {exc}"
-    return "ServerErrorException" in s
+    """O10 classification across the Py4J boundary.
+
+    Driver-side raises are matched by type (isinstance over the cause
+    chain). Executor-side raises arrive as PySpark ``PythonException`` text
+    embedding the worker traceback; the ROOT-CAUSE line there starts with
+    the fully-qualified class name followed by ':', so match that anchored
+    pattern — a data error whose *message* merely mentions
+    "ServerErrorException" (e.g. a payload quoting a log line) no longer
+    misroutes to retry (round-1 ADVICE/VERDICT fix)."""
+    from cdcrypt.errors import ServerErrorException
+
+    seen: set[int] = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        if isinstance(e, ServerErrorException):
+            return True
+        seen.add(id(e))
+        e = e.__cause__ or e.__context__
+    return bool(re.search(
+        r"^\s*cdcrypt\.errors\.ServerErrorException\s*:", str(exc), re.M))
 
 
 def _main() -> None:

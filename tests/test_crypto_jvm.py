@@ -131,3 +131,55 @@ def test_jvm_binary_encoding_roundtrip(spark):
     dec = _enc("decrypt", backend="jvm").apply(enc)
     got = {r.conv_id: r.text for r in dec.collect()}
     assert got["c1"] == "hello world"
+
+
+def test_jvm_dek_literals_redacted_in_plan_strings(spark):
+    """ADVICE r1: plaintext DEKs ride the plan as 32-byte binary literals;
+    the redaction regex must mask them in every rendered plan (explain,
+    event logs, UI SQL tab)."""
+    import contextlib
+    import io
+
+    df = _df(spark)
+    t = _enc(backend="jvm")
+    enc = t.apply(df)
+    kms = MockKMS()
+    dek_hexes = [kms.unwrap(w, KEY).hex().upper()
+                 for w in t.last_wrapped_deks]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc.explain(True)
+    plan = buf.getvalue()
+    assert "redacted" in plan
+    for h in dek_hexes:
+        assert h not in plan and h.lower() not in plan
+    # decrypt side embeds the hex->dek map literal — also redacted
+    dec = _enc("decrypt", backend="jvm",
+               wrapped_deks=t.last_wrapped_deks).apply(enc)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        dec.explain(True)
+    plan2 = buf2.getvalue()
+    for h in dek_hexes:
+        assert h not in plan2 and h.lower() not in plan2
+
+
+def test_jvm_decrypt_validates_wrapped_len_field(spark):
+    """ADVICE r1: a KMS whose wrap size differs must fail loudly at the
+    format layer, not as an opaque GCM tag error."""
+    import base64
+    import struct as pystruct
+
+    from cdcrypt.envelope import _build_header
+
+    kms = MockKMS()
+    dek, wrapped = kms.generate_data_key(KEY)
+    # forge an envelope claiming a 48-byte wrapped DEK
+    hdr = _build_header(KEY, wrapped[:48])
+    bogus = base64.b64encode(hdr + b"\x00" * 28).decode()
+    assert pystruct.unpack(">H", hdr[2 + len(KEY):4 + len(KEY)])[0] == 48
+    df = spark.createDataFrame([("c1", bogus)], "conv_id string, text string")
+    dec = _enc("decrypt", backend="jvm",
+               wrapped_deks=[wrapped]).apply(df)
+    with pytest.raises(Exception, match="wrapped-DEK length"):
+        dec.collect()

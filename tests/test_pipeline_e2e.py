@@ -175,3 +175,32 @@ def test_retriable_vs_fatal_error_routing(spark, stream_dir, tmp_path):
                         bucket_count=4)
     with pytest.raises(Exception, match="ClientErrorException"):
         p2.run(spark, max_epochs=1)
+
+
+def test_error_classifier_matches_root_cause_not_substring():
+    """O10: retry routing must key on the RAISED class, not any substring —
+    a data error whose message quotes 'ServerErrorException' aborts."""
+    from cdcrypt.errors import ClientErrorException, ServerErrorException
+    from cdcrypt.streaming.pipeline import _is_retriable
+
+    assert _is_retriable(ServerErrorException("kms down"))
+    try:  # driver-side cause chain
+        try:
+            raise ServerErrorException("kms down")
+        except ServerErrorException as e:
+            raise RuntimeError("epoch failed") from e
+    except RuntimeError as exc:
+        assert _is_retriable(exc)
+    # data errors that merely MENTION the class name -> abort, not retry
+    assert not _is_retriable(ClientErrorException(
+        "payload contained 'ServerErrorException retry me'"))
+    assert not _is_retriable(ValueError(
+        "field text: cdcrypt.errors.ServerErrorException seen mid-line"))
+    # PySpark-style worker traceback: root-cause line is anchored + qualified
+    class FakePythonException(Exception):
+        pass
+    tb = ("An exception was thrown from the Python worker.\n"
+          "Traceback (most recent call last):\n"
+          '  File "udf.py", line 3, in core\n'
+          "cdcrypt.errors.ServerErrorException: mock KMS unavailable\n")
+    assert _is_retriable(FakePythonException(tb))

@@ -162,15 +162,27 @@ def test_ann_lsh_recalls_identical_vector(spark):
 
 
 def test_multimodal_feature_extraction(docs):
+    from cdcrypt.operators.multimodal import _png_dims, _wav_params
+
     media = attach_fake_media(docs.where(F.col("text").isNotNull()))
     feats = {r["doc_id"]: r for r in extract_media_features(media).collect()}
+    # PNG: width/height parsed from the real IHDR chunk
     assert feats[0]["media_type"] == "image/png" and feats[0]["n_frames"] == 1
+    w0, h0 = _png_dims(0)
+    assert (feats[0]["width"], feats[0]["height"]) == (w0, h0)
+    assert feats[0]["byte_len"] == 57 + len(BASE.encode())
+    # WAV: rate/frames/duration parsed from real RIFF/fmt/data chunks
     assert feats[4]["media_type"] == "audio/wav"
-    assert feats[0]["byte_len"] == len(BASE.encode())
+    rate4, ch4 = _wav_params(4)
+    ba4 = ch4 * 2
+    t4 = len("日本語のドキュメントです。テスト用のテキスト。".encode())
+    assert feats[4]["sample_rate"] == rate4
+    assert feats[4]["n_frames"] == t4 // ba4
+    assert feats[4]["duration_s"] == round((t4 // ba4) / rate4, 6)
     assert len(feats[0]["features"]) == 4
-    # deterministic: identical bytes -> identical features
-    assert feats[0]["features"] == feats[1]["features"]
-    assert feats[6]["n_frames"] == 1 and feats[6]["byte_len"] == 0
+    # empty text: minimal-but-valid containers still parse
+    assert feats[6]["media_type"] == "image/png" and feats[6]["n_frames"] == 1
+    assert feats[6]["byte_len"] == 57
 
 
 def _clustered_embeddings(spark, n_clusters=5, per_cluster=12, dim=8, seed=9):
