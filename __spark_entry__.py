@@ -26,6 +26,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Read + spread across cores. The test tables are single small parquet
+    files (one row group -> ONE input partition), which would serialize the
+    map-side hash/shingle work onto a single core; at corpus scale the
+    many-file input provides this parallelism naturally, so the repartition
+    exists only at bench scale (it shuffles KBs)."""
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, name).repartition(n, F.col(key))
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -299,7 +309,7 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     # max_bucket_size is the 100TB hot-bucket skew guard (also in the oracle)
     from cdcrypt.operators.docdedup import minhash_lsh_candidates
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"),
+        _tp(spark, sf_dir, "documents", "doc_id"),
         num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
         shingle_k=_MINHASH["shingle_k"],
         max_bucket_size=_MINHASH["max_bucket_size"])
@@ -307,13 +317,13 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
 def _q_simhash_groups(spark, sf_dir):
     from cdcrypt.operators.docdedup import simhash_dup_groups
-    return simhash_dup_groups(_t(spark, sf_dir, "documents"))
+    return simhash_dup_groups(_tp(spark, sf_dir, "documents", "doc_id"))
 
 
 def _q_simhash_near_pairs(spark, sf_dir):
     # banded pigeonhole hamming<=k near-dup pairs (n_bands > max_hamming)
     from cdcrypt.operators.docdedup import simhash_near_pairs
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"),
+    return simhash_near_pairs(_tp(spark, sf_dir, "documents", "doc_id"),
                               max_hamming=_SIMHASH_NEAR["max_hamming"],
                               n_bands=_SIMHASH_NEAR["n_bands"])
 
@@ -322,7 +332,7 @@ def _q_ngram_jaccard(spark, sf_dir):
     # LSH candidates -> exact n-gram Jaccard verify stage (over shingle-hash
     # sets: longs shuffle, never shingle strings)
     from cdcrypt.operators.docdedup import minhash_lsh_candidates, ngram_jaccard
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
     pairs = minhash_lsh_candidates(
         docs, num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
         shingle_k=_MINHASH["shingle_k"],
@@ -339,7 +349,7 @@ def _q_cosine_topk(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     from cdcrypt.operators.similarity import ann_lsh_topk
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings", "vec_id")
     # 6 bits ~ |base|/64 candidates per bucket at sf0.01; scale n_bits with
     # |base|. The oracle replicates the hyperplane signs with unrolled
     # identical-order arithmetic, so buckets match bit-for-bit.
@@ -354,7 +364,7 @@ def _q_embedding_neardup(spark, sf_dir):
     # full band/bucket pipeline in SQL; embedding_neardup_exact remains the
     # small-N baseline (recall quantified in tests/test_training_ops.py).
     from cdcrypt.operators.similarity import embedding_neardup_lsh
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings", "vec_id")
     return embedding_neardup_lsh(
         emb, threshold=_NEARDUP_LSH["threshold"],
         n_bands=_NEARDUP_LSH["n_bands"],
@@ -428,16 +438,22 @@ _WORDS_SQL = ("regexp_split_to_array(regexp_replace(trim(lower(text)), "
 def _minhash_cte() -> str:
     """CTEs shared by minhash_lsh_pairs / ngram_jaccard: words -> distinct
     shingle hashes -> 32 minhashes -> 16 band hashes -> hot-bucket cap."""
-    from cdcrypt.functions.hash64 import (
-        h60_combine_sql, h60_seeded_sql, h60_sql,
-    )
+    from cdcrypt.functions.hash64 import h60_combine_sql, h60_sql
+    from cdcrypt.operators.docdedup import mh_member_consts
+
     nh, bands = _MINHASH["num_hashes"], _MINHASH["bands"]
     k, cap = _MINHASH["shingle_k"], _MINHASH["max_bucket_size"]
     rpb = nh // bands
     sh_expr = h60_sql(f"array_to_string(ws[i:i+{k - 1}], ' ')")
     single = h60_sql("array_to_string(ws, ' ')")
+
+    def member_sql(i: int) -> str:
+        # universal-hash member: same literal constants as the Spark side
+        a, b = mh_member_consts(i)
+        return f"(s % 1073741824) * {a} + (s // 1073741824) * {b}"
+
     mins = ",\n             ".join(
-        f"min({h60_seeded_sql('s', i)}) AS h{i}" for i in range(nh))
+        f"min({member_sql(i)}) AS h{i}" for i in range(nh))
     band_selects = "\n          UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         + h60_combine_sql(str(b), *[f"h{b * rpb + r}" for r in range(rpb)])

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdcrypt.functions.hash64 import h60, h60_combine, h60_seeded
+from cdcrypt.functions.hash64 import h60, h60_combine
 
 _FAMILIES = ("md5", "xx64")
 
@@ -101,12 +101,34 @@ def _shingle_hashes(text_col: str, k: int = 5, family: str = "md5"):
     )).otherwise(F.array(poly(wh)))
 
 
+_MASK30 = (1 << 30) - 1
+
+
+def mh_member_consts(i: int) -> tuple[int, int]:
+    """Deterministic odd 31-bit multipliers for minhash family member i —
+    shared literal constants between the Spark expression and the DuckDB
+    oracle SQL (both just inline the integers)."""
+    import hashlib
+
+    def c(which: str) -> int:
+        h = hashlib.md5(f"mh:{which}:{i}".encode()).digest()
+        return (int.from_bytes(h[:4], "big") & 0x7FFFFFFF) | 1
+
+    return c("a"), c("b")
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
                        shingle_k: int = 5, family: str = "md5") -> DataFrame:
-    """(id, array<long> minhash signature). Each hash family member is a
-    seeded re-hash of the shingle fingerprint; min over shingles — all
-    JVM-side columns, no Python.
+    """(id, array<long> minhash signature). min over shingles of
+    ``num_hashes`` family members — all JVM-side columns, no Python.
+
+    md5 family members are UNIVERSAL-HASH mixes of the 60-bit shingle
+    fingerprint: split into 30-bit halves, multiply each by a member
+    constant, add — one md5 per shingle total (not per member), products
+    bounded by 2^61 so int64 never overflows (ANSI-safe) and DuckDB
+    reproduces the arithmetic exactly. xx64 members re-hash with
+    per-member seeds (xxhash64 is cheap enough to run 32x).
 
     Shape: explode distinct shingle fingerprints once (longs, never shingle
     text), then ONE hash-aggregate with ``num_hashes`` mins — map-side
@@ -119,7 +141,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                     _shingle_hashes(text_col, shingle_k, family))).alias("sh"))
     )
     if family == "md5":
-        member = lambda i: h60_seeded(F.col("sh"), i)  # noqa: E731
+        lo = F.col("sh").bitwiseAND(F.lit(_MASK30))
+        hi = F.shiftrightunsigned(F.col("sh"), 30)
+
+        def member(i):
+            a, b = mh_member_consts(i)
+            return lo * F.lit(a) + hi * F.lit(b)
     else:
         member = lambda i: F.xxhash64("sh", F.lit(i))  # noqa: E731
     aggs = [F.min(member(i)).alias(f"h{i}") for i in range(num_hashes)]
@@ -132,7 +159,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
                            bands: int = 16, shingle_k: int = 5,
                            family: str = "md5",
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = None,
+                           cache: bool = False) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_shared_bands).
 
     Default 16 bands x 2 rows: candidate generation is the RECALL stage
@@ -172,6 +200,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bhash")
+    if cache:
+        # the banded relation feeds the hot-bucket count, the anti-join AND
+        # both self-join sides — without a persist Spark recomputes the
+        # whole shingle->signature pipeline up to 4x. (id, band, bhash)
+        # longs are ~24 B/row x bands, far smaller than the text. Measured:
+        # at bench scale (5k docs) recompute beats materialization (2.2s vs
+        # 3.6s), so the default is OFF; at corpus scale, where the text
+        # re-scan dominates, enable it (or checkpoint the relation).
+        from pyspark import StorageLevel
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "bhash")

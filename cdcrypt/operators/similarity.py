@@ -159,6 +159,7 @@ def embedding_neardup_lsh(
     seed: int = 42,
     round_digits: int = 4,
     dim: int | None = None,
+    cache: bool = False,
 ) -> DataFrame:
     """LSH-banded near-dup: candidates collide in >=1 sign-LSH band, then an
     exact cosine verify keeps sim >= threshold (precision 1.0 vs exact;
@@ -187,6 +188,12 @@ def embedding_neardup_lsh(
     tagged = bands[0]
     for extra in bands[1:]:
         tagged = tagged.unionByName(extra)
+    if cache:
+        # both self-join sides read this; at corpus scale persist so the
+        # hyperplane signature pass runs once (at bench scale recompute is
+        # cheaper — same trade as minhash_lsh_candidates)
+        from pyspark import StorageLevel
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     left = tagged.select("band", "bucket", F.col("_id").alias("id_a"),
                          F.col("_v").alias("va"))
     right = tagged.select("band", "bucket", F.col("_id").alias("id_b"),
@@ -206,6 +213,45 @@ def embedding_neardup_lsh(
             ), round_digits,
         ).alias("sim"),
     ).where(F.col("sim") >= threshold)
+
+
+def _train_centroids(train: DataFrame, n_centroids: int, vec_col: str,
+                     seed: int, max_train: int = 262144,
+                     n_iter: int = 20) -> list[list[float]]:
+    """Coarse-quantizer k-means trained DRIVER-SIDE on a bounded sample —
+    the standard IVF recipe (Faiss trains its quantizer on ~256k sampled
+    vectors regardless of corpus size). ``limit(max_train)`` bounds the
+    collect at ~128 MB for 128-dim float64, so this is NOT a
+    whole-table-to-driver collect; only centroid *assignment* touches the
+    full table, distributed (:func:`_assign_cells`). Seeded kmeans++ init +
+    vectorized Lloyd's — deterministic, no pyspark.ml dependency (whose
+    per-iteration jobs cost ~2s of fixed driver latency at bench scale)."""
+    import numpy as np
+
+    rows = train.select(vec_col).limit(max_train).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    # kmeans++ seeding
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(1, min(n_centroids, len(X))):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in cents], axis=0)
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else None
+        cents.append(X[rng.choice(len(X), p=probs)])
+    C = np.array(cents)
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
+            if len(X) * len(C) * X.shape[1] < 5e7 else \
+            (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        lab = d2.argmin(axis=1)
+        newC = np.array([
+            X[lab == j].mean(axis=0) if (lab == j).any() else C[j]
+            for j in range(len(C))])
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [list(map(float, c)) for c in C]
 
 
 def _assign_cells(df: DataFrame, cents: list[list[float]], n: int,
@@ -268,20 +314,15 @@ def ann_ivf_topk(
     each query probes its ``n_probe`` nearest centroids and searches only
     those cells — the classic Faiss-IVF shape expressed in DataFrames.
 
-    Spark mapping: centroids trained with pyspark.ml KMeans (on a sample at
-    scale), cell assignment = one Arrow-batched BLAS matmul per batch
-    (:func:`_assign_cells`), probe lists exploded to (query, cell) rows,
-    candidate search = equi-join on cell id. With ``n_probe == n_centroids``
-    results equal exact :func:`cosine_topk`."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Spark mapping: quantizer trained driver-side on a bounded sample
+    (:func:`_train_centroids`, the Faiss recipe), cell assignment = one
+    Arrow-batched BLAS matmul per batch (:func:`_assign_cells`), probe
+    lists exploded to (query, cell) rows, candidate search = equi-join on
+    cell id. With ``n_probe == n_centroids`` results equal exact
+    :func:`cosine_topk`."""
     train = base if sample_fraction >= 1.0 else base.sample(
         fraction=sample_fraction, seed=seed)
-    fv = train.select(array_to_vector(
-        F.transform(vec_col, lambda x: x.cast("double"))).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(fv)
-    cents = [list(map(float, c)) for c in model.clusterCenters()]
+    cents = _train_centroids(train, n_centroids, vec_col, seed)
 
     dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     b = _assign_cells(
