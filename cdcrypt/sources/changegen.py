@@ -205,12 +205,19 @@ def generate_change_events(spec: GenSpec) -> dict:
 
 
 def write_epoch_files(cols: dict, out_dir: str, shuffle_seed: int = 7,
-                      files_per_epoch: int = 1) -> list[str]:
-    """Write per-epoch parquet files (delivery order shuffled within epoch).
+                      files_per_epoch: int = 1, fmt: str = "parquet") -> list[str]:
+    """Write per-epoch change files (delivery order shuffled within epoch).
+
+    ``fmt``: 'parquet' (bench/default) or 'jsonl' (newline-delimited JSON —
+    the other wire shape a binlog tail commonly lands as, SURVEY P1). The
+    same generator stream in either format replays to the identical final
+    table (tested).
 
     Pre-evolution epochs omit the ``model`` column entirely (schema
     evolution on read). Returns the written paths in epoch order.
     """
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported epoch file format {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
     evolve_epoch = cols["_evolve_epoch"]
     epochs = np.unique(cols["epoch"])
@@ -237,8 +244,16 @@ def write_epoch_files(cols: dict, out_dir: str, shuffle_seed: int = 7,
         tbl = pa.table(dict(zip(fields, arrays)))
         chunks = np.array_split(np.arange(len(idx)), files_per_epoch)
         for fi, ch in enumerate(chunks):
-            p = os.path.join(out_dir, f"epoch={int(e):06d}.part{fi:03d}.parquet")
-            pq.write_table(tbl.take(pa.array(ch)), p, compression="snappy")
+            stem = os.path.join(out_dir, f"epoch={int(e):06d}.part{fi:03d}")
+            part = tbl.take(pa.array(ch))
+            if fmt == "parquet":
+                p = stem + ".parquet"
+                pq.write_table(part, p, compression="snappy")
+            else:
+                p = stem + ".jsonl"
+                part.to_pandas().to_json(
+                    p, orient="records", lines=True,
+                    date_format="iso", date_unit="us")
             paths.append(p)
     return paths
 

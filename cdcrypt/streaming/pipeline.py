@@ -75,7 +75,7 @@ def list_epochs(source_dir: str) -> dict[int, list[str]]:
     out: dict[int, list[str]] = defaultdict(list)
     for name in sorted(os.listdir(source_dir)):
         m = _EPOCH_FILE.search(name)
-        if m and name.endswith(".parquet"):
+        if m and name.endswith((".parquet", ".jsonl")):
             out[int(m.group(1))].append(os.path.join(source_dir, name))
     return dict(out)
 
@@ -132,11 +132,22 @@ class IngestPipeline:
 
     @staticmethod
     def _epoch_schema(spark: SparkSession, files: list[str]) -> StructType:
-        """Epoch read schema from ONE parquet footer via pyarrow (driver,
+        """Epoch read schema. Parquet: from ONE footer via pyarrow (driver,
         sub-ms) — skips the per-epoch Spark schema-inference job (a measured
-        ~0.15s of fixed latency per micro-batch). Files within an epoch share
-        a schema by construction (the binlog emits one schema per position;
-        add-column evolution changes it only at an epoch boundary)."""
+        ~0.15s of fixed latency per micro-batch). JSONL: one Spark inference
+        pass over the epoch's first file, then the known change-event types
+        are pinned (JSON carries no types; turn_idx/ts would otherwise
+        infer as long/string). Files within an epoch share a schema by
+        construction (the binlog emits one schema per position; add-column
+        evolution changes it only at an epoch boundary)."""
+        if files[0].endswith(".jsonl"):
+            inferred = spark.read.json(files[0]).schema
+            pinned = {f.name: f.dataType for f in BASE_TABLE_SCHEMA.fields}
+            return StructType([
+                StructField(f.name, pinned.get(f.name, f.dataType),
+                            True)
+                for f in inferred.fields
+            ])
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -154,7 +165,14 @@ class IngestPipeline:
         from cdcrypt.errors import ClientErrorException
         from cdcrypt.functions.crypto_jvm import MAX_ROWS_PER_DEK
 
-        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if files[0].endswith(".jsonl"):
+            # no row-count metadata: bound rows by size / minimal row bytes
+            # (a change-event JSON line is >= ~60 B of keys alone) — an
+            # epoch only trips this past ~256 GB, where the exact check
+            # would need a scan anyway
+            rows = sum(os.path.getsize(f) for f in files) // 60
+        else:
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         if rows >= MAX_ROWS_PER_DEK:
             raise ClientErrorException(
                 f"epoch has {rows} rows >= 2^32 random-IV budget of one "
@@ -186,7 +204,11 @@ class IngestPipeline:
         t0 = time.monotonic()
         if self.crypto_backend == "jvm":
             self._check_iv_budget(files)
-        df = spark.read.schema(self._epoch_schema(spark, files)).parquet(*files)
+        reader = spark.read.schema(self._epoch_schema(spark, files))
+        if files[0].endswith(".jsonl"):
+            df = reader.json(*files)
+        else:
+            df = reader.parquet(*files)
         if self.cluster_strategy == "fused":
             resolved = self._resolve(repartition_by_bucket(df, self.bucket_count))
         else:

@@ -204,3 +204,35 @@ def test_error_classifier_matches_root_cause_not_substring():
           '  File "udf.py", line 3, in core\n'
           "cdcrypt.errors.ServerErrorException: mock KMS unavailable\n")
     assert _is_retriable(FakePythonException(tb))
+
+
+def test_jsonl_source_replays_to_identical_table(spark, stream_dir, tmp_path):
+    """P1 source-format breadth: the same generated change stream written as
+    newline-delimited JSON replays to the IDENTICAL final decrypted state
+    as the parquet epochs (types pinned at read; ts survives the ISO
+    round-trip)."""
+    from cdcrypt.operators.transform import decrypt_fields
+    from cdcrypt.sources.changegen import (
+        GenSpec, generate_change_events, write_epoch_files,
+    )
+
+    jdir = str(tmp_path / "jsonl_stream")
+    cols = generate_change_events(GenSpec(n_convs=40, avg_turns=6,
+                                          n_epochs=5, seed=11))
+    write_epoch_files(cols, jdir, fmt="jsonl")
+
+    def replay(src, name):
+        p = IngestPipeline(src, str(tmp_path / f"t_{name}"),
+                           str(tmp_path / f"c_{name}"), key_id=KEY,
+                           bucket_count=4)
+        p.run(spark)
+        dec = decrypt_fields(p.table().read(spark), ["$.text", "$.tool"],
+                             key_id=KEY, aad_field="conv_id")
+        return {(r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.ts,
+                                          r.op_seq)
+                for r in dec.collect()}
+
+    got_parquet = replay(stream_dir, "pq")
+    got_jsonl = replay(jdir, "jl")
+    assert got_jsonl == got_parquet
+    assert len(got_jsonl) > 0
