@@ -167,6 +167,23 @@ def _q_smt_asym_roundtrip(spark, sf_dir):
     return dec.select("doc_id", "text")
 
 
+def _q_det_key_groupby(spark, sf_dir):
+    # C4/O11: CONVERGENT encryption of a key column — the groupBy below
+    # runs ON CIPHERTEXT (equality survives encryption; Vault derived-key
+    # semantics), then the key decrypts back for the oracle compare
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key"), "event_id")
+    enc = encrypt_fields(ev, ["$.user_key"], key_id="cdcrypt/keys",
+                         deterministic=True)
+    grouped = enc.groupBy("user_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    return decrypt_fields(grouped, ["$.user_key"], key_id="cdcrypt/keys")
+
+
 def _q_condition_gate(spark, sf_dir):
     # O6 as pure SQL: per-row branch, non-matching rows unmodified
     ev = _t(spark, sf_dir, "events")
@@ -400,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_conditional_crypto": _q_smt_conditional_crypto,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
         "smt_asym_roundtrip": _q_smt_asym_roundtrip,
+        "det_key_groupby": _q_det_key_groupby,
         "condition_gate": _q_condition_gate,
         "cdc_window_dedup": _q_cdc_window_dedup,
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
@@ -648,6 +666,12 @@ def oracle_sql() -> dict[str, str]:
         "smt_conditional_crypto": "SELECT doc_id, text, source FROM documents",
         "smt_schemaless_roundtrip": "SELECT doc_id, text, source FROM documents",
         "smt_asym_roundtrip": "SELECT doc_id, text FROM documents",
+        "det_key_groupby": """
+            SELECT CAST(user_id AS VARCHAR) AS user_key,
+                   count(*) AS n_events,
+                   CAST(max(event_id) AS BIGINT) AS max_event_id
+            FROM events GROUP BY user_id
+        """,
         "condition_gate": """
             SELECT event_id,
                    CASE WHEN event_type = 'click' THEN round(value * 2, 6)

@@ -39,6 +39,7 @@ from cdcrypt.kms import DEFAULT_KMS, MockKMS
 
 _VERSION = 1          # symmetric wrap (mock-KMS AES-GCM wrapped DEK)
 _VERSION_ASYM = 2     # asymmetric wrap (RSA-OAEP under a fetched public key)
+_VERSION_DET = 3      # convergent: derived DEK, synthetic SIV-style nonce
 _NONCE_LEN = 12
 
 
@@ -53,7 +54,7 @@ def parse_envelope_full(blob: bytes) -> tuple[int, str, bytes, bytes, bytes]:
     """Return ``(version, key_id, wrapped_dek, nonce, ciphertext)``."""
     try:
         version, kid_len = struct.unpack_from(">BB", blob, 0)
-        if version not in (_VERSION, _VERSION_ASYM):
+        if version not in (_VERSION, _VERSION_ASYM, _VERSION_DET):
             raise ClientErrorException(f"unsupported envelope version {version}")
         off = 2
         key_id = blob[off : off + kid_len].decode("utf-8")
@@ -66,6 +67,9 @@ def parse_envelope_full(blob: bytes) -> tuple[int, str, bytes, bytes, bytes]:
         ct = blob[off + _NONCE_LEN :]
         if len(wrapped) != wrapped_len or len(nonce) != _NONCE_LEN or len(ct) < 16:
             raise ClientErrorException("truncated envelope")
+        if version == _VERSION_DET and wrapped_len != 0:
+            raise ClientErrorException(
+                "convergent envelope must not carry a wrapped DEK")
         return version, key_id, wrapped, nonce, ct
     except (struct.error, UnicodeDecodeError) as e:
         raise ClientErrorException(f"malformed envelope: {e}") from e
@@ -93,6 +97,7 @@ def encrypt_batch(
     encoding: str = "string",
     context: dict[str, str] | None = None,
     public_key_pem: bytes | None = None,
+    deterministic: bool = False,
 ) -> list[object]:
     """Encrypt a batch of str/bytes values under ONE fresh data key.
 
@@ -107,12 +112,45 @@ def encrypt_batch(
     plan-compile time, ``GCPKeyManagementService.java:119-165``). The
     encryption context authenticates only the symmetric wrap; it is not
     supported with RSA-OAEP (same as the reference's GCP asymmetric mode).
+
+    ``deterministic`` switches to CONVERGENT encryption (Vault derived-key
+    semantics, the reference's C4 context mode): the DEK is derived from
+    (key_id, context) and the nonce is an SIV-style PRF of (aad, plaintext)
+    — equal inputs produce byte-equal envelopes, so encrypted KEY columns
+    keep their equality semantics (group/join/MERGE on ciphertext).
+    Equality leakage is inherent and intended; use only for key/identifier
+    columns, never free text. Zero KMS wrap calls (derivation is local to
+    the mock; a real KMS would be called once per (key_id, context) per
+    executor).
     """
     kms = kms or DEFAULT_KMS
     n = len(values)
     out: list[object] = [None] * n
     if n == 0:
         return out  # empty-batch short-circuit (VaultClientImpl.java:56-58)
+    if deterministic:
+        if public_key_pem is not None:
+            raise ClientErrorException(
+                "deterministic and asymmetric modes are mutually exclusive")
+        import hashlib as _hl
+        import hmac as _hmac
+        dek = kms.derive_deterministic_dek(key_id, context)
+        header = _build_header(key_id, b"", version=_VERSION_DET)
+        gcm = AESGCM(dek)
+        as_string = encoding == "string"
+        for i in range(n):
+            v = values[i]
+            if v is None:
+                continue
+            pt = _to_plain_bytes(v)
+            ad = None
+            if aad is not None and aad[i] is not None:
+                ad = _to_plain_bytes(aad[i])
+            nonce = _hmac.new(dek, (ad or b"") + b"\x00" + pt,
+                              _hl.sha256).digest()[:_NONCE_LEN]
+            blob = header + nonce + gcm.encrypt(nonce, pt, ad)
+            out[i] = base64.b64encode(blob).decode("ascii") if as_string else blob
+        return out
     if public_key_pem is not None:
         if context:
             raise ClientErrorException(
@@ -181,15 +219,20 @@ def decrypt_batch(
             raise ClientErrorException(
                 f"envelope key id {key_id!r} != configured {expect_key_id!r}"
             )
-        gcm = cache.get(wrapped)
+        # convergent envelopes carry no wrapped DEK — cache by key id
+        ckey = b"\x03" + key_id.encode("utf-8") if version == _VERSION_DET \
+            else wrapped
+        gcm = cache.get(ckey)
         if gcm is None:
-            if version == _VERSION_ASYM:
+            if version == _VERSION_DET:
+                gcm = AESGCM(kms.derive_deterministic_dek(key_id, context))
+            elif version == _VERSION_ASYM:
                 # private key never leaves the KMS: one remote unwrap per
                 # distinct wrapped DEK per executor (C10)
                 gcm = AESGCM(kms.asym_unwrap(wrapped, key_id))
             else:
                 gcm = AESGCM(kms.unwrap(wrapped, key_id, context))
-            cache[wrapped] = gcm
+            cache[ckey] = gcm
         ad = None
         if aad is not None and aad[i] is not None:
             ad = _to_plain_bytes(aad[i])

@@ -124,6 +124,7 @@ def make_encrypt_udf(
     use_aad: bool = False,
     use_gate: bool = False,
     asymmetric: bool = False,
+    deterministic: bool = False,
 ) -> Callable:
     """Pandas UDF: (value[, aad][, gate]) -> envelope (base64 str or bytes).
 
@@ -131,7 +132,8 @@ def make_encrypt_udf(
     plan-compile time — the reference's ``init()`` fetch-once pattern,
     ``GCPKeyManagementService.java:119-132``) and ships the PEM in the
     closure: executors then wrap per-batch DEKs locally with ZERO KMS calls
-    on the encrypt path (C9)."""
+    on the encrypt path (C9). ``deterministic=True`` selects convergent
+    encryption (equal input -> byte-equal envelope; see envelope.py)."""
     ret = StringType() if encoding == "string" else BinaryType()
     kms_inst = kms or MockKMS()
     passthrough = _str_passthrough_for(encoding)
@@ -142,7 +144,8 @@ def make_encrypt_udf(
             vals, gate, aad,
             lambda v, a: encrypt_batch(v, key_id, kms_inst, aad=a,
                                        encoding=encoding, context=context,
-                                       public_key_pem=pub_pem),
+                                       public_key_pem=pub_pem,
+                                       deterministic=deterministic),
             passthrough,
         )
 

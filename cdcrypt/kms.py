@@ -122,6 +122,21 @@ class MockKMS:
             raise ClientErrorException("unwrapped data key has wrong length")
         return dek
 
+    def derive_deterministic_dek(
+        self, key_id: str, context: dict[str, str] | None = None
+    ) -> bytes:
+        """Stable data key for CONVERGENT encryption (Vault's derived-key
+        mode, ``EncryptParameter.java:14-20`` context semantics): the same
+        (key_id, context) always yields the same DEK, on any executor,
+        with no stored state — equality of plaintexts then survives
+        encryption, which is what makes encrypted KEY columns group-,
+        join- and MERGE-able. One derivation per (key_id, context) per
+        executor (callers cache)."""
+        self._maybe_fail()
+        mk = _master_key(key_id)
+        return hmac.new(mk, b"cdcrypt-det-dek\x00" + _canon_context(context),
+                        hashlib.sha256).digest()
+
     # ---- asymmetric (RSA-OAEP) mode: C9/C10 ----
 
     def _asym_pair(self, key_id: str) -> tuple[bytes, bytes]:

@@ -95,6 +95,11 @@ class TransformConfig:
     # calls on the encrypt path. Decrypt auto-detects the envelope version;
     # the private key stays in the KMS (C10). udf backend only.
     asymmetric: bool = False
+    # encrypt: CONVERGENT mode (Vault derived-key semantics, C4): derived
+    # DEK + SIV-style nonce, equal plaintext+AAD -> byte-equal envelope, so
+    # encrypted KEY columns keep equality (group/join/MERGE on ciphertext).
+    # Leaks equality by design — key/identifier columns only. udf backend.
+    deterministic: bool = False
 
     def __post_init__(self) -> None:
         _one_of("mode", self.mode, _MODES)
@@ -114,6 +119,12 @@ class TransformConfig:
         if self.asymmetric and self.context:
             raise ConfigError(
                 "encryption context is not supported with asymmetric wrap")
+        if self.deterministic and self.asymmetric:
+            raise ConfigError(
+                "deterministic and asymmetric modes are mutually exclusive")
+        if self.deterministic and self.backend == "jvm":
+            raise ConfigError(
+                "deterministic mode requires the udf backend")
 
 
 class FieldTransform:
@@ -203,6 +214,7 @@ class FieldTransform:
                         cfg.key_id, encoding=cfg.encoding, kms=cfg.kms,
                         context=cfg.context, use_aad=use_aad, use_gate=use_gate,
                         asymmetric=cfg.asymmetric,
+                        deterministic=cfg.deterministic,
                     )
                 else:
                     udf = make_decrypt_udf(
