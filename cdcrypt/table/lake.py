@@ -282,3 +282,87 @@ class LakeTable:
 
     def total_rows(self) -> int:
         return sum(f["rows"] for f in self.snapshot["files"])
+
+    # ---------- incremental read (CDC out) ----------
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """The raw change rows committed in snapshots ``(from, to]`` — an
+        incremental CDC-out feed (Iceberg incremental append scan).
+
+        MoR delta files ARE the change log: each carries the post-resolution
+        change rows plus (op, epoch), so the incremental scan is simply
+        "delta files first referenced by a snapshot in range", walked
+        per-step so deltas later compacted away are still found via the
+        intermediate snapshot JSONs. Compaction-produced base files are
+        rewrites, not changes, and are excluded by kind. Copy-on-write
+        commits carry no change log — raise rather than silently return a
+        wrong feed."""
+        to_version = self.version if to_version is None else to_version
+        if not 0 <= from_version <= to_version <= self.version:
+            raise LakeTableError(
+                f"bad incremental range ({from_version}, {to_version}]")
+        prev_paths = {f["path"]
+                      for f in self.snapshot_at(from_version)["files"]}
+        picked: list[dict] = []
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot_at(v)
+            if snap.get("lineage", {}).get("mode") == "cow":
+                raise LakeTableError(
+                    "incremental read requires merge-on-read deltas; "
+                    f"snapshot v{v} was committed copy-on-write")
+            added = [f for f in snap["files"] if f["path"] not in prev_paths]
+            picked.extend(f for f in added if f.get("kind") == "delta")
+            prev_paths = {f["path"] for f in snap["files"]}
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        delta_schema = StructType(
+            list(self.schema.fields)
+            + [StructField("op", StringType(), True),
+               StructField("epoch", LongType(), True)])
+        if not picked:
+            return spark.createDataFrame([], delta_schema)
+        paths = [os.path.join(self.root, f["path"]) for f in picked]
+        return spark.read.schema(delta_schema).parquet(*paths)
+
+    # ---------- maintenance ----------
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-style snapshot expiration: keep the most recent
+        ``keep_last`` snapshot JSONs, delete the rest, and remove data
+        files no retained snapshot references (orphans included). Time
+        travel to expired versions stops working — by design; incremental
+        reads remain possible across the retained window."""
+        if keep_last < 1:
+            raise LakeTableError("keep_last must be >= 1")
+        cur = self.version
+        keep_versions = {v for v in range(max(0, cur - keep_last + 1), cur + 1)
+                         if os.path.exists(
+                             os.path.join(self.meta_dir, f"v{v}.json"))}
+        referenced = set()
+        for v in keep_versions:
+            referenced.update(
+                f["path"] for f in self.snapshot_at(v)["files"])
+        removed_files = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _, names in os.walk(data_root, topdown=False):
+            for n in names:
+                full = os.path.join(dirpath, n)
+                rel = os.path.relpath(full, self.root)
+                if n.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    removed_files += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        removed_snaps = 0
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                v = int(name[1:-5])
+                if v not in keep_versions:
+                    os.remove(os.path.join(self.meta_dir, name))
+                    removed_snaps += 1
+        return {"removed_snapshots": removed_snaps,
+                "removed_data_files": removed_files,
+                "kept_versions": sorted(keep_versions)}

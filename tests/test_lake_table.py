@@ -87,3 +87,60 @@ def test_bucket_expr_stable(spark):
     vals = [r[0] for r in df.select(bucket_col(64)).collect()]
     assert vals[0] == vals[1]
     assert 0 <= min(vals) and max(vals) < 64
+
+
+def test_incremental_read_is_the_change_feed(spark, tmp_path):
+    """Iceberg-style incremental append scan: delta files first referenced
+    in (from, to] ARE the CDC-out feed, including deltas later compacted
+    away (found via intermediate snapshots)."""
+    from cdcrypt.sources.changegen import GenSpec, generate_to_dir
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    src = str(tmp_path / "stream")
+    stats = generate_to_dir(src, GenSpec(n_convs=30, avg_turns=5,
+                                         n_epochs=4, seed=3))
+    pipe = IngestPipeline(src, str(tmp_path / "t"), str(tmp_path / "c"),
+                          bucket_count=4, compact_threshold=2)
+    pipe.run(spark)
+    t = pipe.table()
+    # every change row lands in exactly one incremental window
+    full = t.read_incremental(spark, 0, t.version)
+    assert full.count() > 0
+    parts = 0
+    mid = t.version // 2
+    parts += t.read_incremental(spark, 0, mid).count()
+    parts += t.read_incremental(spark, mid, t.version).count()
+    assert parts == full.count()
+    # feed carries op/epoch and only epochs from the committed range
+    epochs = {r.epoch for r in full.select("epoch").distinct().collect()}
+    assert epochs <= set(range(stats["epochs"]))
+    ops = {r.op for r in full.select("op").distinct().collect()}
+    assert ops <= {"I", "U", "D"}
+    # empty range, bad range
+    assert t.read_incremental(spark, t.version).count() == 0
+    with pytest.raises(Exception):
+        t.read_incremental(spark, -1)
+
+
+def test_expire_snapshots_keeps_current_reads_working(spark, tmp_path):
+    from cdcrypt.sources.changegen import GenSpec, generate_to_dir
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    src = str(tmp_path / "stream")
+    generate_to_dir(src, GenSpec(n_convs=30, avg_turns=5, n_epochs=4, seed=3))
+    pipe = IngestPipeline(src, str(tmp_path / "t"), str(tmp_path / "c"),
+                          bucket_count=4, compact_threshold=2)
+    pipe.run(spark)
+    t = pipe.table()
+    before = t.read(spark).count()
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["removed_snapshots"] > 0
+    assert t.version in stats["kept_versions"]
+    # current reads unchanged; expired time travel now fails
+    assert t.refresh().read(spark).count() == before
+    with pytest.raises(Exception):
+        t.snapshot_at(stats["kept_versions"][0] - 1)
+    # nothing referenced was deleted: every manifest path still exists
+    import os as _os
+    for f in t.files():
+        assert _os.path.exists(_os.path.join(t.root, f["path"]))
