@@ -287,7 +287,8 @@ def _q_dedup_exact(spark, sf_dir):
 
 def _q_text_stats(spark, sf_dir):
     from cdcrypt.functions.text import (
-        digit_ratio, lang_id, punct_ratio, quality_score, token_count,
+        digit_ratio, fingerprint64, lang_id, punct_ratio, quality_score,
+        token_count,
     )
     d = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -299,6 +300,7 @@ def _q_text_stats(spark, sf_dir):
         digit_ratio(c).alias("digit_ratio"),
         quality_score(c).alias("quality"),
         lang_id(c).alias("lang_guess"),
+        fingerprint64(c).alias("fp64"),
     )
 
 
@@ -779,7 +781,9 @@ def oracle_sql() -> dict[str, str]:
                    + (length(text) - length(replace(text, ' to ', ''))) / 4.0 >= 1
                   THEN 'en'
                 ELSE 'other'
-              END AS lang_guess
+              END AS lang_guess,
+              ('0x' || substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                              1, 15))::BIGINT AS fp64
             FROM documents
         """,
         "token_counts": """

@@ -84,10 +84,16 @@ def lang_id(col: Column) -> Column:
     )
 
 
-def fingerprint64(col: Column) -> Column:
-    """Order-sensitive 64-bit document fingerprint: xxhash64 of the
-    whitespace-normalized text (rolling-hash analogue, collision-grade)."""
-    return F.xxhash64(F.regexp_replace(F.trim(col), r"\s+", " "))
+def fingerprint64(col: Column, family: str = "md5") -> Column:
+    """Order-sensitive document fingerprint of the whitespace-normalized
+    text (rolling-hash analogue, collision-grade). md5 family = 60-bit
+    DuckDB-identical hash (functions/hash64.py, oracle-gated); xx64 =
+    cheaper Spark-only xxhash64."""
+    norm = F.regexp_replace(F.trim(col), r"\s+", " ")
+    if family == "xx64":
+        return F.xxhash64(norm)
+    from cdcrypt.functions.hash64 import h60
+    return h60(norm)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

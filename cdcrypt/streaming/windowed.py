@@ -1,0 +1,113 @@
+"""Event-time windowed aggregation + custom stateful streaming operators.
+
+The CDC ingest itself needs no watermark (late/duplicate events resolve by
+``op_seq`` last-writer-wins, which is order-free — SURVEY P4), but the
+engine also serves the analytics side of the stream, where Spark's native
+late-data machinery is the right tool:
+
+- :func:`windowed_turn_counts` — tumbling event-time windows with a
+  watermark; the SAME expression runs on a batch DataFrame (watermark is a
+  no-op there), so batch backfill and the live stream share one definition;
+- :func:`conversation_sessions` — a custom stateful operator via
+  ``applyInPandasWithState``: per-conversation running session summaries
+  (turn count, first/last event time, max op_seq), emitted in update mode
+  every micro-batch. State is Arrow-typed and bounded (one row per live
+  conversation), the executor-side function sees whole pandas groups — the
+  streaming analogue of the engine's "no per-row Python" rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+
+def windowed_turn_counts(
+    df: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window per-role event counts with a late-data watermark.
+
+    Streaming: rows later than ``watermark`` behind the max observed ``ts``
+    are dropped and windows finalize (append mode works). Batch: identical
+    results, watermark ignored — one definition for backfill + live."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role", "n_events", "n_convs_approx",
+        )
+    )
+
+
+SESSION_OUTPUT = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("n_turns", LongType(), False),
+    StructField("first_ts", TimestampType(), True),
+    StructField("last_ts", TimestampType(), True),
+    StructField("max_op_seq", LongType(), True),
+])
+
+# state rows must be Arrow-typed; timestamps travel as epoch micros
+SESSION_STATE = StructType([
+    StructField("n_turns", LongType(), False),
+    StructField("first_us", LongType(), True),
+    StructField("last_us", LongType(), True),
+    StructField("max_op_seq", LongType(), True),
+])
+
+
+def _track_session(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, first_us, last_us, mx = state.get
+    else:
+        n, first_us, last_us, mx = 0, None, None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        ts_us = (pdf["ts"].astype("int64") // 1000)  # ns -> us
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+        if "op_seq" in pdf:
+            m = int(pdf["op_seq"].max())
+            mx = m if mx is None else max(mx, m)
+    state.update((n, first_us, last_us, mx))
+    yield pd.DataFrame([{
+        "conv_id": key[0],
+        "n_turns": n,
+        "first_ts": pd.Timestamp(first_us, unit="us"),
+        "last_ts": pd.Timestamp(last_us, unit="us"),
+        "max_op_seq": mx,
+    }])
+
+
+def conversation_sessions(stream_df: DataFrame) -> DataFrame:
+    """Running per-conversation session summaries (custom stateful op).
+
+    Use on a streaming DataFrame with ``outputMode("update")``: each
+    micro-batch re-emits the summaries of conversations it touched. State
+    size = one small row per live conversation; an eviction policy (e.g.
+    ``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeout...``)
+    bounds it for unbounded key spaces."""
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        _track_session,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
