@@ -243,6 +243,21 @@ def _q_cdc_merge_full_outer(spark, sf_dir):
     )
 
 
+def _q_windowed_counts(spark, sf_dir):
+    # tumbling event-time window (batch form of streaming/windowed.py):
+    # date_trunc is engine-portable; exact micro-units keep the hash stable
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                              "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .alias("sum_value_e6"),
+        )
+    )
+
+
 def _q_tpch_q1_agg(spark, sf_dir):
     # aggregation pipeline with exact integer-cents arithmetic
     li = _t(spark, sf_dir, "lineitem").where(
@@ -424,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_window_dedup": _q_cdc_window_dedup,
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
+        "windowed_counts": _q_windowed_counts,
         "tpch_q1_agg": _q_tpch_q1_agg,
         "tpch_join_revenue": _q_tpch_join_revenue,
         "dedup_exact": _q_dedup_exact,
@@ -715,6 +731,13 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, t.value), 6) AS value
             FROM state t FULL OUTER JOIN change b
               USING (user_id, event_type)
+        """,
+        "windowed_counts": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_value_e6
+            FROM events GROUP BY 1, 2
         """,
         # NOTE: DuckDB's sum(BIGINT) returns HUGEINT (int128) — the OUTER
         # CAST back to BIGINT makes the value dtype match Spark's bigint
