@@ -198,10 +198,31 @@ class LakeTable:
             "created_ms": int(time.time() * 1000),
         }
         path = os.path.join(self.meta_dir, f"v{version}.json")
-        with open(path, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
+        try:
+            # O_EXCL create = optimistic concurrency (Iceberg commit
+            # semantics): a v{N+1} that already exists means either a
+            # COMMITTED snapshot from another writer (current advanced ->
+            # hard conflict, refresh and retry) or an orphan left by a
+            # crash between snapshot write and pointer swap (current still
+            # behind -> safe to replace atomically; single-writer recovery)
+            with open(path, "x") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+        except FileExistsError as e:
+            with open(os.path.join(self.meta_dir, "current")) as f:
+                cur_v = int(f.read().strip())
+            if cur_v >= version:
+                raise LakeTableError(
+                    f"commit conflict: snapshot v{version} already "
+                    "committed by another writer; refresh() and retry"
+                ) from e
+            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".snap.")
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
         self._swap_current(self.meta_dir, version)
         self._snapshot = snap
         return version

@@ -144,3 +144,23 @@ def test_expire_snapshots_keeps_current_reads_working(spark, tmp_path):
     import os as _os
     for f in t.files():
         assert _os.path.exists(_os.path.join(t.root, f["path"]))
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency (Iceberg commit semantics): two writers off
+    the same parent — the second commit fails loudly instead of silently
+    overwriting history; after refresh() it succeeds."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([StructField("conv_id", StringType()),
+                         StructField("turn_idx", IntegerType())])
+    root = str(tmp_path / "cc")
+    a = LakeTable.create(root, schema, bucket_count=2)
+    b = LakeTable(root)                 # second handle, same parent v0
+    a.commit(epoch=0, keep_files=[], new_files=[], lineage={})
+    with pytest.raises(LakeTableError, match="conflict"):
+        b.commit(epoch=0, keep_files=[], new_files=[], lineage={})
+    b.refresh()
+    assert b.commit(epoch=1, keep_files=[], new_files=[], lineage={}) == 2
