@@ -72,6 +72,16 @@ def _cast_to(df_cols: list[str], target: StructType) -> list:
     ]
 
 
+# parquet dictionary encoding is pure CPU on high-entropy columns: the
+# ciphertexts are uniformly random base64 (dict builds then falls back to
+# PLAIN mid-page) and ts/op_seq are near-unique numerics. Disabling it for
+# those cut the sf0.1 replay ~11-15% (interleaved A/B: 12.6s vs 14.2s
+# best). Genuinely repetitive columns (conv_id ~35 rows per value within
+# its bucket, role, op) keep dictionary — that is a file-size lever on
+# real storage at corpus scale, irrelevant only on the tmpfs bench.
+NO_DICT_COLS = ("text", "tool", "ts", "op_seq")
+
+
 def _write_bucketed(
     df: DataFrame,
     staging: str,
@@ -81,6 +91,7 @@ def _write_bucketed(
     assume_bucketed: bool = False,
     codec: str = LAKE_CODEC,
     timings: dict | None = None,
+    no_dict_cols: tuple[str, ...] = NO_DICT_COLS,
 ) -> tuple[list[dict], int]:
     """Write ``df`` as one plain parquet file per bucket; return manifest
     entries. partition_id == bucket (see table/lake.py bucket_col), so the
@@ -88,7 +99,11 @@ def _write_bucketed(
     import time
     t0 = time.monotonic()
     out = df if assume_bucketed else repartition_by_bucket(df, bucket_count)
-    out.write.mode("overwrite").option("compression", codec).parquet(staging)
+    w = out.write.mode("overwrite").option("compression", codec)
+    for c in no_dict_cols:
+        if c in df.columns:
+            w = w.option(f"parquet.enable.dictionary#{c}", "false")
+    w.parquet(staging)
     t1 = time.monotonic()
     entries, total = [], 0
     for p in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
