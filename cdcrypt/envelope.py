@@ -146,8 +146,14 @@ def encrypt_batch(
             ad = None
             if aad is not None and aad[i] is not None:
                 ad = _to_plain_bytes(aad[i])
-            nonce = _hmac.new(dek, (ad or b"") + b"\x00" + pt,
-                              _hl.sha256).digest()[:_NONCE_LEN]
+            # SIV-style PRF nonce with LENGTH-PREFIXED domain separation:
+            # a bare separator byte would let (aad="a\\x00", pt="b") and
+            # (aad="a", pt="\\x00b") collide on one nonce — GCM nonce reuse
+            # across different plaintexts under the shared derived DEK
+            adb = ad or b""
+            nonce = _hmac.new(
+                dek, struct.pack(">Q", len(adb)) + adb + pt,
+                _hl.sha256).digest()[:_NONCE_LEN]
             blob = header + nonce + gcm.encrypt(nonce, pt, ad)
             out[i] = base64.b64encode(blob).decode("ascii") if as_string else blob
         return out

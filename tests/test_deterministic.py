@@ -92,3 +92,15 @@ def test_key_value_routing(spark):
                           key_id="k", deterministic=False)
     with pytest.raises(ConfigError):
         KeyValueTransform("encrypt", key_id="k")  # no fields at all
+
+
+def test_det_nonce_domain_separation():
+    """(aad='a\\x00', pt='b') and (aad='a', pt='\\x00b') must NOT share a
+    nonce/ciphertext — ambiguous PRF input would be GCM nonce reuse across
+    different plaintexts under the shared derived DEK."""
+    kms = MockKMS()
+    e1 = encrypt_batch([b"b"], "k", kms, aad=[b"a\x00"], deterministic=True)
+    e2 = encrypt_batch([b"\x00b"], "k", kms, aad=[b"a"], deterministic=True)
+    n1 = parse_envelope_full(base64.b64decode(e1[0]))[3]
+    n2 = parse_envelope_full(base64.b64decode(e2[0]))[3]
+    assert n1 != n2
