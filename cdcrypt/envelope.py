@@ -225,9 +225,16 @@ def decrypt_batch(
             raise ClientErrorException(
                 f"envelope key id {key_id!r} != configured {expect_key_id!r}"
             )
-        # convergent envelopes carry no wrapped DEK — cache by key id
-        ckey = b"\x03" + key_id.encode("utf-8") if version == _VERSION_DET \
-            else wrapped
+        # convergent envelopes carry no wrapped DEK — cache by key id AND
+        # canonical context (the module-global worker cache serves every
+        # decrypt UDF in the process; omitting the context would poison
+        # decrypts across jobs using different contexts under one key id)
+        if version == _VERSION_DET:
+            from cdcrypt.kms import _canon_context
+            ckey = (b"\x03" + key_id.encode("utf-8") + b"\x00"
+                    + _canon_context(context))
+        else:
+            ckey = wrapped
         gcm = cache.get(ckey)
         if gcm is None:
             if version == _VERSION_DET:

@@ -17,6 +17,12 @@ pairs at corpus scale, which the exact verify stage downstream removes.
 
 Seeded variant (MinHash family member i, band hashes): re-hash the decimal
 rendering joined with ':' — ``md5(CAST(h AS VARCHAR) || ':' || 'i')``.
+
+PRECONDITION: inputs to the seeded/combined variants must be NON-NULL.
+Spark's ``concat_ws`` skips null operands while DuckDB's ``||`` propagates
+null, so a nullable column would silently diverge between the engine and
+the oracle — feed only aggregated/derived values that cannot be null (as
+every current caller does), or coalesce on BOTH sides first.
 """
 
 from __future__ import annotations

@@ -206,6 +206,11 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     """
     probes = {"image/png": _probe_png, "audio/wav": _probe_wav,
               "video/mp4": _probe_mp4}
+    # a real ingest routinely carries null payloads, foreign MIME types and
+    # truncated containers — those yield a null-feature row (byte_len
+    # preserved), never a task failure; one bad blob must not kill the job
+    _null_probe = {"n_frames": 0, "width": None, "height": None,
+                   "sample_rate": None, "duration_s": None, "features": []}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -213,7 +218,11 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                                     "sample_rate", "duration_s", "features")}
             for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
                 b = bytes(data) if data is not None else b""
-                r = probes[mt](b)
+                probe = probes.get(mt)
+                try:
+                    r = probe(b) if probe is not None and b else _null_probe
+                except (ValueError, struct.error):
+                    r = _null_probe
                 rows["byte_len"].append(len(b))
                 for k in ("n_frames", "width", "height", "sample_rate",
                           "duration_s", "features"):

@@ -12,9 +12,12 @@ with ``to_json`` — one Catalyst projection chain, fused into the same stage
 as the crypto UDF; the JSON parse/serialize never touches Python.
 
 Null payload rows pass through as null output (O2,
-``Transform.java:57-60``); malformed JSON behaves like ``from_json``'s
-null-on-corrupt (a null payload), which mirrors Connect's converter
-rejecting the record before the SMT ever runs.
+``Transform.java:57-60``); MALFORMED JSON is a data error that fails the
+job (``from_json`` in FAILFAST mode) — the analogue of Connect's converter
+rejecting the record with a DataException before the SMT runs (O10 fatal
+routing). PERMISSIVE mode would silently fabricate an all-null payload in
+place of the corrupt bytes, which is exactly the wrong failure mode for a
+pipeline whose sink must match a reference byte-for-byte.
 """
 
 from __future__ import annotations
@@ -58,7 +61,9 @@ def transform_json_payload(
         raise ConfigError(
             f"payload fields {sorted(collisions)} collide with frame columns")
 
-    parsed = df.withColumn(_PAYLOAD, F.from_json(F.col(json_col), payload_schema))
+    parsed = df.withColumn(
+        _PAYLOAD,
+        F.from_json(F.col(json_col), payload_schema, {"mode": "FAILFAST"}))
     flat = parsed.select(
         *others,
         F.col(_PAYLOAD).isNull().alias(_WAS_NULL),

@@ -272,6 +272,11 @@ def _train_centroids(train: DataFrame, n_centroids: int, vec_col: str,
     import numpy as np
 
     rows = train.select(vec_col).limit(max_train).collect()
+    if not rows:
+        from cdcrypt.errors import ClientErrorException
+        raise ClientErrorException(
+            "IVF quantizer training sample is empty (empty base table or "
+            "sample_fraction too small)")
     X = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     # kmeans++ seeding
@@ -328,13 +333,12 @@ def _assign_cells(df: DataFrame, cents: list[list[float]], n: int,
             # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is row-constant
             # and cannot change the argmin ordering, so skip it
             d2 = cn[None, :] - 2.0 * (X @ C.T)
-            if n >= C.shape[0]:
-                order = np.argsort(d2, axis=1, kind="stable")[:, :n]
-            else:
-                part = np.argpartition(d2, n - 1, axis=1)[:, :n]
-                rows = np.arange(len(part))[:, None]
-                inner = np.argsort(d2[rows, part], axis=1, kind="stable")
-                order = part[rows, inner]
+            # full stable argsort, not argpartition: partitioning's
+            # arbitrary placement of DISTANCE TIES at the selection
+            # boundary would make probe lists nondeterministic across
+            # runs/batch splits; stable sort ties break by cell id.
+            # O(m log m) vs O(m) per row is noise next to the matmul.
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n]
             pdf = pdf.copy()
             pdf["cells"] = [o.astype(np.int32).tolist() for o in order]
             yield pdf

@@ -198,32 +198,69 @@ class LakeTable:
             "created_ms": int(time.time() * 1000),
         }
         path = os.path.join(self.meta_dir, f"v{version}.json")
+        # Commit lock: the write-snapshot -> swap-pointer sequence is not
+        # atomic, so the orphan-recovery path below must not mistake a
+        # writer currently INSIDE that window for a crash orphan. A pid
+        # lock closes the window on one host (liveness via kill(pid, 0));
+        # across hosts a real catalog provides the CAS, as in Iceberg —
+        # the table remains single-writer by contract there.
+        lock = os.path.join(self.meta_dir, "commit.lock")
         try:
-            # O_EXCL create = optimistic concurrency (Iceberg commit
-            # semantics): a v{N+1} that already exists means either a
-            # COMMITTED snapshot from another writer (current advanced ->
-            # hard conflict, refresh and retry) or an orphan left by a
-            # crash between snapshot write and pointer swap (current still
-            # behind -> safe to replace atomically; single-writer recovery)
-            with open(path, "x") as f:
-                json.dump(snap, f)
-                f.flush()
-                os.fsync(f.fileno())
-        except FileExistsError as e:
-            with open(os.path.join(self.meta_dir, "current")) as f:
-                cur_v = int(f.read().strip())
-            if cur_v >= version:
-                raise LakeTableError(
-                    f"commit conflict: snapshot v{version} already "
-                    "committed by another writer; refresh() and retry"
-                ) from e
-            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".snap.")
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
-                json.dump(snap, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, path)
-        self._swap_current(self.meta_dir, version)
+                f.write(str(os.getpid()))
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = holder != os.getpid()
+                except OSError:
+                    alive = False
+            if alive:
+                raise LakeTableError(
+                    f"commit conflict: writer pid {holder} holds the "
+                    "commit lock (concurrent writer); retry later")
+            # stale lock from a crashed writer: steal it
+            with open(lock, "w") as f:
+                f.write(str(os.getpid()))
+        try:
+            try:
+                # O_EXCL create = optimistic concurrency (Iceberg commit
+                # semantics): a v{N+1} that already exists means either a
+                # COMMITTED snapshot from another writer (current advanced
+                # -> hard conflict, refresh and retry) or an orphan left by
+                # a crash between snapshot write and pointer swap (current
+                # still behind; safe under the lock held here)
+                with open(path, "x") as f:
+                    json.dump(snap, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+            except FileExistsError as e:
+                with open(os.path.join(self.meta_dir, "current")) as f:
+                    cur_v = int(f.read().strip())
+                if cur_v >= version:
+                    raise LakeTableError(
+                        f"commit conflict: snapshot v{version} already "
+                        "committed by another writer; refresh() and retry"
+                    ) from e
+                fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".snap.")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(snap, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+            self._swap_current(self.meta_dir, version)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
         self._snapshot = snap
         return version
 

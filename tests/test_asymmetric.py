@@ -116,3 +116,18 @@ def test_schemaless_json_payload_engine_api(spark):
         encrypt_json_payload(bad, "value", schema, ["$.userid"],
                              key_id="k", kms=kms)
     _ = F  # imported for parity with sibling tests
+
+
+def test_schemaless_malformed_json_is_a_data_error(spark):
+    """Corrupt payload bytes must FAIL the job (Connect converter
+    DataException analogue), never be silently replaced by an all-null
+    fabricated object (review find r2)."""
+    from cdcrypt.operators.schemaless import encrypt_json_payload
+
+    raw = spark.createDataFrame(
+        [(1, '{"userid":"u1","viewtime":1}'), (2, "{not json")],
+        "rec_id long, value string")
+    enc = encrypt_json_payload(raw, "value", "userid string, viewtime long",
+                               ["$.userid"], key_id="k")
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        enc.collect()

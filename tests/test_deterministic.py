@@ -104,3 +104,20 @@ def test_det_nonce_domain_separation():
     n1 = parse_envelope_full(base64.b64decode(e1[0]))[3]
     n2 = parse_envelope_full(base64.b64decode(e2[0]))[3]
     assert n1 != n2
+
+
+def test_det_dek_cache_is_context_keyed():
+    """Worker-wide DEK caches serve every decrypt in the process; the
+    convergent cache key must include the context or job B's decrypts get
+    job A's derived DEK (review find r2)."""
+    kms = MockKMS()
+    ea = encrypt_batch(["x"], "k", kms, context={"tenant": "A"},
+                       deterministic=True)
+    eb = encrypt_batch(["y"], "k", kms, context={"tenant": "B"},
+                       deterministic=True)
+    shared_cache: dict = {}
+    assert decrypt_batch(ea, kms, context={"tenant": "A"},
+                         dek_cache=shared_cache) == ["x"]
+    assert decrypt_batch(eb, kms, context={"tenant": "B"},
+                         dek_cache=shared_cache) == ["y"]
+    assert len(shared_cache) == 2

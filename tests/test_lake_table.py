@@ -164,3 +164,22 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
         b.commit(epoch=0, keep_files=[], new_files=[], lineage={})
     b.refresh()
     assert b.commit(epoch=1, keep_files=[], new_files=[], lineage={}) == 2
+
+
+def test_commit_lock_blocks_live_writer_and_steals_stale(tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    import os as _os
+
+    schema = StructType([StructField("conv_id", StringType())])
+    root = str(tmp_path / "lk")
+    t = LakeTable.create(root, schema, bucket_count=2)
+    lock = _os.path.join(t.meta_dir, "commit.lock")
+    with open(lock, "w") as f:
+        f.write("1")       # pid 1 is alive: a concurrent in-flight commit
+    with pytest.raises(LakeTableError, match="commit lock"):
+        t.commit(epoch=0, keep_files=[], new_files=[], lineage={})
+    with open(lock, "w") as f:
+        f.write("999999")  # dead pid: stale lock from a crashed writer
+    assert t.commit(epoch=0, keep_files=[], new_files=[], lineage={}) == 1
+    assert not _os.path.exists(lock)

@@ -267,3 +267,17 @@ def test_embedding_neardup_blas_equals_column_method(spark):
     blas_pairs = {(p.id_a, p.id_b, p.sim) for p in
                   embedding_neardup_lsh(emb, method="blas", **kw).collect()}
     assert blas_pairs == col_pairs and col_pairs
+
+
+def test_multimodal_probe_robust_to_bad_rows(spark):
+    """Null payloads, foreign MIME types and truncated containers yield a
+    null-feature row (byte_len preserved) — never a task failure."""
+    rows = [(1, "audio/wav", None),
+            (2, "application/pdf", b"%PDF-1.7 ..."),
+            (3, "image/png", b"truncated-not-a-png")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, media_bytes binary")
+    feats = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert feats[1].n_frames == 0 and feats[1].byte_len == 0
+    assert feats[2].n_frames == 0 and feats[2].byte_len == 12
+    assert feats[3].n_frames == 0 and feats[3].width is None
