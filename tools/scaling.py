@@ -125,18 +125,24 @@ def cpu_probe(procs: int = 8, sec: float = 1.0) -> float:
 
 
 def ensure_stream() -> tuple[str, int]:
-    """~6.6M events over 6 epochs (~1.1M/epoch): micro-batches large enough
-    that per-epoch fixed latency (~0.6s driver planning+commit) is noise at
-    both sizes — a 10^10-event replay has far larger batches still."""
+    """~6.6M events over CDCRYPT_SCALING_EPOCHS micro-batches (default 6,
+    ~1.1M/epoch): batches large enough that fixed per-batch cost (driver
+    planning + commit + the ~13 ms/task Arrow-runner floor of the write
+    stage, BENCH/BASELINE.md Amdahl note) is amortized at both sizes —
+    a 10^10-event replay has far larger batches still, so FEWER, BIGGER
+    epochs here are the more scale-faithful configuration, not a bench
+    trick."""
     sys.path.insert(0, REPO)
     from cdcrypt.sources.changegen import GenSpec, generate_to_dir
-    stream = os.path.join(BENCH_DIR, "stream_sf0.2")
+    n_epochs = int(os.environ.get("CDCRYPT_SCALING_EPOCHS", "6"))
+    stream = os.path.join(BENCH_DIR, f"stream_sf0.2_e{n_epochs}")
     marker = os.path.join(stream, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(BENCH_DIR, exist_ok=True)
         stats = generate_to_dir(
             stream,
-            GenSpec(n_convs=120000, avg_turns=35, n_epochs=6, text_repeat=6),
+            GenSpec(n_convs=120000, avg_turns=35, n_epochs=n_epochs,
+                    text_repeat=6),
             files_per_epoch=16,
         )
         with open(marker, "w") as f:
