@@ -197,6 +197,100 @@ def _probe_mp4(data: bytes) -> dict:
             "features": [float(len(boxes)), float(mdat_len), 0.0, 0.0]}
 
 
+def resize_images(df: DataFrame, max_side: int) -> DataFrame:
+    """Scale PNG dimensions so the longer side is <= ``max_side``
+    (aspect-preserving). HEADER surgery is real (`IHDR` bytes rewritten,
+    struct-parsed round-trip verified in tests); PIXEL resampling is the
+    declared STUB — a real deployment swaps the payload passthrough for
+    PIL inside the same batch loop. Non-PNG rows pass through unchanged.
+
+    Output adds (width, height) of the (possibly rewritten) container.
+    """
+    out_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("media_bytes", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, widths, heights = [], [], []
+            for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
+                b = bytes(data) if data is not None else b""
+                if mt != "image/png" or b[:8] != _PNG_SIG:
+                    blobs.append(b or None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                w, h = struct.unpack_from(">II", b, 16)  # IHDR w/h
+                scale = max_side / max(w, h)
+                if scale < 1.0:
+                    w2 = max(1, int(w * scale))
+                    h2 = max(1, int(h * scale))
+                    # real header rewrite; STUB: payload not resampled
+                    b = b[:16] + struct.pack(">II", w2, h2) + b[24:]
+                    w, h = w2, h2
+                blobs.append(b)
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "media_bytes": blobs,
+                "width": pd.Series(widths, dtype="Int32"),
+                "height": pd.Series(heights, dtype="Int32"),
+            })
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_video_frames(df: DataFrame,
+                        stride: int = _MP4_FRAME_STRIDE) -> DataFrame:
+    """Explode MP4 rows into sampled frame records: one row per ``stride``
+    bytes of the mdat payload — the byte slicing and the 1->N explode
+    shape are real (what a demuxer's keyframe sampler produces); treating
+    fixed strides as frame boundaries is the declared STUB (no codec in
+    this container). Non-MP4 rows are dropped.
+    """
+    out_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, mt, data in zip(pdf["doc_id"], pdf["media_type"],
+                                     pdf["media_bytes"]):
+                if mt != "video/mp4" or data is None:
+                    continue
+                b = bytes(data)
+                # locate mdat payload via the real box walk
+                off, mdat = 0, b""
+                while off + 8 <= len(b):
+                    (size,) = struct.unpack_from(">I", b, off)
+                    if b[off + 4: off + 8] == b"mdat":
+                        mdat = b[off + 8: off + size]
+                        break
+                    if size < 8:
+                        break
+                    off += size
+                for i in range(0, max(len(mdat), 1), stride):
+                    ids.append(int(did))
+                    idxs.append(i // stride)
+                    frames.append(mdat[i: i + stride])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_bytes": frames,
+            })
+
+    return df.mapInPandas(run, out_schema)
+
+
 def extract_media_features(df: DataFrame) -> DataFrame:
     """mapInPandas header-probe over (doc_id, media_type, media_bytes).
 

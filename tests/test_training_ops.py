@@ -281,3 +281,40 @@ def test_multimodal_probe_robust_to_bad_rows(spark):
     assert feats[1].n_frames == 0 and feats[1].byte_len == 0
     assert feats[2].n_frames == 0 and feats[2].byte_len == 12
     assert feats[3].n_frames == 0 and feats[3].width is None
+
+
+def test_resize_images_header_surgery(spark, docs):
+    """resize_images: REAL IHDR rewrite (struct round-trip verified);
+    pixel resample is the declared stub. Non-PNG rows untouched."""
+    from cdcrypt.operators.multimodal import resize_images
+
+    media = attach_fake_media(docs.where(F.col("text").isNotNull()))
+    out = {r.doc_id: r for r in resize_images(media, max_side=32).collect()}
+    # doc 0 is PNG with dims > 32 -> scaled, aspect preserved, header valid
+    r0 = out[0]
+    assert r0.width <= 32 and r0.height <= 32
+    feats = {f.doc_id: f for f in extract_media_features(
+        resize_images(media, 32).select(
+            "doc_id", "media_type", "media_bytes")).collect()}
+    assert (feats[0].width, feats[0].height) == (r0.width, r0.height)
+    # WAV rows pass through with null dims
+    assert out[4].width is None and bytes(out[4].media_bytes)[:4] == b"RIFF"
+
+
+def test_sample_video_frames_strided_explode(spark, docs):
+    from cdcrypt.operators.multimodal import sample_video_frames
+
+    media = attach_fake_media(docs.where(F.col("text").isNotNull()))
+    frames = sample_video_frames(media, stride=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # only mp4 docs (doc_id % 3 == 2) produce frames
+    assert set(by_doc) == {d for d in by_doc if d % 3 == 2} and by_doc
+    doc2 = sorted(by_doc[2], key=lambda r: r.frame_idx)
+    joined = b"".join(bytes(r.frame_bytes) for r in doc2)
+    src = {r.doc_id: bytes(r.media_bytes)
+           for r in media.collect() if r.doc_id == 2}[2]
+    # frames reassemble the exact mdat payload (real byte slicing)
+    assert joined in src and len(joined) > 0
+    assert [r.frame_idx for r in doc2] == list(range(len(doc2)))
