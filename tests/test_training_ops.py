@@ -318,3 +318,26 @@ def test_sample_video_frames_strided_explode(spark, docs):
     # frames reassemble the exact mdat payload (real byte slicing)
     assert joined in src and len(joined) > 0
     assert [r.frame_idx for r in doc2] == list(range(len(doc2)))
+
+
+def test_cached_selfjoin_paths_match_uncached(spark, docs):
+    """cache=True persists the banded relations before their self-joins
+    (the corpus-scale configuration) — results must be identical to the
+    recompute path."""
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+
+    plain = {(r.id_a, r.id_b, r.n_shared_bands) for r in
+             minhash_lsh_candidates(docs, max_bucket_size=64).collect()}
+    cached = {(r.id_a, r.id_b, r.n_shared_bands) for r in
+              minhash_lsh_candidates(docs, max_bucket_size=64,
+                                     cache=True).collect()}
+    assert cached == plain and plain
+
+    from cdcrypt.operators.similarity import embedding_neardup_lsh
+    emb = _clustered_embeddings(spark)
+    kw = dict(threshold=0.98, n_bands=8, bits_per_band=8, dim=8)
+    a = {(p.id_a, p.id_b) for p in
+         embedding_neardup_lsh(emb, **kw).collect()}
+    b = {(p.id_a, p.id_b) for p in
+         embedding_neardup_lsh(emb, cache=True, **kw).collect()}
+    assert a == b and a
