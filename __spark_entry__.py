@@ -332,9 +332,10 @@ def _q_token_counts(spark, sf_dir):
 # shared LSH/minhash gate parameters — the oracle SQL builders below must
 # use the exact same values (they replicate the full pipeline in DuckDB)
 _MINHASH = dict(num_hashes=32, bands=16, shingle_k=5, max_bucket_size=64)
-_SIMHASH_NEAR = dict(max_hamming=3, n_bands=4)
+_SIMHASH_NEAR = dict(max_hamming=3, n_bands=4, max_bucket_size=64)
 _ANN_LSH = dict(k=5, n_bits=6, dim=64, seed=42)
-_NEARDUP_LSH = dict(threshold=0.4, n_bands=6, bits_per_band=6, dim=64, seed=42)
+_NEARDUP_LSH = dict(threshold=0.4, n_bands=6, bits_per_band=6, dim=64, seed=42,
+                    max_bucket_size=64)
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
@@ -355,11 +356,13 @@ def _q_simhash_groups(spark, sf_dir):
 
 
 def _q_simhash_near_pairs(spark, sf_dir):
-    # banded pigeonhole hamming<=k near-dup pairs (n_bands > max_hamming)
+    # banded pigeonhole hamming<=k near-dup pairs (n_bands > max_hamming);
+    # max_bucket_size is the hot-bucket skew guard (also in the oracle)
     from cdcrypt.operators.docdedup import simhash_near_pairs
     return simhash_near_pairs(_tp(spark, sf_dir, "documents", "doc_id"),
                               max_hamming=_SIMHASH_NEAR["max_hamming"],
-                              n_bands=_SIMHASH_NEAR["n_bands"])
+                              n_bands=_SIMHASH_NEAR["n_bands"],
+                              max_bucket_size=_SIMHASH_NEAR["max_bucket_size"])
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -403,7 +406,8 @@ def _q_embedding_neardup(spark, sf_dir):
         emb, threshold=_NEARDUP_LSH["threshold"],
         n_bands=_NEARDUP_LSH["n_bands"],
         bits_per_band=_NEARDUP_LSH["bits_per_band"],
-        seed=_NEARDUP_LSH["seed"], dim=_NEARDUP_LSH["dim"])
+        seed=_NEARDUP_LSH["seed"], dim=_NEARDUP_LSH["dim"],
+        max_bucket_size=_NEARDUP_LSH["max_bucket_size"])
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -582,14 +586,22 @@ def _simhash_groups_sql() -> str:
 
 def _simhash_near_pairs_sql() -> str:
     km, nb = _SIMHASH_NEAR["max_hamming"], _SIMHASH_NEAR["n_bands"]
+    cap = _SIMHASH_NEAR["max_bucket_size"]
     width = 60 // nb
     mask = (1 << width) - 1
     bands = ", ".join(str(b) for b in range(nb))
     return _simhash_cte() + f"""
-        , banded AS (
+        , banded_all AS (
           SELECT doc_id, simhash, band,
                  (simhash >> (band * {width})) & {mask} AS bits
           FROM fp, (SELECT unnest([{bands}]) AS band)
+        ),
+        hot AS (SELECT band, bits FROM banded_all
+                GROUP BY band, bits HAVING count(*) > {cap}),
+        banded AS (
+          SELECT ba.* FROM banded_all ba
+          LEFT JOIN hot h ON h.band = ba.band AND h.bits = ba.bits
+          WHERE h.band IS NULL
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -657,9 +669,17 @@ def _neardup_lsh_sql() -> str:
         band_selects.append(
             f"SELECT vec_id, {band} AS band, CAST({bucket} AS BIGINT) "
             "AS bucket FROM embeddings")
+    cap = _NEARDUP_LSH["max_bucket_size"]
     tagged = "\n          UNION ALL ".join(band_selects)
     return f"""
-        WITH tagged AS ({tagged}),
+        WITH tagged_all AS ({tagged}),
+        hot AS (SELECT band, bucket FROM tagged_all
+                GROUP BY band, bucket HAVING count(*) > {cap}),
+        tagged AS (
+          SELECT ta.* FROM tagged_all ta
+          LEFT JOIN hot h ON h.band = ta.band AND h.bucket = ta.bucket
+          WHERE h.band IS NULL
+        ),
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM tagged a JOIN tagged b

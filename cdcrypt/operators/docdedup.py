@@ -179,6 +179,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     anyway (their text is degenerate). The bucket-size count reuses the
     banded relation (one extra linear aggregation, broadcast back as an
     anti-join — no extra shuffle of the banded rows).
+
+    With ``cache=True`` the persisted banded relation is attached to the
+    returned DataFrame; release it after materializing via
+    :func:`cdcrypt.functions.persist.unpersist_intermediates`.
     """
     _check_family(family)
     rows_per_band = num_hashes // bands
@@ -200,6 +204,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bhash")
+    persisted = None
     if cache:
         # the banded relation feeds the hot-bucket count, the anti-join AND
         # both self-join sides — without a persist Spark recomputes the
@@ -209,7 +214,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         # 3.6s), so the default is OFF; at corpus scale, where the text
         # re-scan dominates, enable it (or checkpoint the relation).
         from pyspark import StorageLevel
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = persisted = banded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "bhash")
@@ -220,7 +225,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         banded = banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(b, ["band", "bhash"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
@@ -229,6 +234,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+    if persisted is not None:
+        from cdcrypt.functions.persist import register_persisted
+        out = register_persisted(out, persisted)
+    return out
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -300,7 +309,8 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       n_bands: int = 4, family: str = "md5") -> DataFrame:
+                       n_bands: int = 4, family: str = "md5",
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs at hamming distance <= ``max_hamming`` via the banded
     pigeonhole trick: split the fingerprint into ``n_bands`` equal bit bands;
     two fingerprints within hamming k share at least one EXACT band whenever
@@ -311,6 +321,15 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
     Requires ``n_bands > max_hamming`` (else recall is not guaranteed);
     raises otherwise. Output: (id_a, id_b, hamming).
+
+    Skew guard (same contract as :func:`minhash_lsh_candidates`):
+    short/boilerplate docs produce near-identical bit-vote sums, so one
+    (band, bits) bucket at corpus scale can hold thousands of docs —
+    B^2/2 join rows. ``max_bucket_size`` drops those buckets BEFORE the
+    self-join via a broadcast anti-join (one linear count over the banded
+    relation, no extra shuffle of it). Recall cost is confined to docs
+    near-identical to >max_bucket_size others — exactly the degenerate
+    mass a dedup pipeline collapses via exact-dup upstream anyway.
     """
     _check_family(family)
     if n_bands <= max_hamming:
@@ -334,6 +353,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             for b in range(n_bands)
         ])).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bits")
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bits")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bits")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bits"], "left_anti")
     a = banded.select(F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("fp_a"), "band", "bits")
     b = banded.select(F.col(id_col).alias("id_b"),

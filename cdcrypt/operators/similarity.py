@@ -163,6 +163,7 @@ def embedding_neardup_lsh(
     dim: int | None = None,
     cache: bool = False,
     method: str = "column",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-banded near-dup: candidates collide in >=1 sign-LSH band, then an
     exact cosine verify keeps sim >= threshold (precision 1.0 vs exact;
@@ -172,6 +173,14 @@ def embedding_neardup_lsh(
     Scale shape: |bands| x |rows| band keys -> equi-join per band bucket ->
     dedup pairs -> verify. Shuffle is proportional to collisions, never the
     |rows|^2 cross product.
+
+    Skew guard (same contract as minhash_lsh_candidates): a dense semantic
+    cluster — deduplicated boilerplate embeddings — collides in EVERY band,
+    so one (band, bucket) cell at corpus scale holds thousands of vectors
+    (B^2/2 join rows). ``max_bucket_size`` drops those cells before the
+    self-join via a broadcast anti-join over a linear bucket-size count.
+    Recall loss is confined to vectors near-duplicate to >max_bucket_size
+    others, which the pipeline collapses upstream anyway.
 
     ``method``: 'column' computes the hyperplane signs with pure-Column
     expressions whose float-addition ORDER the DuckDB oracle reproduces
@@ -231,12 +240,24 @@ def embedding_neardup_lsh(
         tagged = bands[0]
         for extra in bands[1:]:
             tagged = tagged.unionByName(extra)
+    persisted = None
     if cache:
-        # both self-join sides read this; at corpus scale persist so the
-        # hyperplane signature pass runs once (at bench scale recompute is
-        # cheaper — same trade as minhash_lsh_candidates)
+        # the tagged relation feeds the hot-bucket count, the anti-join and
+        # both self-join sides; at corpus scale persist so the hyperplane
+        # signature pass runs once (at bench scale recompute is cheaper —
+        # same trade as minhash_lsh_candidates). The handle is attached to
+        # the result; release with persist.unpersist_intermediates.
         from pyspark import StorageLevel
-        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        tagged = persisted = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket_size is not None:
+        hot = (
+            tagged.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        tagged = tagged.join(F.broadcast(hot), ["band", "bucket"],
+                             "left_anti")
     left = tagged.select("band", "bucket", F.col("_id").alias("id_a"),
                          F.col("_v").alias("va"))
     right = tagged.select("band", "bucket", F.col("_id").alias("id_b"),
@@ -247,7 +268,7 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b", "va", "vb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cands.select(
+    out = cands.select(
         "id_a", "id_b",
         F.round(
             cosine_sim(
@@ -256,6 +277,10 @@ def embedding_neardup_lsh(
             ), round_digits,
         ).alias("sim"),
     ).where(F.col("sim") >= threshold)
+    if persisted is not None:
+        from cdcrypt.functions.persist import register_persisted
+        out = register_persisted(out, persisted)
+    return out
 
 
 def _train_centroids(train: DataFrame, n_centroids: int, vec_col: str,

@@ -341,3 +341,77 @@ def test_cached_selfjoin_paths_match_uncached(spark, docs):
     b = {(p.id_a, p.id_b) for p in
          embedding_neardup_lsh(emb, cache=True, **kw).collect()}
     assert a == b and a
+
+
+def test_unpersist_intermediates_releases_cache(spark, docs):
+    """cache=True attaches the persisted banded relation to the result;
+    unpersist_intermediates releases executor storage (ADVICE r2: the
+    persist leaked for the session lifetime with no handle returned)."""
+    from cdcrypt.functions.persist import (
+        persisted_intermediates, unpersist_intermediates)
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+
+    res = minhash_lsh_candidates(docs, max_bucket_size=64, cache=True)
+    res.collect()
+    handles = persisted_intermediates(res)
+    assert len(handles) == 1 and handles[0].storageLevel.useMemory
+    assert unpersist_intermediates(res) == 1
+    assert not persisted_intermediates(res)
+    assert not handles[0].storageLevel.useMemory
+    # cap-less path attaches nothing
+    from cdcrypt.operators.similarity import embedding_neardup_lsh
+    emb = _clustered_embeddings(spark)
+    plain = embedding_neardup_lsh(emb, threshold=0.98, n_bands=8,
+                                  bits_per_band=8, dim=8)
+    assert unpersist_intermediates(plain) == 0
+    cached = embedding_neardup_lsh(emb, threshold=0.98, n_bands=8,
+                                   bits_per_band=8, dim=8, cache=True)
+    cached.collect()
+    assert unpersist_intermediates(cached) == 1
+
+
+def test_simhash_near_hot_bucket_cap(spark):
+    """Planted mega-bucket: 300 identical boilerplate docs share every
+    (band, bits) bucket — C(300,2) hamming-0 pairs uncapped. The cap drops
+    those buckets before the self-join; the genuine pair survives."""
+    from cdcrypt.operators.docdedup import simhash_near_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000, BASE), (1001, BASE)]          # genuine hamming-0 pair
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = simhash_near_pairs(df, max_hamming=3, n_bands=4)
+    assert uncapped.count() > 40000               # the quadratic blowup
+    capped = simhash_near_pairs(df, max_hamming=3, n_bands=4,
+                                max_bucket_size=50).collect()
+    pair_ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in pair_ids
+    assert all(a >= 1000 for a, _ in pair_ids)
+    assert len(capped) < 10
+
+
+def test_embedding_neardup_lsh_hot_bucket_cap(spark):
+    """300 identical embeddings collide in EVERY band (the dense-cluster
+    skew case); the cap bounds the band self-join while a genuine pair in
+    a different bucket survives."""
+    import numpy as np
+
+    from cdcrypt.operators.similarity import embedding_neardup_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    base /= np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base]) for i in range(300)]
+    # opposite hemisphere -> all hyperplane signs flip -> different buckets
+    v = -base + rng.standard_normal(8) * 0.01
+    rows += [(1000, [float(x) for x in v]),
+             (1001, [float(x) for x in v + rng.standard_normal(8) * 0.005])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(threshold=0.95, n_bands=8, bits_per_band=8, dim=8)
+    uncapped = embedding_neardup_lsh(df, **kw)
+    assert uncapped.count() > 40000
+    capped = embedding_neardup_lsh(df, max_bucket_size=50, **kw).collect()
+    pair_ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in pair_ids
+    assert all(a >= 1000 for a, _ in pair_ids)
+    assert len(capped) < 10
