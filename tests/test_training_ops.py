@@ -240,6 +240,39 @@ def test_ann_ivf_full_probe_equals_exact(spark):
     assert ivf == exact  # probing every cell == brute force
 
 
+def test_kmeanspp_seed_linear_time_deterministic_and_spread():
+    """Seeding maintains a running min-d2 vector — O(k·n·d), not the naive
+    O(k^2·n·d): 4096 centroids over 20k x 64 vectors in seconds (the
+    quadratic form is ~k/2x slower, an hour at this size). Deterministic
+    under a fixed rng; seeds spread over planted distant clusters."""
+    import time
+
+    import numpy as np
+
+    from cdcrypt.operators.similarity import _kmeanspp_seed
+
+    X = np.random.default_rng(7).standard_normal((20000, 64))
+    t0 = time.monotonic()
+    C = _kmeanspp_seed(X, 4096, np.random.default_rng(11))
+    wall = time.monotonic() - t0
+    assert C.shape == (4096, 64)
+    assert wall < 60.0  # measured ~7s; generous for noisy host supply
+    # deterministic under identical rng state
+    C2 = _kmeanspp_seed(X, 64, np.random.default_rng(11))
+    C3 = _kmeanspp_seed(X, 64, np.random.default_rng(11))
+    assert np.array_equal(C2, C3)
+    # kmeans++ property: 4 seeds over 4 distant planted clusters land in
+    # distinct clusters (d2-weighted sampling makes this overwhelming)
+    centers = np.eye(4) * 100.0
+    pts = np.vstack([
+        centers[i] + np.random.default_rng(i).standard_normal((50, 4)) * 0.1
+        for i in range(4)])
+    seeds = _kmeanspp_seed(pts, 4, np.random.default_rng(5))
+    picked = {int(np.argmin(((centers - s[None, :]) ** 2).sum(1)))
+              for s in seeds}
+    assert picked == {0, 1, 2, 3}
+
+
 def test_ann_ivf_pruned_probe_recall(spark):
     from cdcrypt.operators.similarity import ann_ivf_topk, cosine_topk
     emb = _clustered_embeddings(spark)
