@@ -154,6 +154,48 @@ class LakeTable:
             f.write(str(version))
         os.replace(tmp, os.path.join(meta_dir, "current"))  # atomic
 
+    # ---------- commit lock ----------
+    # flock(2) on a well-known file: acquisition is ATOMIC in the kernel
+    # (no read-pid/overwrite race — two stealers of the old pid-file
+    # scheme could both enter the critical section) and the lock dies
+    # WITH the holder (kernel releases on process exit), so crashed
+    # writers leave nothing to steal and a same-pid-under-another-user
+    # EPERM can never be mistaken for a dead holder. The lock file itself
+    # is never unlinked (unlink + recreate would let two processes hold
+    # flocks on different inodes of the same path). One-host scope, like
+    # the pid lock before it; across hosts a real catalog provides the
+    # CAS, as in Iceberg.
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.meta_dir, "commit.lock")
+
+    def _acquire_commit_lock(self, purpose: str) -> int:
+        import fcntl
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            holder = b""
+            try:
+                holder = os.pread(fd, 32, 0)
+            except OSError:
+                pass
+            os.close(fd)
+            raise LakeTableError(
+                f"commit conflict: another writer holds the commit lock "
+                f"(holder pid {holder.decode(errors='replace').strip() or '?'}, "
+                f"while acquiring for {purpose}); retry later")
+        try:  # holder pid recorded for debugging only, not for liveness
+            os.ftruncate(fd, 0)
+            os.pwrite(fd, str(os.getpid()).encode(), 0)
+        except OSError:
+            pass
+        return fd
+
+    @staticmethod
+    def _release_commit_lock(fd: int) -> None:
+        os.close(fd)  # closing the fd releases the flock
+
     # ---------- commit ----------
     def commit(
         self,
@@ -200,35 +242,9 @@ class LakeTable:
         path = os.path.join(self.meta_dir, f"v{version}.json")
         # Commit lock: the write-snapshot -> swap-pointer sequence is not
         # atomic, so the orphan-recovery path below must not mistake a
-        # writer currently INSIDE that window for a crash orphan. A pid
-        # lock closes the window on one host (liveness via kill(pid, 0));
-        # across hosts a real catalog provides the CAS, as in Iceberg —
-        # the table remains single-writer by contract there.
-        lock = os.path.join(self.meta_dir, "commit.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(str(os.getpid()))
-        except FileExistsError:
-            try:
-                with open(lock) as f:
-                    holder = int(f.read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0
-            alive = False
-            if holder > 0:
-                try:
-                    os.kill(holder, 0)
-                    alive = holder != os.getpid()
-                except OSError:
-                    alive = False
-            if alive:
-                raise LakeTableError(
-                    f"commit conflict: writer pid {holder} holds the "
-                    "commit lock (concurrent writer); retry later")
-            # stale lock from a crashed writer: steal it
-            with open(lock, "w") as f:
-                f.write(str(os.getpid()))
+        # writer currently INSIDE that window for a crash orphan; see
+        # _acquire_commit_lock for why flock (not a pid file).
+        lock_fd = self._acquire_commit_lock("commit")
         try:
             try:
                 # O_EXCL create = optimistic concurrency (Iceberg commit
@@ -257,10 +273,7 @@ class LakeTable:
                 os.replace(tmp, path)
             self._swap_current(self.meta_dir, version)
         finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+            self._release_commit_lock(lock_fd)
         self._snapshot = snap
         return version
 
@@ -387,40 +400,68 @@ class LakeTable:
         return spark.read.schema(delta_schema).parquet(*paths)
 
     # ---------- maintenance ----------
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2,
+                         orphan_grace_ms: int = 600_000) -> dict:
         """Iceberg-style snapshot expiration: keep the most recent
         ``keep_last`` snapshot JSONs, delete the rest, and remove data
-        files no retained snapshot references (orphans included). Time
-        travel to expired versions stops working — by design; incremental
-        reads remain possible across the retained window."""
+        files no retained snapshot references. Time travel to expired
+        versions stops working — by design; incremental reads remain
+        possible across the retained window.
+
+        Concurrency safety (ADVICE r2): runs under the commit lock, so a
+        concurrent commit cannot swap the pointer (or write a v{N+1}.json
+        this pass would treat as expired) mid-expiration. Data files are
+        staged by executors BEFORE commit() is ever called, though — the
+        lock cannot see those — so files referenced by NO snapshot at all
+        are deleted only when older than ``orphan_grace_ms`` (Iceberg's
+        orphan-file grace window): a fresh unreferenced file is an
+        in-flight commit's staging, an old one is a crash leftover.
+        Files referenced only by EXPIRED snapshots are positively known
+        garbage and are removed regardless of age."""
         if keep_last < 1:
             raise LakeTableError("keep_last must be >= 1")
-        cur = self.version
-        keep_versions = {v for v in range(max(0, cur - keep_last + 1), cur + 1)
-                         if os.path.exists(
-                             os.path.join(self.meta_dir, f"v{v}.json"))}
-        referenced = set()
-        for v in keep_versions:
-            referenced.update(
-                f["path"] for f in self.snapshot_at(v)["files"])
-        removed_files = 0
-        data_root = os.path.join(self.root, "data")
-        for dirpath, _, names in os.walk(data_root, topdown=False):
-            for n in names:
-                full = os.path.join(dirpath, n)
-                rel = os.path.relpath(full, self.root)
-                if n.endswith(".parquet") and rel not in referenced:
+        lock_fd = self._acquire_commit_lock("expire_snapshots")
+        try:
+            self._load()  # re-resolve under the lock
+            cur = self.version
+            all_versions = {
+                int(n[1:-5]) for n in os.listdir(self.meta_dir)
+                if n.startswith("v") and n.endswith(".json")}
+            keep_versions = {v for v in all_versions
+                             if cur - keep_last + 1 <= v <= cur}
+            retained_ref: set[str] = set()
+            expired_ref: set[str] = set()
+            for v in all_versions:
+                paths = {f["path"] for f in self.snapshot_at(v)["files"]}
+                (retained_ref if v in keep_versions else expired_ref).update(paths)
+            now_ms = time.time() * 1000
+            removed_files = 0
+            data_root = os.path.join(self.root, "data")
+            for dirpath, _, names in os.walk(data_root, topdown=False):
+                for n in names:
+                    full = os.path.join(dirpath, n)
+                    rel = os.path.relpath(full, self.root)
+                    if not n.endswith(".parquet") or rel in retained_ref:
+                        continue
+                    if rel not in expired_ref:
+                        # referenced by no snapshot: possibly an in-flight
+                        # commit's staged file — only old ones are orphans
+                        try:
+                            age_ms = now_ms - os.stat(full).st_mtime * 1000
+                        except OSError:
+                            continue
+                        if age_ms < orphan_grace_ms:
+                            continue
                     os.remove(full)
                     removed_files += 1
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
-        removed_snaps = 0
-        for name in os.listdir(self.meta_dir):
-            if name.startswith("v") and name.endswith(".json"):
-                v = int(name[1:-5])
-                if v not in keep_versions:
-                    os.remove(os.path.join(self.meta_dir, name))
-                    removed_snaps += 1
-        return {"removed_snapshots": removed_snaps,
-                "removed_data_files": removed_files,
-                "kept_versions": sorted(keep_versions)}
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            removed_snaps = 0
+            for v in all_versions - keep_versions:
+                os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+                removed_snaps += 1
+            return {"removed_snapshots": removed_snaps,
+                    "removed_data_files": removed_files,
+                    "kept_versions": sorted(keep_versions)}
+        finally:
+            self._release_commit_lock(lock_fd)

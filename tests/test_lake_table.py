@@ -166,7 +166,14 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     assert b.commit(epoch=1, keep_files=[], new_files=[], lineage={}) == 2
 
 
-def test_commit_lock_blocks_live_writer_and_steals_stale(tmp_path):
+def test_commit_lock_blocks_live_holder_and_releases_on_crash(tmp_path):
+    """flock-based commit lock (ADVICE r2): a LIVE holder — even one in
+    another process — blocks commits; a holder that dies (kill -9, no
+    cleanup) releases the lock in-kernel, so there is no stale-pid
+    steal path (and no EPERM-means-dead misread) at all."""
+    import subprocess
+    import sys
+
     from pyspark.sql.types import StringType, StructField, StructType
 
     import os as _os
@@ -175,11 +182,65 @@ def test_commit_lock_blocks_live_writer_and_steals_stale(tmp_path):
     root = str(tmp_path / "lk")
     t = LakeTable.create(root, schema, bucket_count=2)
     lock = _os.path.join(t.meta_dir, "commit.lock")
-    with open(lock, "w") as f:
-        f.write("1")       # pid 1 is alive: a concurrent in-flight commit
-    with pytest.raises(LakeTableError, match="commit lock"):
-        t.commit(epoch=0, keep_files=[], new_files=[], lineage={})
-    with open(lock, "w") as f:
-        f.write("999999")  # dead pid: stale lock from a crashed writer
+    holder = subprocess.Popen(
+        [sys.executable, "-c",
+         "import fcntl, os, sys, time\n"
+         f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "print('locked', flush=True)\n"
+         "time.sleep(120)\n"],
+        stdout=subprocess.PIPE)
+    try:
+        assert holder.stdout.readline().strip() == b"locked"
+        with pytest.raises(LakeTableError, match="commit lock"):
+            t.commit(epoch=0, keep_files=[], new_files=[], lineage={})
+        # maintenance contends for the same lock
+        with pytest.raises(LakeTableError, match="commit lock"):
+            t.expire_snapshots(keep_last=1)
+    finally:
+        holder.kill()       # crash: no unlock, no cleanup
+        holder.wait()
     assert t.commit(epoch=0, keep_files=[], new_files=[], lineage={}) == 1
-    assert not _os.path.exists(lock)
+
+
+def test_expire_grace_window_protects_inflight_staging(tmp_path):
+    """expire_snapshots must not delete files staged by an in-flight
+    commit (written to data/ but referenced by no snapshot yet): fresh
+    unreferenced files survive the grace window; old true orphans and
+    files referenced only by EXPIRED snapshots are removed."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    import os as _os
+
+    schema = StructType([StructField("conv_id", StringType())])
+    root = str(tmp_path / "gr")
+    t = LakeTable.create(root, schema, bucket_count=2)
+    # v1 references a file; v2 drops it (so it becomes expired-referenced)
+    d = _os.path.join(root, "data", "v1", "bucket=0")
+    _os.makedirs(d)
+    superseded = _os.path.join(d, "part-00000.parquet")
+    open(superseded, "wb").close()
+    t.commit(epoch=0, keep_files=[], lineage={}, new_files=[
+        {"path": "data/v1/bucket=0/part-00000.parquet", "bucket": 0,
+         "schema_id": None, "rows": 0}])
+    t.commit(epoch=1, keep_files=[], new_files=[], lineage={})
+    t.commit(epoch=2, keep_files=[], new_files=[], lineage={})
+    # a fresh unreferenced file = in-flight commit staging
+    staged = _os.path.join(root, "data", "v9", "bucket=1",
+                           "part-00000.parquet")
+    _os.makedirs(_os.path.dirname(staged))
+    open(staged, "wb").close()
+    # an OLD unreferenced file = crash orphan
+    orphan = _os.path.join(root, "data", "v9", "bucket=1",
+                           "part-00001.parquet")
+    open(orphan, "wb").close()
+    old = (int(__import__("time").time()) - 3600)
+    _os.utime(orphan, (old, old))
+    stats = t.expire_snapshots(keep_last=2)   # default 10-min grace
+    assert not _os.path.exists(superseded)    # expired-referenced: gone
+    assert _os.path.exists(staged)            # fresh unreferenced: kept
+    assert not _os.path.exists(orphan)        # old orphan: gone
+    assert stats["removed_data_files"] == 2
+    # grace 0 treats any unreferenced file as an orphan
+    t.expire_snapshots(keep_last=2, orphan_grace_ms=0)
+    assert not _os.path.exists(staged)
