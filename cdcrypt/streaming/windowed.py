@@ -79,19 +79,26 @@ def _track_session(key: tuple, pdfs: Iterator[pd.DataFrame],
         n, first_us, last_us, mx = 0, None, None, None
     for pdf in pdfs:
         n += len(pdf)
-        ts_us = (pdf["ts"].astype("int64") // 1000)  # ns -> us
-        lo, hi = int(ts_us.min()), int(ts_us.max())
-        first_us = lo if first_us is None else min(first_us, lo)
-        last_us = hi if last_us is None else max(last_us, hi)
+        # null ts must not poison the bounds: .astype('int64') turns NaT
+        # into int64-min silently — drop nulls BEFORE the ns->us view
+        ts = pdf["ts"].dropna()
+        if len(ts):
+            ts_us = ts.astype("int64") // 1000  # ns -> us
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
         if "op_seq" in pdf:
-            m = int(pdf["op_seq"].max())
-            mx = m if mx is None else max(mx, m)
+            m = pdf["op_seq"].max()  # NaN when the chunk is all-null
+            if pd.notna(m):
+                mx = int(m) if mx is None else max(mx, int(m))
     state.update((n, first_us, last_us, mx))
     yield pd.DataFrame([{
         "conv_id": key[0],
         "n_turns": n,
-        "first_ts": pd.Timestamp(first_us, unit="us"),
-        "last_ts": pd.Timestamp(last_us, unit="us"),
+        "first_ts": (pd.Timestamp(first_us, unit="us")
+                     if first_us is not None else pd.NaT),
+        "last_ts": (pd.Timestamp(last_us, unit="us")
+                    if last_us is not None else pd.NaT),
         "max_op_seq": mx,
     }])
 

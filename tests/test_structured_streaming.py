@@ -139,3 +139,37 @@ def test_stateful_sessions_accumulate_across_batches(
         e = exp[cid]
         assert (r.n_turns, r.first_ts, r.last_ts, r.max_op_seq) == \
             (e.n_turns, e.first_ts, e.last_ts, e.max_op_seq), cid
+
+
+def test_track_session_tolerates_null_ts_and_op_seq():
+    """NaT ts must not corrupt first_ts via the int64-min view and an
+    all-null op_seq chunk must not raise ValueError (ADVICE r2)."""
+    import pandas as pd
+
+    from cdcrypt.streaming.windowed import _track_session
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    st = FakeState()
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([None, "2026-01-02 03:04:05", None]),
+        "op_seq": pd.array([None, None, None], dtype="Int64"),
+    })
+    out = next(_track_session(("c1",), iter([pdf]), st))
+    assert out.loc[0, "n_turns"] == 3
+    assert out.loc[0, "first_ts"] == pd.Timestamp("2026-01-02 03:04:05")
+    assert out.loc[0, "last_ts"] == pd.Timestamp("2026-01-02 03:04:05")
+    n, first_us, last_us, mx = st.value
+    assert n == 3 and mx is None and first_us == last_us
+
+    # all-null ts chunk: bounds stay None, emission NaT, no exception
+    st2 = FakeState()
+    pdf2 = pd.DataFrame({"ts": pd.to_datetime([pd.NaT, pd.NaT]),
+                         "op_seq": pd.array([None, 7], dtype="Int64")})
+    out2 = next(_track_session(("c2",), iter([pdf2]), st2))
+    assert pd.isna(out2.loc[0, "first_ts"])
+    assert st2.value == (2, None, None, 7)
