@@ -422,12 +422,16 @@ def _q_ann_ivf(spark, sf_dir):
 def _q_multimodal_features(spark, sf_dir):
     # real struct-parsed header probes (PNG IHDR, WAV RIFF/fmt/data, MP4 box
     # walk) over synthesized-but-valid container bytes; the oracle derives
-    # every header field from (doc_id, byte length) — the synthesis contract
+    # every header field from (doc_id, byte length) — the synthesis
+    # contract — and replays the REAL int16 PCM stats (rms/peak/silence)
+    # by hex-parsing the same bytes in SQL: integer-exact sums, so the
+    # rounded doubles match bit-for-bit
     from cdcrypt.operators.multimodal import attach_fake_media, extract_media_features
     docs = _t(spark, sf_dir, "documents")
     feats = extract_media_features(attach_fake_media(docs))
     return feats.select("doc_id", "media_type", "byte_len", "n_frames",
-                        "width", "height", "sample_rate", "duration_s")
+                        "width", "height", "sample_rate", "duration_s",
+                        "pcm_rms", "pcm_peak", "pcm_silence_ratio")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -876,7 +880,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         # replicates the synthesis contract of attach_fake_media + the real
         # header probes: PNG = sig(8)+IHDR(25)+IDAT(12+t)+IEND(12);
-        # WAV = RIFF(12)+fmt(24)+data(8+aligned); MP4 = ftyp(16)+mdat(8+t)
+        # WAV = RIFF(12)+fmt(24)+data(8+aligned); MP4 = ftyp(16)+mdat(8+t).
+        # PCM stats: the WAV data chunk IS the doc's utf-8 bytes, so the
+        # oracle hex-parses them into the same little-endian int16 samples
+        # the numpy probe reads; squared-sample sum / peak / silence count
+        # are integer-exact, making the rounded doubles bit-identical.
         "multimodal_features": """
             SELECT doc_id,
               CASE doc_id % 3 WHEN 0 THEN 'image/png'
@@ -897,13 +905,35 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN doc_id % 3 = 1 THEN rate END
                    AS INTEGER) AS sample_rate,
               CASE WHEN doc_id % 3 = 1 THEN round((t // ba) / rate, 6) END
-                AS duration_s
+                AS duration_s,
+              CASE WHEN doc_id % 3 = 1 AND ns > 0 THEN
+                round(sqrt(CAST(list_sum(list_transform(vs, v -> v * v))
+                                AS DOUBLE) / ns), 6) END AS pcm_rms,
+              CAST(CASE WHEN doc_id % 3 = 1 AND ns > 0 THEN
+                list_max(list_transform(vs, v -> abs(v))) END
+                AS INTEGER) AS pcm_peak,
+              CASE WHEN doc_id % 3 = 1 AND ns > 0 THEN
+                round(len(list_filter(vs, v -> abs(v) <= 327)) / ns, 6)
+                END AS pcm_silence_ratio
             FROM (
-              SELECT doc_id,
-                     octet_length(encode(COALESCE(text, ''))) AS t,
-                     CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 10000
-                          WHEN 2 THEN 20000 ELSE 40000 END AS rate,
-                     (1 + doc_id % 2) * 2 AS ba
-              FROM documents)
+              SELECT *,
+                     CASE WHEN doc_id % 3 = 1 AND ns > 0 THEN
+                       [CASE WHEN u > 32767 THEN u - 65536 ELSE u END
+                        FOR u IN [
+                          ('0x' || substr(hx, 4*i + 1, 2))::BIGINT
+                          + 256 * ('0x' || substr(hx, 4*i + 3, 2))::BIGINT
+                          FOR i IN range(0, ns)]]
+                     ELSE [] END AS vs
+              FROM (
+                SELECT doc_id,
+                       octet_length(encode(COALESCE(text, ''))) AS t,
+                       hex(encode(COALESCE(text, ''))) AS hx,
+                       CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 10000
+                            WHEN 2 THEN 20000 ELSE 40000 END AS rate,
+                       (1 + doc_id % 2) * 2 AS ba,
+                       ((octet_length(encode(COALESCE(text, '')))
+                         // ((1 + doc_id % 2) * 2))
+                        * ((1 + doc_id % 2) * 2)) // 2 AS ns
+                FROM documents))
         """,
     }

@@ -7,24 +7,44 @@ Python or driver-side loops do not survive 100 TB).
 
 The header probes are REAL (pure ``struct`` on bytes, no codecs needed):
 PNG signature + IHDR width/height/bit-depth, WAV RIFF/fmt/data sample rate,
-channels and frame count, and an ISO-BMFF box walk for MP4. Only the
-*content* decode (pixel data, PCM samples, video frames) would need
-PIL/soundfile/av, which this container lacks — that single step is a
-declared stub: MP4 ``n_frames`` is a sampling estimate from the mdat size
-(``_MP4_FRAME_STRIDE``), clearly marked below.
+channels and frame count, and an ISO-BMFF box walk for MP4. Content
+decoding is real wherever the stdlib suffices:
+
+- WAV audio stats (``pcm_rms`` / ``pcm_peak`` / ``pcm_silence_ratio``) are
+  computed from the actual int16 samples of the ``data`` chunk with numpy —
+  any int16 stream IS valid PCM, no codec involved. The squared-sample sum
+  and silence count are integer-exact, so the DuckDB oracle reproduces the
+  rounded doubles bit-for-bit (hex-parse the bytes, same integer sums,
+  one identical double divide + sqrt).
+- PNG pixel data: with ``attach_fake_media(real_pixels=True)`` the IDAT is
+  a genuine zlib stream of filter-0 RGBA scanlines (stdlib ``zlib``), and
+  :func:`resize_images` performs a REAL nearest-neighbor resample
+  (decompress -> index rows/cols -> recompress). Undecodable IDAT
+  (foreign filters, bit depths != 8, or the SQL-contract synthesis mode)
+  falls back to header-only surgery — that fallback is the declared
+  remaining stub.
+- MP4 frame extraction would need a demuxer (``av``), which this container
+  lacks: ``n_frames`` stays a sampling estimate from the mdat size
+  (``_MP4_FRAME_STRIDE``), clearly marked below.
 
 ``attach_fake_media`` synthesizes deterministic, VALID container bytes from
 each doc (real 8-byte PNG signature and chunk CRC-less layout aside — CRCs
 are zeroed, which the probe does not check, as a streaming prober must not
-anyway), so tests and the DuckDB oracle can derive the expected header
-fields from ``doc_id`` alone.
+anyway). Default mode keeps every header field AND the byte length a pure
+function of (doc_id, len(text)) so the driver's DuckDB oracle can verify
+the probe output; ``real_pixels=True`` trades the byte-length contract for
+genuine decodable pixel content (zlib output length is not expressible in
+SQL).
 """
 
 from __future__ import annotations
 
+import math
 import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +62,9 @@ FEATURE_SCHEMA = StructType([
     StructField("height", IntegerType(), True),       # PNG
     StructField("sample_rate", IntegerType(), True),  # WAV
     StructField("duration_s", DoubleType(), True),    # WAV
+    StructField("pcm_rms", DoubleType(), True),           # WAV (real PCM)
+    StructField("pcm_peak", IntegerType(), True),         # WAV (real PCM)
+    StructField("pcm_silence_ratio", DoubleType(), True),  # WAV (real PCM)
     StructField("features", ArrayType(FloatType()), True),
 ])
 
@@ -50,6 +73,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # round(x, 6) is then tie-free and engine-independent (oracle parity)
 _WAV_RATES = (8000, 10000, 20000, 40000)
 _MP4_FRAME_STRIDE = 256  # STUB: frames estimated as mdat_len // stride
+# |sample| <= this counts as silence (~1% of int16 full scale); integer so
+# the oracle's count matches exactly
+PCM_SILENCE_THRESH = 327
 
 
 # ---- deterministic synthesis (test/bench input; doc_id-derived headers) ----
@@ -63,14 +89,41 @@ def _wav_params(doc_id: int) -> tuple[int, int]:
     return _WAV_RATES[doc_id % 4], 1 + doc_id % 2
 
 
-def _synth_png(doc_id: int, payload: bytes) -> bytes:
-    w, h = _png_dims(doc_id)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+def _png_rgba_pixels(doc_id: int, payload: bytes, w: int, h: int) -> "np.ndarray":
+    """Deterministic (h, w, 4) uint8 pixel array: the payload bytes tiled
+    over the image — content derived from the doc, like a real thumbnail."""
+    src = payload or b"\x00"
+    need = w * h * 4
+    reps = need // len(src) + 1
+    return np.frombuffer((src * reps)[:need], dtype=np.uint8).reshape(h, w, 4)
+
+
+def _assemble_png(w: int, h: int, depth: int, color: int,
+                  idat: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     out = [_PNG_SIG,
            struct.pack(">I", len(ihdr)), b"IHDR", ihdr, b"\0\0\0\0",
-           struct.pack(">I", len(payload)), b"IDAT", payload, b"\0\0\0\0",
+           struct.pack(">I", len(idat)), b"IDAT", idat, b"\0\0\0\0",
            struct.pack(">I", 0), b"IEND", b"\0\0\0\0"]
     return b"".join(out)
+
+
+def _synth_png(doc_id: int, payload: bytes,
+               real_pixels: bool = False) -> bytes:
+    w, h = _png_dims(doc_id)
+    if real_pixels:
+        # genuine zlib stream of filter-0 RGBA scanlines — decodable with
+        # stdlib zlib, so resize_images can really resample it
+        pix = _png_rgba_pixels(doc_id, payload, w, h)
+        scan = np.concatenate(
+            [np.zeros((h, 1), np.uint8), pix.reshape(h, w * 4)], axis=1)
+        idat = zlib.compress(scan.tobytes(), 6)
+    else:
+        # SQL-contract mode: IDAT = raw payload so the container's byte
+        # length stays a pure function of (doc_id, len(text)) for the
+        # DuckDB oracle
+        idat = payload
+    return _assemble_png(w, h, 8, 6, idat)
 
 
 def _synth_wav(doc_id: int, payload: bytes) -> bytes:
@@ -93,14 +146,18 @@ def _synth_mp4(doc_id: int, payload: bytes) -> bytes:
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      real_pixels: bool = False) -> DataFrame:
     """Test/bench helper: wrap each doc's utf-8 bytes inside a VALID media
     container (PNG / WAV / MP4 by doc_id % 3) with doc_id-derived header
     fields — the shape a real ingest would produce from object storage.
 
     Container synthesis runs in the same mapInPandas stage as any downstream
-    probe (one Python crossing), and every header value is a pure function
-    of (doc_id, len(text)) so oracles can verify the probe output."""
+    probe (one Python crossing). Default: every header value AND the blob
+    length are pure functions of (doc_id, len(text)) so oracles can verify
+    the probe output in SQL. ``real_pixels=True``: PNG IDAT becomes a
+    genuine zlib scanline stream (decodable; byte length no longer
+    SQL-derivable). WAV data is raw int16 PCM in both modes."""
     media_type = (
         F.when(F.col(id_col) % 3 == 0, "image/png")
         .when(F.col(id_col) % 3 == 1, "audio/wav")
@@ -117,8 +174,11 @@ def attach_fake_media(df: DataFrame, text_col: str = "text",
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        synth = {"image/png": _synth_png, "audio/wav": _synth_wav,
-                 "video/mp4": _synth_mp4}
+        synth = {
+            "image/png": lambda i, p: _synth_png(i, p, real_pixels),
+            "audio/wav": _synth_wav,
+            "video/mp4": _synth_mp4,
+        }
         for pdf in batches:
             blobs = [synth[mt](int(i), bytes(p))
                      for i, mt, p in zip(pdf["doc_id"], pdf["media_type"],
@@ -149,6 +209,7 @@ def _probe_png(data: bytes) -> dict:
         off += 12 + length
     return {"n_frames": 1, "width": w, "height": h,
             "sample_rate": None, "duration_s": None,
+            "pcm_rms": None, "pcm_peak": None, "pcm_silence_ratio": None,
             "features": [float(w), float(h), float(depth), float(n_chunks)]}
 
 
@@ -158,6 +219,7 @@ def _probe_wav(data: bytes) -> dict:
     off = 12
     rate = channels = bits = block_align = 0
     data_len = 0
+    pcm = b""
     while off + 8 <= len(data):
         cid = data[off: off + 4]
         (clen,) = struct.unpack_from("<I", data, off + 4)
@@ -166,11 +228,28 @@ def _probe_wav(data: bytes) -> dict:
                 "<HHIIHH", data, off + 8)
         elif cid == b"data":
             data_len = clen
+            pcm = data[off + 8: off + 8 + clen]
         off += 8 + clen + (clen & 1)
     frames = data_len // block_align if block_align else 0
     duration = frames / rate if rate else 0.0
+    # REAL audio stats over the actual int16 samples (numpy, no codec —
+    # PCM is just integers). The squared-sample sum and silence count are
+    # integer-exact, so round(sqrt(sum_sq/n), 6) is reproducible
+    # bit-for-bit by any engine doing the same integer sums (the gate
+    # oracle hex-parses the bytes in SQL).
+    rms = peak = silence = None
+    if bits == 16 and len(pcm) >= 2:
+        samples = np.frombuffer(
+            pcm[: len(pcm) - (len(pcm) % 2)], dtype="<i2").astype(np.int64)
+        n = int(samples.size)
+        sum_sq = int((samples * samples).sum())
+        rms = round(math.sqrt(sum_sq / n), 6)
+        peak = int(np.abs(samples).max())
+        silence = round(
+            int((np.abs(samples) <= PCM_SILENCE_THRESH).sum()) / n, 6)
     return {"n_frames": frames, "width": None, "height": None,
             "sample_rate": rate, "duration_s": round(duration, 6),
+            "pcm_rms": rms, "pcm_peak": peak, "pcm_silence_ratio": silence,
             "features": [float(rate), float(channels), float(bits),
                          float(round(duration, 6))]}
 
@@ -194,15 +273,73 @@ def _probe_mp4(data: bytes) -> dict:
     frames = max(1, mdat_len // _MP4_FRAME_STRIDE) if mdat_len else 1
     return {"n_frames": frames, "width": None, "height": None,
             "sample_rate": None, "duration_s": None,
+            "pcm_rms": None, "pcm_peak": None, "pcm_silence_ratio": None,
             "features": [float(len(boxes)), float(mdat_len), 0.0, 0.0]}
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_parse(b: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """(w, h, depth, color, concatenated IDAT) — None when malformed."""
+    if len(b) < 33 or b[:8] != _PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    try:
+        w, h, depth, color = struct.unpack_from(">IIBB", b, 16)
+    except struct.error:
+        return None
+    idat = []
+    off = 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, off)
+        if b[off + 4: off + 8] == b"IDAT":
+            idat.append(b[off + 8: off + 8 + length])
+        off += 12 + length
+    return w, h, depth, color, b"".join(idat)
+
+
+def _png_resample(b: bytes, w2: int, h2: int) -> bytes | None:
+    """REAL nearest-neighbor resample of a filter-0 8-bit PNG: decompress
+    the IDAT scanlines, index rows/cols, recompress. Returns None when the
+    content is not decodable this way (foreign filters/depths, or IDAT is
+    not a zlib stream — the SQL-contract synthesis mode); callers then
+    fall back to header-only surgery, the declared remaining stub."""
+    parsed = _png_parse(b)
+    if parsed is None:
+        return None
+    w, h, depth, color, idat = parsed
+    ch = _PNG_CHANNELS.get(color)
+    if depth != 8 or ch is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = 1 + w * ch
+    if len(raw) != h * stride:
+        return None
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    if arr[:, 0].any():          # only filter type 0 is unfiltered
+        return None
+    pix = arr[:, 1:].reshape(h, w, ch)
+    rows = (np.arange(h2) * h) // h2
+    cols = (np.arange(w2) * w) // w2
+    out = pix[rows][:, cols]
+    scan = np.concatenate(
+        [np.zeros((h2, 1), np.uint8), out.reshape(h2, w2 * ch)], axis=1)
+    return _assemble_png(w2, h2, depth, color, zlib.compress(scan.tobytes(), 6))
+
+
 def resize_images(df: DataFrame, max_side: int) -> DataFrame:
-    """Scale PNG dimensions so the longer side is <= ``max_side``
-    (aspect-preserving). HEADER surgery is real (`IHDR` bytes rewritten,
-    struct-parsed round-trip verified in tests); PIXEL resampling is the
-    declared STUB — a real deployment swaps the payload passthrough for
-    PIL inside the same batch loop. Non-PNG rows pass through unchanged.
+    """Scale PNGs so the longer side is <= ``max_side`` (aspect-preserving).
+
+    Decodable filter-0 8-bit images get a REAL nearest-neighbor pixel
+    resample (:func:`_png_resample`, stdlib zlib + numpy). Undecodable
+    pixel content falls back to header-only IHDR surgery — the declared
+    remaining stub (real deployments swap in PIL for interlaced /
+    filtered inputs). Non-PNG, truncated (<33 bytes), or IHDR-less blobs
+    pass through unchanged with null dims — one bad blob must not kill
+    the job (same policy as extract_media_features).
 
     Output adds (width, height) of the (possibly rewritten) container.
     """
@@ -219,18 +356,22 @@ def resize_images(df: DataFrame, max_side: int) -> DataFrame:
             blobs, widths, heights = [], [], []
             for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
                 b = bytes(data) if data is not None else b""
-                if mt != "image/png" or b[:8] != _PNG_SIG:
+                if mt != "image/png" or _png_parse(b) is None:
                     blobs.append(b or None)
                     widths.append(None)
                     heights.append(None)
                     continue
                 w, h = struct.unpack_from(">II", b, 16)  # IHDR w/h
-                scale = max_side / max(w, h)
+                scale = max_side / max(w, h, 1)
                 if scale < 1.0:
                     w2 = max(1, int(w * scale))
                     h2 = max(1, int(h * scale))
-                    # real header rewrite; STUB: payload not resampled
-                    b = b[:16] + struct.pack(">II", w2, h2) + b[24:]
+                    resampled = _png_resample(b, w2, h2)
+                    if resampled is not None:
+                        b = resampled
+                    else:
+                        # header-only fallback (declared stub path)
+                        b = b[:16] + struct.pack(">II", w2, h2) + b[24:]
                     w, h = w2, h2
                 blobs.append(b)
                 widths.append(w)
@@ -304,12 +445,15 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     # truncated containers — those yield a null-feature row (byte_len
     # preserved), never a task failure; one bad blob must not kill the job
     _null_probe = {"n_frames": 0, "width": None, "height": None,
-                   "sample_rate": None, "duration_s": None, "features": []}
+                   "sample_rate": None, "duration_s": None,
+                   "pcm_rms": None, "pcm_peak": None,
+                   "pcm_silence_ratio": None, "features": []}
+    _keys = ("n_frames", "width", "height", "sample_rate", "duration_s",
+             "pcm_rms", "pcm_peak", "pcm_silence_ratio", "features")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in ("byte_len", "n_frames", "width", "height",
-                                    "sample_rate", "duration_s", "features")}
+            rows = {k: [] for k in ("byte_len",) + _keys}
             for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
                 b = bytes(data) if data is not None else b""
                 probe = probes.get(mt)
@@ -318,8 +462,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 except (ValueError, struct.error):
                     r = _null_probe
                 rows["byte_len"].append(len(b))
-                for k in ("n_frames", "width", "height", "sample_rate",
-                          "duration_s", "features"):
+                for k in _keys:
                     rows[k].append(r[k])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -330,6 +473,10 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 "height": pd.Series(rows["height"], dtype="Int32"),
                 "sample_rate": pd.Series(rows["sample_rate"], dtype="Int32"),
                 "duration_s": pd.Series(rows["duration_s"], dtype="float64"),
+                "pcm_rms": pd.Series(rows["pcm_rms"], dtype="float64"),
+                "pcm_peak": pd.Series(rows["pcm_peak"], dtype="Int32"),
+                "pcm_silence_ratio": pd.Series(rows["pcm_silence_ratio"],
+                                               dtype="float64"),
                 "features": rows["features"],
             })
 

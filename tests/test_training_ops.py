@@ -334,6 +334,90 @@ def test_resize_images_header_surgery(spark, docs):
     assert out[4].width is None and bytes(out[4].media_bytes)[:4] == b"RIFF"
 
 
+def test_resize_images_real_resample_roundtrip(spark, docs):
+    """real_pixels=True synthesizes a genuine zlib RGBA scanline stream;
+    resize_images then REALLY resamples: the output IDAT decompresses to
+    the new dimensions and pixels equal the nearest-neighbor selection of
+    the source pixels (not just rewritten header numbers)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cdcrypt.operators.multimodal import (
+        _png_dims, _png_rgba_pixels, resize_images)
+
+    media = attach_fake_media(docs.where(F.col("text").isNotNull()),
+                              real_pixels=True)
+    out = {r.doc_id: r for r in resize_images(media, max_side=32).collect()}
+    r0 = out[0]
+    b = bytes(r0.media_bytes)
+    w2, h2 = struct.unpack_from(">II", b, 16)
+    assert (w2, h2) == (r0.width, r0.height) and max(w2, h2) <= 32
+    # locate IDAT and decompress: the pixel payload really has new dims
+    off, idat = 8, b""
+    while off + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, off)
+        if b[off + 4: off + 8] == b"IDAT":
+            idat = b[off + 8: off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    assert len(raw) == h2 * (1 + w2 * 4)
+    got = np.frombuffer(raw, np.uint8).reshape(h2, 1 + w2 * 4)[:, 1:]
+    got = got.reshape(h2, w2, 4)
+    # nearest-neighbor ground truth from the deterministic source pixels
+    w, h = _png_dims(0)
+    src = _png_rgba_pixels(0, BASE.encode(), w, h)
+    rows = (np.arange(h2) * h) // h2
+    cols = (np.arange(w2) * w) // w2
+    assert np.array_equal(got, src[rows][:, cols])
+
+
+def test_resize_images_guards_malformed_png(spark):
+    """A valid 8-byte PNG signature with <24 bytes, or a non-IHDR first
+    chunk, must pass through unchanged — not raise struct.error or emit
+    garbage dims (ADVICE r2)."""
+    from cdcrypt.operators.multimodal import _PNG_SIG, resize_images
+
+    short = _PNG_SIG + b"\x00\x01"
+    wrong = _PNG_SIG + b"\x00\x00\x00\x04" + b"ABCD" + b"\x00" * 8
+    rows = [(1, "image/png", short), (2, "image/png", wrong),
+            (3, "image/png", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, media_bytes binary")
+    out = {r.doc_id: r for r in resize_images(df, max_side=16).collect()}
+    assert bytes(out[1].media_bytes) == short and out[1].width is None
+    assert bytes(out[2].media_bytes) == wrong and out[2].width is None
+    assert out[3].media_bytes is None and out[3].width is None
+
+
+def test_wav_pcm_stats_are_real(spark, docs):
+    """pcm_rms/pcm_peak/pcm_silence_ratio come from the ACTUAL int16
+    samples of the data chunk — verified against an independent numpy
+    computation on the raw text bytes."""
+    import math
+
+    import numpy as np
+
+    from cdcrypt.operators.multimodal import PCM_SILENCE_THRESH, _wav_params
+
+    media = attach_fake_media(docs.where(F.col("text").isNotNull()))
+    feats = {r.doc_id: r for r in extract_media_features(media).collect()}
+    r = feats[4]                      # doc 4 is audio/wav
+    assert r.media_type == "audio/wav"
+    _, ch = _wav_params(4)
+    payload = "日本語のドキュメントです。テスト用のテキスト。".encode()
+    ba = ch * 2
+    data = payload[: (len(payload) // ba) * ba]
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    assert r.pcm_peak == int(np.abs(s).max())
+    assert r.pcm_rms == round(math.sqrt(int((s * s).sum()) / s.size), 6)
+    assert r.pcm_silence_ratio == round(
+        int((np.abs(s) <= PCM_SILENCE_THRESH).sum()) / s.size, 6)
+    # non-audio rows carry nulls
+    assert feats[0].pcm_rms is None and feats[0].pcm_peak is None
+
+
 def test_sample_video_frames_strided_explode(spark, docs):
     from cdcrypt.operators.multimodal import sample_video_frames
 
