@@ -419,6 +419,22 @@ def _q_ann_ivf(spark, sf_dir):
                         n_centroids=8, n_probe=8)
 
 
+def _q_ann_ivf_indexed(spark, sf_dir):
+    # persisted-index variant: build once (train + ONE base assignment
+    # pass into a cell-partitioned parquet artifact), then query it —
+    # the amortized shape repeated query batches need at corpus scale.
+    # Full probe == exact, same oracle as ann_ivf_topk.
+    import tempfile
+
+    from cdcrypt.operators.similarity import (
+        ann_ivf_topk_indexed, build_ivf_index)
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="cdcrypt_ivfidx_")
+    idx = build_ivf_index(emb, root, n_centroids=8)
+    return ann_ivf_topk_indexed(spark, idx, emb.where(F.col("vec_id") < 10),
+                                k=5, n_probe=8)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # real struct-parsed header probes (PNG IHDR, WAV RIFF/fmt/data, MP4 box
     # walk) over synthesized-but-valid container bytes; the oracle derives
@@ -460,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_indexed": _q_ann_ivf_indexed,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
     }
@@ -859,6 +876,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "ann_ivf_topk": """
+            SELECT query_id, neighbor_id, rank, sim FROM (
+              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                                DESC, b.vec_id ASC) AS rank
+              FROM embeddings q, embeddings b
+              WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id)
+            WHERE rank <= 5
+        """,
+        "ann_ivf_indexed": """
             SELECT query_id, neighbor_id, rank, sim FROM (
               SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
                      round(list_cosine_similarity(

@@ -240,6 +240,47 @@ def test_ann_ivf_full_probe_equals_exact(spark):
     assert ivf == exact  # probing every cell == brute force
 
 
+def test_ivf_index_build_once_query_many(spark, tmp_path):
+    """Persisted IVF index: ONE quantizer train + base assignment pass at
+    build; every query batch after that reads the artifact (plain parquet
+    scan of the inverted lists) — only the query side crosses the Arrow
+    boundary. Results identical to the rebuild-per-call operator."""
+    from cdcrypt.operators.similarity import (
+        ann_ivf_topk, ann_ivf_topk_indexed, build_ivf_index, cosine_topk)
+
+    emb = _clustered_embeddings(spark)
+    root = str(tmp_path / "ivf")
+    idx = build_ivf_index(emb, root, n_centroids=4, seed=42)
+    assert idx.n_centroids == 4 and idx.meta["dim"] == 8
+
+    def key(df):
+        return {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+                for r in df.collect()}
+
+    q1 = emb.where("vec_id < 5")
+    q2 = emb.where("vec_id >= 5 AND vec_id < 10")
+    # full probe == exact brute force, for BOTH batches against ONE build
+    assert key(ann_ivf_topk_indexed(spark, idx, q1, k=3, n_probe=4)) == \
+        key(cosine_topk(emb, q1, k=3))
+    r2 = ann_ivf_topk_indexed(spark, idx, q2, k=3, n_probe=4)
+    assert key(r2) == key(cosine_topk(emb, q2, k=3))
+    # pruned probing agrees with the rebuild-per-call operator (identical
+    # seed/train input -> identical centroids -> identical cells)
+    assert key(ann_ivf_topk_indexed(spark, idx, q1, k=3, n_probe=2)) == \
+        key(ann_ivf_topk(emb, q1, k=3, n_centroids=4, n_probe=2, seed=42))
+    # no second assignment pass: every Python-boundary op in the indexed
+    # plan is the QUERY-side cell assignment (reads qv); the base side is
+    # a plain parquet relation, never crossing into Python
+    plan = str(r2._jdf.queryExecution().optimizedPlan())
+    mip = [ln for ln in plan.splitlines() if "MapInPandas" in ln]
+    assert mip and all("qv" in ln for ln in mip)
+    assert not any("bv" in ln for ln in mip)
+    assert "parquet" in plan
+    # reopening from the path alone works (artifact is self-describing)
+    assert key(ann_ivf_topk_indexed(spark, root, q1, k=3, n_probe=4)) == \
+        key(cosine_topk(emb, q1, k=3))
+
+
 def test_kmeanspp_seed_linear_time_deterministic_and_spread():
     """Seeding maintains a running min-d2 vector — O(k·n·d), not the naive
     O(k^2·n·d): 4096 centroids over 20k x 64 vectors in seconds (the
