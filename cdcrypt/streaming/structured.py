@@ -70,11 +70,11 @@ class StructuredIngest(IngestPipeline):
         if batch_id <= table.committed_epoch:
             return  # SS redelivery after restart -> idempotent skip
         if self.cluster_strategy == "fused":
-            resolved = self._resolve(
-                repartition_by_bucket(batch_df, self.bucket_count))
+            resolved = self._resolve(repartition_by_bucket(
+                batch_df, self.bucket_count, self._bucket_by))
         else:
             resolved = repartition_by_bucket(
-                self._resolve(batch_df), self.bucket_count)
+                self._resolve(batch_df), self.bucket_count, self._bucket_by)
         encrypted = self._encryptor().apply(resolved)
         merge_upsert(
             spark, table, encrypted, epoch=batch_id,

@@ -47,23 +47,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-BUCKET_EXPR = "pmod(hash(conv_id), {b})"
+BUCKET_EXPR = "pmod(hash({col}), {b})"
+DEFAULT_BUCKET_BY = "conv_id"
+DEFAULT_KEY_COLS = ("conv_id", "turn_idx")
 
 
-def bucket_col(bucket_count: int):
-    """bucket(conv_id) = pmod(murmur3(conv_id), B) — deliberately the SAME
+def bucket_col(bucket_count: int, col: str = DEFAULT_BUCKET_BY):
+    """bucket(col) = pmod(murmur3(col), B) — deliberately the SAME
     function Spark's HashPartitioning uses, so ``df.repartition(B,
-    col('conv_id'))`` yields partition_id == bucket. Writers then emit plain
+    col(<col>))`` yields partition_id == bucket. Writers then emit plain
     parquet (no partitionBy => no per-task sort of wide rows) and the
     manifest derives each file's bucket from its ``part-NNNNN`` index.
     Verified in tests: spark_partition_id() == bucket_col for all rows."""
-    return F.pmod(F.hash(F.col("conv_id")), F.lit(bucket_count)).cast("int")
+    return F.pmod(F.hash(F.col(col)), F.lit(bucket_count)).cast("int")
 
 
-def repartition_by_bucket(df: DataFrame, bucket_count: int) -> DataFrame:
+def repartition_by_bucket(df: DataFrame, bucket_count: int,
+                          col: str = DEFAULT_BUCKET_BY) -> DataFrame:
     """Cluster rows so partition id == bucket id (one exchange; downstream
-    groupBy(conv_id, ...) reuses it — subset clustering satisfaction)."""
-    return df.repartition(bucket_count, F.col("conv_id"))
+    groupBy(col, ...) reuses it — subset clustering satisfaction)."""
+    return df.repartition(bucket_count, F.col(col))
 
 
 class LakeTableError(RuntimeError):
@@ -112,6 +115,17 @@ class LakeTable:
         return self.snapshot["bucket_count"]
 
     @property
+    def bucket_by(self) -> str:
+        """Partition column (pre-r3 snapshots default to conv_id)."""
+        return self.snapshot.get("bucket_by", DEFAULT_BUCKET_BY)
+
+    @property
+    def key_cols(self) -> list[str]:
+        """MERGE/resolution key columns (pre-r3 snapshots default to the
+        transcript key)."""
+        return list(self.snapshot.get("key_cols", DEFAULT_KEY_COLS))
+
+    @property
     def schema(self) -> StructType:
         sid = self.snapshot["schema_id"]
         for s in self.snapshot["schemas"]:
@@ -125,7 +139,14 @@ class LakeTable:
 
     # ---------- create ----------
     @classmethod
-    def create(cls, root: str, schema: StructType, bucket_count: int = 64) -> "LakeTable":
+    def create(cls, root: str, schema: StructType, bucket_count: int = 64,
+               bucket_by: str = DEFAULT_BUCKET_BY,
+               key_cols=DEFAULT_KEY_COLS) -> "LakeTable":
+        names = {f.name for f in schema.fields}
+        missing = [c for c in [bucket_by, *key_cols] if c not in names]
+        if missing:
+            raise LakeTableError(
+                f"bucket/key columns {missing} not in table schema")
         meta = os.path.join(root, "_meta")
         os.makedirs(meta, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -135,7 +156,9 @@ class LakeTable:
             "parent": None,
             "schema_id": 0,
             "schemas": [{"id": 0, "spark": schema.jsonValue()}],
-            "partition_spec": f"bucket(conv_id, {bucket_count})",
+            "partition_spec": f"bucket({bucket_by}, {bucket_count})",
+            "bucket_by": bucket_by,
+            "key_cols": list(key_cols),
             "bucket_count": bucket_count,
             "files": [],
             "committed_epoch": -1,
@@ -233,6 +256,8 @@ class LakeTable:
             "schema_id": schema_id,
             "schemas": schemas,
             "partition_spec": prev["partition_spec"],
+            "bucket_by": prev.get("bucket_by", DEFAULT_BUCKET_BY),
+            "key_cols": list(prev.get("key_cols", DEFAULT_KEY_COLS)),
             "bucket_count": prev["bucket_count"],
             "files": keep_files + new_files,
             "committed_epoch": epoch,
@@ -343,12 +368,14 @@ class LakeTable:
                 .withColumn("epoch", F.lit(-1).cast("long"))
             )
             delta = _scan(delta_fs, delta_schema)
-            resolved = resolve_latest_agg(base.unionByName(delta))
+            resolved = resolve_latest_agg(base.unionByName(delta),
+                                          key_cols=self.key_cols)
             df = resolved.where(
                 F.coalesce(F.col("op") != "D", F.lit(True))
             ).drop("op", "epoch").select(*[f.name for f in snap_schema.fields])
         if with_bucket:
-            df = df.withColumn("bucket", bucket_col(self.bucket_count))
+            df = df.withColumn(
+                "bucket", bucket_col(self.bucket_count, self.bucket_by))
         return df
 
     def total_rows(self) -> int:

@@ -180,7 +180,8 @@ def test_commit_lock_blocks_live_holder_and_releases_on_crash(tmp_path):
 
     schema = StructType([StructField("conv_id", StringType())])
     root = str(tmp_path / "lk")
-    t = LakeTable.create(root, schema, bucket_count=2)
+    t = LakeTable.create(root, schema, bucket_count=2,
+                         key_cols=("conv_id",))
     lock = _os.path.join(t.meta_dir, "commit.lock")
     holder = subprocess.Popen(
         [sys.executable, "-c",
@@ -214,7 +215,8 @@ def test_expire_grace_window_protects_inflight_staging(tmp_path):
 
     schema = StructType([StructField("conv_id", StringType())])
     root = str(tmp_path / "gr")
-    t = LakeTable.create(root, schema, bucket_count=2)
+    t = LakeTable.create(root, schema, bucket_count=2,
+                         key_cols=("conv_id",))
     # v1 references a file; v2 drops it (so it becomes expired-referenced)
     d = _os.path.join(root, "data", "v1", "bucket=0")
     _os.makedirs(d)
