@@ -52,6 +52,32 @@ def ensure_stream(sf_name: str, cpus: int, work_root: str) -> tuple[str, dict]:
         return stream_dir, json.load(f)
 
 
+def _probe_burn(sec: float) -> int:
+    import hashlib
+    import time as _time
+
+    h = b"x" * 1024
+    t0 = _time.time()
+    c = 0
+    while _time.time() - t0 < sec:
+        for _ in range(200):
+            h = hashlib.sha256(h).digest()
+        c += 200
+    return c
+
+
+def _supply_probe(procs: int = 8, sec: float = 0.5) -> float:
+    """sha256 ops/sec right now — the host's delivered-CPU indicator
+    (same probe as tools/scaling.py). Recorded per replay rep so the
+    headline number carries its supply context: this VM's supply swings
+    2-4x between identical runs, and a wall time without its probe is
+    uninterpretable (VERDICT r2 next #7)."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        return round(sum(p.map(_probe_burn, [sec] * procs)) / sec, 0)
+
+
 def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str,
                      stream_dir: str, stats: dict) -> dict:
     """Replay the stream REPS times (fresh table each; first run doubles as
@@ -61,7 +87,9 @@ def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str,
     reps = int(os.environ.get("CDCRYPT_BENCH_REPS", "2"))
     n_events = stats["events"]
     attempts = []
+    probes = []
     for rep in range(reps):
+        probes.append(_supply_probe())
         table_root = os.path.join(work_root, f"table_{sf_name}_{cpus}_{rep}")
         ckpt = os.path.join(work_root, f"ckpt_{sf_name}_{cpus}_{rep}")
         shutil.rmtree(table_root, ignore_errors=True)
@@ -97,6 +125,10 @@ def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str,
         "selection": "min",
         "replay_sec": round(wall, 2),
         "replay_walls_all_reps": [round(a[0], 2) for a in attempts],
+        # sha256 ops/sec measured immediately BEFORE each rep: pair each
+        # wall with the supply window it ran under (full supply on this
+        # host is ~35-45M/s; see BENCH/BASELINE.md + tools/scaling.py)
+        "supply_probe_per_rep": probes,
         "events_per_sec": round(n_events / wall, 1),
         "cold_events_per_sec": round(epoch_events / cold_sec, 1),
         "steady_events_per_sec": round(

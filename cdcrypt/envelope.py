@@ -200,6 +200,13 @@ def decrypt_batch(
     executor-local cache lives in the UDF module; pass a dict here for reuse
     across batches). ``expect_key_id`` mirrors the reference's master-key-id
     verification on decrypt (``AWSKeyManagementService.java:138-140``).
+
+    Data errors carry the failing batch row index (and the envelope's key
+    id once parsed) in the message and as ``exc.batch_index`` — the
+    reference's Vault client surfaces which batch item failed
+    (``VaultClientImpl.java:86-88``); without this, one corrupt envelope
+    in a 10k-row batch is undebuggable. Transient (server) errors
+    propagate unwrapped so retry routing is unaffected.
     """
     kms = kms or DEFAULT_KMS
     cache = dek_cache if dek_cache is not None else {}
@@ -210,48 +217,63 @@ def decrypt_batch(
         v = values[i]
         if v is None:
             continue
-        if isinstance(v, str):
-            try:
-                # tolerate MIME line breaks (JVM base64 producers chunk at 76
-                # chars); our own encoder never emits them
-                blob = base64.b64decode(v.replace("\r", "").replace("\n", ""),
-                                        validate=True)
-            except Exception as e:  # noqa: BLE001 - classified as data error
-                raise ClientErrorException(f"invalid base64 envelope: {e}") from e
-        else:
-            blob = bytes(v)
-        version, key_id, wrapped, nonce, ct = parse_envelope_full(blob)
-        if expect_key_id is not None and key_id != expect_key_id:
-            raise ClientErrorException(
-                f"envelope key id {key_id!r} != configured {expect_key_id!r}"
-            )
-        # convergent envelopes carry no wrapped DEK — cache by key id AND
-        # canonical context (the module-global worker cache serves every
-        # decrypt UDF in the process; omitting the context would poison
-        # decrypts across jobs using different contexts under one key id)
-        if version == _VERSION_DET:
-            from cdcrypt.kms import _canon_context
-            ckey = (b"\x03" + key_id.encode("utf-8") + b"\x00"
-                    + _canon_context(context))
-        else:
-            ckey = wrapped
-        gcm = cache.get(ckey)
-        if gcm is None:
-            if version == _VERSION_DET:
-                gcm = AESGCM(kms.derive_deterministic_dek(key_id, context))
-            elif version == _VERSION_ASYM:
-                # private key never leaves the KMS: one remote unwrap per
-                # distinct wrapped DEK per executor (C10)
-                gcm = AESGCM(kms.asym_unwrap(wrapped, key_id))
-            else:
-                gcm = AESGCM(kms.unwrap(wrapped, key_id, context))
-            cache[ckey] = gcm
-        ad = None
-        if aad is not None and aad[i] is not None:
-            ad = _to_plain_bytes(aad[i])
+        key_id: str | None = None
         try:
-            pt = gcm.decrypt(nonce, ct, ad)
-        except InvalidTag as e:
-            raise ClientErrorException("decrypt failed: AAD or ciphertext mismatch") from e
+            if isinstance(v, str):
+                try:
+                    # tolerate MIME line breaks (JVM base64 producers chunk
+                    # at 76 chars); our own encoder never emits them
+                    blob = base64.b64decode(
+                        v.replace("\r", "").replace("\n", ""), validate=True)
+                except Exception as e:  # noqa: BLE001 - data error
+                    raise ClientErrorException(
+                        f"invalid base64 envelope: {e}") from e
+            else:
+                blob = bytes(v)
+            version, key_id, wrapped, nonce, ct = parse_envelope_full(blob)
+            if expect_key_id is not None and key_id != expect_key_id:
+                raise ClientErrorException(
+                    f"envelope key id {key_id!r} != configured "
+                    f"{expect_key_id!r}")
+            # convergent envelopes carry no wrapped DEK — cache by key id
+            # AND canonical context (the module-global worker cache serves
+            # every decrypt UDF in the process; omitting the context would
+            # poison decrypts across jobs using different contexts under
+            # one key id)
+            if version == _VERSION_DET:
+                from cdcrypt.kms import _canon_context
+                ckey = (b"\x03" + key_id.encode("utf-8") + b"\x00"
+                        + _canon_context(context))
+            else:
+                ckey = wrapped
+            gcm = cache.get(ckey)
+            if gcm is None:
+                if version == _VERSION_DET:
+                    gcm = AESGCM(kms.derive_deterministic_dek(key_id, context))
+                elif version == _VERSION_ASYM:
+                    # private key never leaves the KMS: one remote unwrap
+                    # per distinct wrapped DEK per executor (C10)
+                    gcm = AESGCM(kms.asym_unwrap(wrapped, key_id))
+                else:
+                    gcm = AESGCM(kms.unwrap(wrapped, key_id, context))
+                cache[ckey] = gcm
+            ad = None
+            if aad is not None and aad[i] is not None:
+                ad = _to_plain_bytes(aad[i])
+            try:
+                pt = gcm.decrypt(nonce, ct, ad)
+            except InvalidTag as e:
+                raise ClientErrorException(
+                    "decrypt failed: AAD or ciphertext mismatch") from e
+        except ClientErrorException as e:
+            if getattr(e, "batch_index", None) is not None:
+                raise                      # already indexed (nested call)
+            where = f"batch item {i}"
+            if key_id is not None:
+                where += f" (key id {key_id!r})"
+            indexed = ClientErrorException(f"{where}: {e}")
+            indexed.batch_index = i
+            indexed.key_id = key_id
+            raise indexed from e
         out[i] = pt.decode("utf-8") if as_string else pt
     return out

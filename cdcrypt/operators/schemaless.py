@@ -36,20 +36,61 @@ _PAYLOAD = "__cdcrypt_payload"
 _WAS_NULL = "__cdcrypt_payload_null"
 
 
+def infer_payload_schema(df: DataFrame, json_col: str,
+                         sample: int = 1000) -> StructType:
+    """Runtime payload-type discovery — the reference's Map mode discovers
+    value types at runtime (``Transform.java:64-65``); this closes the gap
+    for JSON payloads arriving with no declared schema.
+
+    Samples up to ``sample`` non-null payload strings (a BOUNDED driver
+    collect, same contract as the IVF quantizer's training sample) and
+    lets Spark's own JSON inference unify their types. The inferred
+    schema is compiled once driver-side and then drives the same
+    vectorized ``from_json`` path as a caller-supplied schema — inference
+    cost is one small job at plan time, never per record.
+
+    Malformed JSON in the sample surfaces as ``ConfigError`` (FAILFAST
+    philosophy: fabricating an all-null payload for corrupt bytes is the
+    wrong failure mode for a byte-faithful pipeline)."""
+    spark = df.sparkSession
+    rows = (df.select(F.col(json_col).cast("string").alias("j"))
+            .where(F.col("j").isNotNull())
+            .limit(sample).collect())
+    if not rows:
+        raise ConfigError(
+            f"cannot infer payload schema: no non-null {json_col!r} "
+            "values in the sample")
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize([r[0] for r in rows]))
+    bad = [f.name for f in inferred.schema.fields
+           if f.name == "_corrupt_record"]
+    if bad:
+        raise ConfigError(
+            "malformed JSON in schema-inference sample (corrupt records "
+            "present); fix the payload or supply an explicit schema")
+    return inferred.schema
+
+
 def transform_json_payload(
     df: DataFrame,
     json_col: str,
-    schema: StructType | str,
+    schema: StructType | str | None,
     transform: FieldTransform,
+    infer_sample: int = 1000,
 ) -> DataFrame:
     """Parse ``json_col`` with ``schema``, apply ``transform`` to the
     promoted payload fields, re-serialize into ``json_col``.
+
+    ``schema=None`` discovers it from the data at plan time
+    (:func:`infer_payload_schema`) — the schemaless-Map analogue.
 
     The payload field names become top-level columns while the transform
     runs (field paths in the transform config address them as ``$.name``,
     exactly like the schema'd path), so they must not collide with the
     frame's other columns — a collision raises ``ConfigError`` rather than
     silently shadowing."""
+    if schema is None:
+        schema = infer_payload_schema(df, json_col, infer_sample)
     payload_schema = (
         schema if isinstance(schema, StructType)
         else StructType.fromDDL(schema)
@@ -83,18 +124,19 @@ def transform_json_payload(
 
 
 def encrypt_json_payload(df: DataFrame, json_col: str,
-                         schema: StructType | str, fields: list[str],
+                         schema: StructType | str | None, fields: list[str],
                          **kw) -> DataFrame:
-    """One-shot schemaless encrypt (``fields`` address the payload)."""
+    """One-shot schemaless encrypt (``fields`` address the payload;
+    ``schema=None`` infers it from the data)."""
     return transform_json_payload(
         df, json_col, schema,
         FieldTransform(TransformConfig(mode="encrypt", fields=fields, **kw)))
 
 
 def decrypt_json_payload(df: DataFrame, json_col: str,
-                         schema: StructType | str, fields: list[str],
+                         schema: StructType | str | None, fields: list[str],
                          **kw) -> DataFrame:
-    """One-shot schemaless decrypt."""
+    """One-shot schemaless decrypt (``schema=None`` infers)."""
     return transform_json_payload(
         df, json_col, schema,
         FieldTransform(TransformConfig(mode="decrypt", fields=fields, **kw)))

@@ -305,16 +305,36 @@ class IngestPipeline:
         return results
 
 
+def _py_root_cause_line(text: str) -> str | None:
+    """The raise line of the LAST Python traceback block embedded in a
+    Py4J/PySpark error string.
+
+    Traceback structure: frame lines after the ``Traceback (most recent
+    call last):`` marker are indented; the first FLUSH-LEFT line after
+    them is the exception's own line. Message continuation lines follow
+    it — so a multi-line *message* that embeds a line starting with a
+    qualified exception name can never be mistaken for the cause
+    (VERDICT r2 residual #5; the previous ``re.M`` search over the whole
+    string could)."""
+    lines = text.splitlines()
+    marks = [i for i, ln in enumerate(lines)
+             if ln.strip() == "Traceback (most recent call last):"]
+    if not marks:
+        return None
+    for ln in lines[marks[-1] + 1:]:
+        if not ln or ln[0] in " \t":
+            continue                      # indented frame / source lines
+        return ln
+    return None
+
+
 def _is_retriable(exc: Exception) -> bool:
     """O10 classification across the Py4J boundary.
 
     Driver-side raises are matched by type (isinstance over the cause
-    chain). Executor-side raises arrive as PySpark ``PythonException`` text
-    embedding the worker traceback; the ROOT-CAUSE line there starts with
-    the fully-qualified class name followed by ':', so match that anchored
-    pattern — a data error whose *message* merely mentions
-    "ServerErrorException" (e.g. a payload quoting a log line) no longer
-    misroutes to retry (round-1 ADVICE/VERDICT fix)."""
+    chain). Executor-side raises arrive as PySpark ``PythonException``
+    text embedding the worker traceback; retriable iff the ROOT-CAUSE
+    line of the LAST traceback block is a ServerErrorException."""
     from cdcrypt.errors import ServerErrorException
 
     seen: set[int] = set()
@@ -324,8 +344,9 @@ def _is_retriable(exc: Exception) -> bool:
             return True
         seen.add(id(e))
         e = e.__cause__ or e.__context__
-    return bool(re.search(
-        r"^\s*cdcrypt\.errors\.ServerErrorException\s*:", str(exc), re.M))
+    root = _py_root_cause_line(str(exc))
+    return root is not None and bool(re.match(
+        r"cdcrypt\.errors\.ServerErrorException\b\s*:?", root))
 
 
 def _main() -> None:

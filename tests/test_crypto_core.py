@@ -146,3 +146,30 @@ def test_key_rotation_mixed_envelopes_decrypt():
     from cdcrypt.errors import ClientErrorException
     with _pytest.raises(ClientErrorException, match="key id"):
         decrypt_batch(mixed, kms, expect_key_id="tenants/t1/v2")
+
+
+def test_decrypt_batch_reports_failing_item_index():
+    """One corrupt envelope in a batch surfaces ITS row index and key id
+    (VaultClientImpl.java:86-88 surfaces which batch item failed);
+    healthy neighbors are not blamed."""
+    kms = MockKMS()
+    enc = list(encrypt_batch(["a", "b", "c", "d"], KEY, kms))
+    blob = bytearray(base64.b64decode(enc[2]))
+    blob[-1] ^= 0x01                       # flip one ciphertext/tag bit
+    enc[2] = base64.b64encode(bytes(blob)).decode()
+    with pytest.raises(ClientErrorException) as ei:
+        decrypt_batch(enc, kms)
+    assert ei.value.batch_index == 2
+    assert ei.value.key_id == KEY
+    assert "batch item 2" in str(ei.value) and KEY in str(ei.value)
+    # malformed base64 is indexed too (key id unknown at that point)
+    enc2 = list(encrypt_batch(["a", "b"], KEY, kms))
+    enc2[1] = "!!not-base64!!"
+    with pytest.raises(ClientErrorException) as ei2:
+        decrypt_batch(enc2, kms)
+    assert ei2.value.batch_index == 1 and ei2.value.key_id is None
+    # wrong expected key id: index 0 (first non-null item checked)
+    with pytest.raises(ClientErrorException) as ei3:
+        decrypt_batch(encrypt_batch(["x"], KEY, kms), kms,
+                      expect_key_id="other/key")
+    assert ei3.value.batch_index == 0

@@ -204,6 +204,30 @@ def test_error_classifier_matches_root_cause_not_substring():
           '  File "udf.py", line 3, in core\n'
           "cdcrypt.errors.ServerErrorException: mock KMS unavailable\n")
     assert _is_retriable(FakePythonException(tb))
+    # a DATA error whose MULTI-LINE message embeds a line starting with
+    # the qualified server-error name must still abort: only the raise
+    # line of the last traceback block counts (VERDICT r2 residual #5)
+    tb_embed = (
+        "An exception was thrown from the Python worker.\n"
+        "Traceback (most recent call last):\n"
+        '  File "udf.py", line 3, in core\n'
+        "cdcrypt.errors.ClientErrorException: bad envelope; payload was:\n"
+        "cdcrypt.errors.ServerErrorException: quoted log line from data\n")
+    assert not _is_retriable(FakePythonException(tb_embed))
+    # chained tracebacks: the LAST block's raise line decides
+    tb_chain = (
+        "Traceback (most recent call last):\n"
+        '  File "udf.py", line 1, in outer\n'
+        "cdcrypt.errors.ServerErrorException: first attempt\n"
+        "\nDuring handling of the above exception, another exception "
+        "occurred:\n\n"
+        "Traceback (most recent call last):\n"
+        '  File "udf.py", line 9, in handler\n'
+        "cdcrypt.errors.ClientErrorException: corrupt row\n")
+    assert not _is_retriable(FakePythonException(tb_chain))
+    # no traceback marker at all -> conservative abort
+    assert not _is_retriable(FakePythonException(
+        "cdcrypt.errors.ServerErrorException: free-floating mention"))
 
 
 def test_jsonl_source_replays_to_identical_table(spark, stream_dir, tmp_path):

@@ -226,3 +226,51 @@ def test_schemaless_json_payload_roundtrip(spark):
     assert {v["userid"] for v in vals} == {"User_1", "User_2"}  # decrypted
     assert all(len(v["pageid"]) > 40 for v in vals)  # still ciphertext
     assert {v["viewtime"] for v in vals} == {91, 92}  # untouched passthrough
+
+
+def test_schemaless_inferred_schema_roundtrip(spark):
+    """Runtime type discovery (Transform.java:64-65): when NO payload
+    schema is supplied, infer_payload_schema samples the JSON strings and
+    unifies types; the inferred path then behaves identically to the
+    explicit-schema path. Malformed sample JSON and all-null payloads
+    raise ConfigError instead of fabricating nulls."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from cdcrypt.kms import MockKMS
+    from cdcrypt.operators.schemaless import (
+        decrypt_json_payload, encrypt_json_payload, infer_payload_schema)
+    from cdcrypt.operators.transform import ConfigError
+
+    raw = spark.createDataFrame(
+        [(1, '{"userid":"User_1","pageid":"Page_11","viewtime":91}'),
+         (2, '{"userid":"User_2","pageid":"Page_12","viewtime":92}'),
+         (3, None)],
+        "rec_id long, value string")
+    inferred = infer_payload_schema(raw, "value")
+    assert {f.name for f in inferred.fields} == \
+        {"userid", "pageid", "viewtime"}
+    assert dict((f.name, f.dataType.simpleString())
+                for f in inferred.fields)["viewtime"] == "bigint"
+    kms = MockKMS()
+    enc = encrypt_json_payload(raw, "value", None, ["$.userid"],
+                               key_id="k/infer", kms=kms)
+    dec = decrypt_json_payload(enc, "value", None, ["$.userid"],
+                               key_id="k/infer", kms=kms)
+    got = {r.rec_id: (_json.loads(r.value) if r.value is not None else None)
+           for r in dec.collect()}
+    assert got[1] == {"userid": "User_1", "pageid": "Page_11",
+                      "viewtime": 91}
+    assert got[2]["userid"] == "User_2" and got[3] is None
+    # ciphertext really was in place between the two steps
+    mid = {r.rec_id: r.value for r in enc.collect()}
+    assert "User_1" not in (mid[1] or "")
+    # malformed sample -> loud ConfigError (FAILFAST philosophy)
+    bad = spark.createDataFrame([('{"a": 1',)], "value string")
+    with _pytest.raises(ConfigError, match="malformed"):
+        infer_payload_schema(bad, "value")
+    # all-null payload -> loud ConfigError
+    nul = spark.createDataFrame([(None,)], "value string")
+    with _pytest.raises(ConfigError, match="no non-null"):
+        infer_payload_schema(nul, "value")
