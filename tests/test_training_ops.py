@@ -279,6 +279,19 @@ def test_ivf_index_build_once_query_many(spark, tmp_path):
     # reopening from the path alone works (artifact is self-describing)
     assert key(ann_ivf_topk_indexed(spark, root, q1, k=3, n_probe=4)) == \
         key(cosine_topk(emb, q1, k=3))
+    # probed-cell pruning: results identical with pruning on/off, and the
+    # pruned scan carries a real PartitionFilter (file-level skipping of
+    # unprobed cell=K directories)
+    pruned = ann_ivf_topk_indexed(spark, idx, q1, k=3, n_probe=1,
+                                  prune_cells=64)
+    unpruned = ann_ivf_topk_indexed(spark, idx, q1, k=3, n_probe=1,
+                                    prune_cells=None)
+    assert key(pruned) == key(unpruned)
+    phys = str(pruned._jdf.queryExecution().executedPlan())
+    scan = [ln for ln in phys.splitlines()
+            if "PartitionFilters" in ln and "cell" in ln]
+    assert scan and all("[]" not in ln.split("PartitionFilters")[1][:4]
+                        for ln in scan)
 
 
 def test_kmeanspp_seed_linear_time_deterministic_and_spread():
