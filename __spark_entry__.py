@@ -424,13 +424,22 @@ def _q_ann_ivf_indexed(spark, sf_dir):
     # pass into a cell-partitioned parquet artifact), then query it —
     # the amortized shape repeated query batches need at corpus scale.
     # Full probe == exact, same oracle as ann_ivf_topk.
+    import hashlib
+    import os
     import tempfile
 
     from cdcrypt.operators.similarity import (
-        ann_ivf_topk_indexed, build_ivf_index)
+        IvfIndex, ann_ivf_topk_indexed, build_ivf_index)
     emb = _t(spark, sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="cdcrypt_ivfidx_")
-    idx = build_ivf_index(emb, root, n_centroids=8)
+    # deterministic per-sf cache dir: build once, reuse across gate/bench
+    # invocations (a fresh mkdtemp per call leaked a full parquet copy of
+    # the embeddings table into /tmp on every run)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_ivfidx_{key}")
+    try:
+        idx = IvfIndex(root)
+    except Exception:
+        idx = build_ivf_index(emb, root, n_centroids=8)
     return ann_ivf_topk_indexed(spark, idx, emb.where(F.col("vec_id") < 10),
                                 k=5, n_probe=8)
 

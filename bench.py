@@ -74,7 +74,12 @@ def _supply_probe(procs: int = 8, sec: float = 0.5) -> float:
     uninterpretable (VERDICT r2 next #7)."""
     import multiprocessing as mp
 
-    with mp.Pool(procs) as p:
+    # spawn, not fork: this probe runs INSIDE the Spark driver process
+    # (py4j gateway + logging threads alive); fork-with-threads can clone
+    # a held lock into the child and deadlock the pool before _probe_burn
+    # ever runs. tools/scaling.py may fork safely — its parent holds no
+    # JVM — but here the children must start clean.
+    with mp.get_context("spawn").Pool(procs) as p:
         return round(sum(p.map(_probe_burn, [sec] * procs)) / sec, 0)
 
 

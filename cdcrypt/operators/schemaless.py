@@ -34,6 +34,7 @@ from cdcrypt.operators.transform import (
 
 _PAYLOAD = "__cdcrypt_payload"
 _WAS_NULL = "__cdcrypt_payload_null"
+_ORIG = "__cdcrypt_payload_orig"
 
 
 def infer_payload_schema(df: DataFrame, json_col: str,
@@ -77,6 +78,7 @@ def transform_json_payload(
     schema: StructType | str | None,
     transform: FieldTransform,
     infer_sample: int = 1000,
+    strict_fields: bool | None = None,
 ) -> DataFrame:
     """Parse ``json_col`` with ``schema``, apply ``transform`` to the
     promoted payload fields, re-serialize into ``json_col``.
@@ -84,11 +86,24 @@ def transform_json_payload(
     ``schema=None`` discovers it from the data at plan time
     (:func:`infer_payload_schema`) — the schemaless-Map analogue.
 
+    ``strict_fields`` guards against silent field loss: the repack
+    serializes only the schema's fields, so a payload key the schema
+    doesn't know (e.g. one that first appears AFTER the inference sample)
+    would vanish from the output. When strict, any such key raises at
+    execution (JVM-side ``json_object_keys`` check fused into the repack
+    projection — no extra pass). Defaults to True when the schema was
+    inferred (the sample cannot promise coverage) and False when the
+    caller declared it (an explicit schema is a projection contract,
+    matching the reference's declared-schema Struct mode). Top-level keys
+    only — nested drift is bounded by from_json's FAILFAST parse.
+
     The payload field names become top-level columns while the transform
     runs (field paths in the transform config address them as ``$.name``,
     exactly like the schema'd path), so they must not collide with the
     frame's other columns — a collision raises ``ConfigError`` rather than
     silently shadowing."""
+    if strict_fields is None:
+        strict_fields = schema is None
     if schema is None:
         schema = infer_payload_schema(df, json_col, infer_sample)
     payload_schema = (
@@ -108,17 +123,31 @@ def transform_json_payload(
     flat = parsed.select(
         *others,
         F.col(_PAYLOAD).isNull().alias(_WAS_NULL),
+        *([F.col(json_col).alias(_ORIG)] if strict_fields else []),
         F.col(f"{_PAYLOAD}.*"),
     )
     out = transform.apply(flat)
+    repack_val = (
+        # keep null fields in the output object so the round trip is
+        # shape-faithful (to_json drops them by default)
+        F.to_json(F.struct(*payload_fields), {"ignoreNullFields": "false"}))
+    if strict_fields:
+        unknown = F.array_except(
+            F.json_object_keys(F.col(_ORIG)),
+            F.array(*[F.lit(f) for f in payload_fields]))
+        repack_val = F.when(
+            F.size(unknown) > 0,
+            F.raise_error(F.concat(
+                F.lit("schemaless payload key(s) absent from the schema "
+                      "would be silently dropped on repack: "),
+                F.to_json(unknown),
+                F.lit(" — widen infer_sample, supply an explicit schema, "
+                      "or pass strict_fields=False"))),
+        ).otherwise(repack_val)
     repacked = out.withColumn(
         json_col,
-        F.when(F.col(_WAS_NULL), F.lit(None).cast("string")).otherwise(
-            # keep null fields in the output object so the round trip is
-            # shape-faithful (to_json drops them by default)
-            F.to_json(F.struct(*payload_fields),
-                      {"ignoreNullFields": "false"})
-        ),
+        F.when(F.col(_WAS_NULL), F.lit(None).cast("string"))
+        .otherwise(repack_val),
     )
     return repacked.select(*df.columns)
 

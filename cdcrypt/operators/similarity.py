@@ -577,10 +577,20 @@ def ann_ivf_topk_indexed(
         cents, n_probe, "qv",
     ).withColumn("cell", F.explode("cells")).drop("cells")
     if prune_cells is not None and prune_cells > 0:
-        probed = [r[0] for r in
-                  q.select("cell").distinct().limit(prune_cells + 1).collect()]
+        # ONE bounded collect of the assigned query side (the query batch
+        # is broadcast-small by contract — same as cosine_topk's): the
+        # Arrow cell-assignment UDF runs exactly once, the probed-cell set
+        # is derived locally, and the join side is rebuilt as a local
+        # (broadcastable) frame so the returned plan stays lazy. The
+        # previous q.select("cell").distinct().collect() ran the
+        # assignment pass a SECOND time when the returned plan executed.
+        # Callers with a query batch too large to collect pass
+        # prune_cells=None and keep the fully-distributed path.
+        q_rows = q.collect()
+        probed = sorted({r["cell"] for r in q_rows})
         if len(probed) <= prune_cells:
             b = b.where(F.col("cell").isin(probed))
+        q = F.broadcast(spark.createDataFrame(q_rows, q.schema))
     dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     sims = (
         q.join(b, "cell")

@@ -49,7 +49,7 @@ from cdcrypt.operators.dedup import (
 )
 from cdcrypt.operators.merge import merge_upsert
 from cdcrypt.operators.transform import FieldTransform, TransformConfig
-from cdcrypt.table.lake import LakeTable, LakeTableError
+from cdcrypt.table.lake import LakeTable, LakeTableError, LakeTableNotFound
 
 _EPOCH_FILE = re.compile(r"epoch=(\d+)\b")
 
@@ -125,14 +125,30 @@ class IngestPipeline:
     def table(self) -> LakeTable:
         try:
             t = LakeTable(self.table_root)
+        except LakeTableNotFound:
+            pass  # fresh path: fall through to create
+        else:
+            # the pipeline repartitions each epoch by ITS bucket spec and
+            # merges with assume_bucketed=True, so every physical-layout
+            # knob of an existing table must match — a silent mismatch
+            # writes delta files clustered by the wrong column/modulus and
+            # readers (bucket pruning, CoW dirty-bucket keep) misinterpret
+            # them with no error
             if t.key_cols != list(self.key_cols):
                 raise LakeTableError(
                     f"table at {self.table_root} is keyed on {t.key_cols}, "
                     f"pipeline configured for {list(self.key_cols)}")
+            if t.bucket_by != self._bucket_by:
+                raise LakeTableError(
+                    f"table at {self.table_root} is bucketed by "
+                    f"{t.bucket_by!r}, pipeline configured for "
+                    f"{self._bucket_by!r}")
+            if t.bucket_count != self.bucket_count:
+                raise LakeTableError(
+                    f"table at {self.table_root} has bucket_count="
+                    f"{t.bucket_count}, pipeline configured for "
+                    f"{self.bucket_count}")
             return t
-        except LakeTableError as e:
-            if "not a lake table" not in str(e):
-                raise
         return LakeTable.create(
             self.table_root, self._schema, bucket_count=self.bucket_count,
             bucket_by=self._bucket_by, key_cols=self.key_cols,

@@ -73,6 +73,15 @@ class LakeTableError(RuntimeError):
     pass
 
 
+class LakeTableNotFound(LakeTableError):
+    """Raised when ``root`` holds no table at all (no ``_meta/current``).
+
+    A dedicated type so callers that open-or-create (IngestPipeline.table)
+    can branch structurally instead of substring-matching the message —
+    any OTHER LakeTableError (corrupt snapshot, schema mismatch) must
+    propagate, never silently trigger table creation."""
+
+
 class LakeTable:
     def __init__(self, root: str):
         self.root = root
@@ -87,7 +96,7 @@ class LakeTable:
     def _load(self) -> None:
         cur = os.path.join(self.meta_dir, "current")
         if not os.path.exists(cur):
-            raise LakeTableError(f"not a lake table: {self.root}")
+            raise LakeTableNotFound(f"not a lake table: {self.root}")
         with open(cur) as f:
             v = int(f.read().strip())
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
@@ -459,7 +468,20 @@ class LakeTable:
             retained_ref: set[str] = set()
             expired_ref: set[str] = set()
             for v in all_versions:
-                paths = {f["path"] for f in self.snapshot_at(v)["files"]}
+                try:
+                    paths = {f["path"] for f in self.snapshot_at(v)["files"]}
+                except (json.JSONDecodeError, KeyError, OSError) as e:
+                    if v <= cur:
+                        # a COMMITTED snapshot must parse — surface, don't
+                        # guess which data files it referenced
+                        raise LakeTableError(
+                            f"corrupt committed snapshot v{v}.json") from e
+                    # torn crash-orphan beyond current (writer died mid
+                    # json.dump before the pointer swap): unreadable, so it
+                    # references nothing; its json is removed with the other
+                    # non-kept versions below. Without this, one torn file
+                    # would fail every future expire_snapshots pass.
+                    continue
                 (retained_ref if v in keep_versions else expired_ref).update(paths)
             now_ms = time.time() * 1000
             removed_files = 0

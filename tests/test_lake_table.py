@@ -246,3 +246,28 @@ def test_expire_grace_window_protects_inflight_staging(tmp_path):
     # grace 0 treats any unreferenced file as an orphan
     t.expire_snapshots(keep_last=2, orphan_grace_ms=0)
     assert not _os.path.exists(staged)
+
+
+def test_expire_tolerates_torn_orphan_snapshot(tmp_path):
+    """A writer that dies mid json.dump leaves a truncated v{N+1}.json
+    beyond current. commit() already recovers via its orphan path;
+    expire_snapshots must ALSO tolerate it (it parses every v*.json to
+    collect references) — one torn orphan must not permanently break
+    maintenance. A corrupt COMMITTED snapshot, by contrast, must raise:
+    guessing which data files it referenced risks deleting live data."""
+    root = str(tmp_path / "torn")
+    t = LakeTable.create(root, SCHEMA, bucket_count=2)
+    for e in range(3):
+        t.commit(epoch=e, keep_files=[], new_files=[], lineage={})
+    # torn crash-orphan beyond current (version 3 = cur)
+    torn = os.path.join(t.meta_dir, "v99.json")
+    with open(torn, "w") as f:
+        f.write('{"files": [{"pa')   # truncated mid-dump
+    stats = t.expire_snapshots(keep_last=2)
+    assert not os.path.exists(torn)          # torn orphan json removed
+    assert stats["kept_versions"] == [2, 3]
+    # corrupt a RETAINED committed snapshot -> loud failure, no deletes
+    with open(os.path.join(t.meta_dir, "v2.json"), "w") as f:
+        f.write("not json")
+    with pytest.raises(LakeTableError, match="corrupt committed"):
+        t.expire_snapshots(keep_last=2)

@@ -361,3 +361,19 @@ def test_generalized_keys_second_schema_e2e(spark, tmp_path):
                          str(tmp_path / "eckpt2"))
     with _pytest.raises(LakeTableError, match="keyed on"):
         bad.table()
+    # ...and so does one with the right keys but a different physical
+    # layout (bucket column / modulus): epochs repartitioned by the
+    # pipeline's spec + merged with assume_bucketed=True would otherwise
+    # silently write wrongly-labeled bucket files
+    bad_bucket = IngestPipeline(
+        src, str(tmp_path / "etab"), str(tmp_path / "eckpt3"),
+        key_cols=("user_id", "event_type"), bucket_by="event_type",
+        bucket_count=8, table_schema=schema)
+    with _pytest.raises(LakeTableError, match="bucketed by"):
+        bad_bucket.table()
+    bad_count = IngestPipeline(
+        src, str(tmp_path / "etab"), str(tmp_path / "eckpt4"),
+        key_cols=("user_id", "event_type"), bucket_by="user_id",
+        bucket_count=16, table_schema=schema)
+    with _pytest.raises(LakeTableError, match="bucket_count"):
+        bad_count.table()

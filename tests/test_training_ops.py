@@ -268,14 +268,25 @@ def test_ivf_index_build_once_query_many(spark, tmp_path):
     # seed/train input -> identical centroids -> identical cells)
     assert key(ann_ivf_topk_indexed(spark, idx, q1, k=3, n_probe=2)) == \
         key(ann_ivf_topk(emb, q1, k=3, n_centroids=4, n_probe=2, seed=42))
-    # no second assignment pass: every Python-boundary op in the indexed
-    # plan is the QUERY-side cell assignment (reads qv); the base side is
-    # a plain parquet relation, never crossing into Python
+    # no repeated assignment pass: with pruning active the query-side
+    # cell assignment ran ONCE eagerly (the probed-cell collect) and the
+    # returned plan joins a LocalRelation against the parquet inverted
+    # lists — ZERO Python-boundary ops remain, and the base side (bv)
+    # never crosses into Python either way
     plan = str(r2._jdf.queryExecution().optimizedPlan())
     mip = [ln for ln in plan.splitlines() if "MapInPandas" in ln]
-    assert mip and all("qv" in ln for ln in mip)
-    assert not any("bv" in ln for ln in mip)
+    assert not mip
+    assert "LogicalRDD" in plan or "LocalRelation" in plan
     assert "parquet" in plan
+    # pruning disabled -> lazy distributed path: exactly one MapInPandas,
+    # and it reads the QUERY side (qv), not the base (bv)
+    r2_lazy = ann_ivf_topk_indexed(spark, idx, q2, k=3, n_probe=4,
+                                   prune_cells=None)
+    assert key(r2_lazy) == key(r2)
+    plan_l = str(r2_lazy._jdf.queryExecution().optimizedPlan())
+    mip_l = [ln for ln in plan_l.splitlines() if "MapInPandas" in ln]
+    assert mip_l and all("qv" in ln for ln in mip_l)
+    assert not any("bv" in ln for ln in mip_l)
     # reopening from the path alone works (artifact is self-describing)
     assert key(ann_ivf_topk_indexed(spark, root, q1, k=3, n_probe=4)) == \
         key(cosine_topk(emb, q1, k=3))

@@ -274,3 +274,45 @@ def test_schemaless_inferred_schema_roundtrip(spark):
     nul = spark.createDataFrame([(None,)], "value string")
     with _pytest.raises(ConfigError, match="no non-null"):
         infer_payload_schema(nul, "value")
+
+
+def test_schemaless_strict_fields_guards_unknown_keys(spark):
+    """An inference sample cannot promise field coverage: a payload key
+    that first appears AFTER the sampled rows would be silently deleted
+    by the repack (to_json serializes only the schema's fields). With an
+    inferred schema the execution-time guard must raise instead; with an
+    explicitly declared schema the drop is the caller's projection
+    contract (default strict_fields=False), but strict_fields=True
+    opts the guard in there too."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from cdcrypt.kms import MockKMS
+    from cdcrypt.operators.schemaless import transform_json_payload
+    from cdcrypt.operators.transform import FieldTransform, TransformConfig
+
+    raw = spark.createDataFrame(
+        [(1, '{"userid":"User_1","viewtime":91}'),
+         (2, '{"userid":"User_2","viewtime":92,"discount":0.5}')],
+        "rec_id long, value string").coalesce(1)
+    kms = MockKMS()
+    tf = FieldTransform(TransformConfig(
+        mode="encrypt", fields=["$.userid"], key_id="k/strict", kms=kms))
+    # inferred from a 1-row sample that misses 'discount' -> raises at
+    # execution, names the key
+    out = transform_json_payload(raw, "value", None, tf, infer_sample=1)
+    with _pytest.raises(Exception, match="discount"):
+        out.collect()
+    # explicit schema: declared projection, key silently dropped (the
+    # reference's declared-schema Struct behavior) ...
+    decl = transform_json_payload(
+        raw, "value", "userid string, viewtime long", tf)
+    vals = {r.rec_id: _json.loads(r.value) for r in decl.collect()}
+    assert "discount" not in vals[2]
+    # ... unless the caller opts the guard in
+    strict = transform_json_payload(
+        raw, "value", "userid string, viewtime long", tf,
+        strict_fields=True)
+    with _pytest.raises(Exception, match="discount"):
+        strict.collect()
