@@ -933,19 +933,22 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE doc_id % 3
                    WHEN 0 THEN 57 + t
                    WHEN 1 THEN 44 + (t // ba) * ba
-                   ELSE 24 + t END AS BIGINT) AS byte_len,
+                   ELSE 216 + t + 4 * ((t + fs - 1) // fs)
+                   END AS BIGINT) AS byte_len,
               CAST(CASE doc_id % 3
                    WHEN 0 THEN 1
                    WHEN 1 THEN t // ba
-                   ELSE greatest(1, t // 256) END AS INTEGER) AS n_frames,
+                   ELSE (t + fs - 1) // fs END AS INTEGER) AS n_frames,
               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 241 END
                    AS INTEGER) AS width,
               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 181 END
                    AS INTEGER) AS height,
               CAST(CASE WHEN doc_id % 3 = 1 THEN rate END
                    AS INTEGER) AS sample_rate,
-              CASE WHEN doc_id % 3 = 1 THEN round((t // ba) / rate, 6) END
-                AS duration_s,
+              CASE WHEN doc_id % 3 = 1 THEN round((t // ba) / rate, 6)
+                   WHEN doc_id % 3 = 2 THEN
+                     round((40 * ((t + fs - 1) // fs)) / 1000.0, 6)
+                   END AS duration_s,
               CASE WHEN doc_id % 3 = 1 AND ns > 0 THEN
                 round(sqrt(CAST(list_sum(list_transform(vs, v -> v * v))
                                 AS DOUBLE) / ns), 6) END AS pcm_rms,
@@ -970,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
                        hex(encode(COALESCE(text, ''))) AS hx,
                        CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 10000
                             WHEN 2 THEN 20000 ELSE 40000 END AS rate,
+                       64 + doc_id % 129 AS fs,
                        (1 + doc_id % 2) * 2 AS ba,
                        ((octet_length(encode(COALESCE(text, '')))
                          // ((1 + doc_id % 2) * 2))

@@ -23,9 +23,13 @@ decoding is real wherever the stdlib suffices:
   (foreign filters, bit depths != 8, or the SQL-contract synthesis mode)
   falls back to header-only surgery — that fallback is the declared
   remaining stub.
-- MP4 frame extraction would need a demuxer (``av``), which this container
-  lacks: ``n_frames`` stays a sampling estimate from the mdat size
-  (``_MP4_FRAME_STRIDE``), clearly marked below.
+- MP4 frame metadata is REAL container parsing: recursive ISO-BMFF box
+  descent reads the muxer-written ``stsz`` sample-size table (frame count
+  + per-frame byte boundaries inside mdat) and ``mvhd``
+  (timescale/duration). Frame CONTENT decode (the codec itself) is out of
+  scope — real pipelines hand the sliced encoded-frame bytes to a decoder
+  UDF downstream. Foreign files with no sample table fall back to a
+  stride estimate (``_MP4_FRAME_STRIDE``).
 
 ``attach_fake_media`` synthesizes deterministic, VALID container bytes from
 each doc (real 8-byte PNG signature and chunk CRC-less layout aside — CRCs
@@ -72,7 +76,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # synthetic rates divide 10^6 so frames/rate terminates within 6 decimals —
 # round(x, 6) is then tie-free and engine-independent (oracle parity)
 _WAV_RATES = (8000, 10000, 20000, 40000)
-_MP4_FRAME_STRIDE = 256  # STUB: frames estimated as mdat_len // stride
+_MP4_FRAME_STRIDE = 256  # fallback frame boundary when a file has no stsz
 # |sample| <= this counts as silence (~1% of int16 full scale); integer so
 # the oracle's count matches exactly
 PCM_SILENCE_THRESH = 327
@@ -139,10 +143,52 @@ def _synth_wav(doc_id: int, payload: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_frame_size(doc_id: int) -> int:
+    return 64 + doc_id % 129
+
+
+def _mp4_frame_sizes(doc_id: int, mdat_len: int) -> list[int]:
+    """Real per-sample byte sizes, as a muxer would record them in stsz:
+    fixed doc-derived frame size, last frame the remainder."""
+    fs = _mp4_frame_size(doc_id)
+    sizes = [fs] * (mdat_len // fs)
+    if mdat_len % fs:
+        sizes.append(mdat_len % fs)
+    return sizes
+
+
 def _synth_mp4(doc_id: int, payload: bytes) -> bytes:
-    ftyp = b"isom\x00\x00\x02\x00"
-    return (struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
-            + struct.pack(">I", 8 + len(payload)) + b"mdat" + payload)
+    """ISO-BMFF with REAL sample metadata: ftyp + moov(mvhd +
+    trak/mdia/minf/stbl with stts + stsz) + mdat. The stsz sample-size
+    table records genuine frame boundaries inside mdat (what every real
+    muxer writes), mvhd carries timescale 1000 / 40 ms per frame (25 fps).
+    Byte-length contract for the SQL oracle: with n = ceil(len(payload) /
+    frame_size(doc_id)), total = 216 + len(payload) + 4*n."""
+    sizes = _mp4_frame_sizes(doc_id, len(payload))
+    n = len(sizes)
+    mvhd = _box(b"mvhd", (
+        b"\x00\x00\x00\x00"                       # version 0 + flags
+        + struct.pack(">IIII", 0, 0, 1000, 40 * n)  # ctime mtime scale dur
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate volume resv
+        + b"\x00" * 8                             # reserved
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)                 # unity matrix
+        + b"\x00" * 24                            # pre_defined
+        + struct.pack(">I", 2)))                  # next_track_ID
+    stts = _box(b"stts", b"\x00\x00\x00\x00"
+                + struct.pack(">III", 1, n, 40))  # 1 entry: n x 40 ticks
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00"
+                + struct.pack(">II", 0, n)        # per-sample table
+                + struct.pack(f">{n}I", *sizes))
+    stbl = _box(b"stbl", stts + stsz)
+    moov = _box(b"moov", mvhd + _box(
+        b"trak", _box(b"mdia", _box(b"minf", stbl))))
+    return (_box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+            + _box(b"mdat", payload))
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text",
@@ -254,25 +300,51 @@ def _probe_wav(data: bytes) -> dict:
                          float(round(duration, 6))]}
 
 
-def _probe_mp4(data: bytes) -> dict:
-    boxes = []
-    mdat_len = 0
-    off = 0
-    while off + 8 <= len(data):
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_walk(data: bytes, off: int, end: int,
+              found: dict, boxes: list) -> None:
+    """Recursive ISO-BMFF box descent (pure-container boxes recursed,
+    leaf payloads captured by type, first occurrence wins). Tolerates a
+    trailing truncated box: its payload is clipped to the data we have —
+    a streaming prober must survive a partial tail."""
+    while off + 8 <= end:
         (size,) = struct.unpack_from(">I", data, off)
         btype = data[off + 4: off + 8]
-        if btype == b"mdat":
-            mdat_len = size - 8
         boxes.append(btype)
-        if size < 8:
+        if size < 8:          # 64-bit/to-end sizes unsupported: stop here
             break
+        box_end = min(off + size, end)
+        if btype in _MP4_CONTAINERS:
+            _mp4_walk(data, off + 8, box_end, found, boxes)
+        else:
+            found.setdefault(btype, data[off + 8: box_end])
         off += size
-    if b"ftyp" not in boxes:
+
+
+def _probe_mp4(data: bytes) -> dict:
+    found: dict = {}
+    boxes: list = []
+    _mp4_walk(data, 0, len(data), found, boxes)
+    if b"ftyp" not in found:
         raise ValueError("not an ISO-BMFF file")
-    # STUB: true frame extraction needs a demuxer (av); estimate by stride
-    frames = max(1, mdat_len // _MP4_FRAME_STRIDE) if mdat_len else 1
+    mdat_len = len(found.get(b"mdat", b""))
+    stsz = found.get(b"stsz")
+    if stsz is not None and len(stsz) >= 12:
+        # REAL frame count: the muxer-recorded sample table
+        (frames,) = struct.unpack_from(">I", stsz, 8)
+    else:
+        # foreign file without sample metadata: stride heuristic fallback
+        frames = max(1, mdat_len // _MP4_FRAME_STRIDE) if mdat_len else 1
+    duration_s = None
+    mvhd = found.get(b"mvhd")
+    if mvhd is not None and len(mvhd) >= 20 and mvhd[0] == 0:
+        timescale, duration = struct.unpack_from(">II", mvhd, 12)
+        if timescale:
+            duration_s = round(duration / timescale, 6)
     return {"n_frames": frames, "width": None, "height": None,
-            "sample_rate": None, "duration_s": None,
+            "sample_rate": None, "duration_s": duration_s,
             "pcm_rms": None, "pcm_peak": None, "pcm_silence_ratio": None,
             "features": [float(len(boxes)), float(mdat_len), 0.0, 0.0]}
 
@@ -388,12 +460,16 @@ def resize_images(df: DataFrame, max_side: int) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame,
-                        stride: int = _MP4_FRAME_STRIDE) -> DataFrame:
-    """Explode MP4 rows into sampled frame records: one row per ``stride``
-    bytes of the mdat payload — the byte slicing and the 1->N explode
-    shape are real (what a demuxer's keyframe sampler produces); treating
-    fixed strides as frame boundaries is the declared STUB (no codec in
-    this container). Non-MP4 rows are dropped.
+                        stride: int = _MP4_FRAME_STRIDE,
+                        every: int = 1) -> DataFrame:
+    """Explode MP4 rows into sampled frame records: frame boundaries come
+    from the container's REAL stsz sample-size table (the metadata every
+    muxer writes) — one output row per recorded sample, sliced from mdat
+    at the muxer's offsets, keeping every ``every``-th frame (a demuxer's
+    keyframe-sampling shape). ``stride`` is the fallback boundary for
+    foreign files that carry no sample table. Frame CONTENT decode (the
+    codec) is out of scope — real pipelines hand these encoded frame
+    bytes to a decoder UDF downstream. Non-MP4 rows are dropped.
     """
     out_schema = StructType([
         StructField("doc_id", LongType(), False),
@@ -409,20 +485,26 @@ def sample_video_frames(df: DataFrame,
                 if mt != "video/mp4" or data is None:
                     continue
                 b = bytes(data)
-                # locate mdat payload via the real box walk
-                off, mdat = 0, b""
-                while off + 8 <= len(b):
-                    (size,) = struct.unpack_from(">I", b, off)
-                    if b[off + 4: off + 8] == b"mdat":
-                        mdat = b[off + 8: off + size]
-                        break
-                    if size < 8:
-                        break
-                    off += size
-                for i in range(0, max(len(mdat), 1), stride):
-                    ids.append(int(did))
-                    idxs.append(i // stride)
-                    frames.append(mdat[i: i + stride])
+                found: dict = {}
+                _mp4_walk(b, 0, len(b), found, [])
+                mdat = found.get(b"mdat", b"")
+                stsz = found.get(b"stsz")
+                sizes = None
+                if stsz is not None and len(stsz) >= 12:
+                    (n,) = struct.unpack_from(">I", stsz, 8)
+                    if len(stsz) >= 12 + 4 * n:
+                        # real table; n == 0 genuinely means zero frames
+                        sizes = list(struct.unpack_from(f">{n}I", stsz, 12))
+                if sizes is None:  # no usable sample table: stride fallback
+                    sizes = [stride] * max(
+                        1, (len(mdat) + stride - 1) // stride)
+                pos = 0
+                for fi, sz in enumerate(sizes):
+                    if fi % every == 0:
+                        ids.append(int(did))
+                        idxs.append(fi)
+                        frames.append(mdat[pos: pos + sz])
+                    pos += sz
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),

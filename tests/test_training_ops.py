@@ -597,3 +597,41 @@ def test_embedding_neardup_lsh_hot_bucket_cap(spark):
     assert (1000, 1001) in pair_ids
     assert all(a >= 1000 for a, _ in pair_ids)
     assert len(capped) < 10
+
+
+def test_sample_video_frames_real_stsz_boundaries(spark, docs):
+    """Frame boundaries come from the container's REAL stsz sample table
+    (not strides): per-frame byte sizes must equal the muxer-recorded
+    sizes; ``every`` keeps every k-th recorded frame; a foreign file
+    without a sample table falls back to the stride estimate."""
+    import struct as _struct
+
+    from cdcrypt.operators.multimodal import (
+        _mp4_frame_sizes, attach_fake_media, sample_video_frames)
+
+    media = attach_fake_media(docs.where(F.col("text").isNotNull()))
+    src = {r.doc_id: bytes(r.media_bytes) for r in media.collect()
+           if r.doc_id % 3 == 2}
+    frames = sample_video_frames(media).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r.frame_idx)
+        t = len(src[did]) - 216 - 4 * len(rs)   # mdat len from contract
+        assert [len(bytes(r.frame_bytes)) for r in rs] == \
+            _mp4_frame_sizes(did, t)
+    # every=2: only even recorded frame indices survive
+    some = sorted((r.frame_idx for r in
+                   sample_video_frames(media, every=2).collect()
+                   if r.doc_id == 2))
+    assert some and all(i % 2 == 0 for i in some)
+    # foreign minimal mp4 (ftyp+mdat, no moov/stsz): stride fallback
+    foreign = (_struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+               + _struct.pack(">I", 8 + 600) + b"mdat" + b"y" * 600)
+    fdf = spark.createDataFrame(
+        [(99, "video/mp4", foreign)],
+        "doc_id long, media_type string, media_bytes binary")
+    frs = sample_video_frames(fdf, stride=256).collect()
+    assert len(frs) == 3 and sum(len(bytes(r.frame_bytes))
+                                 for r in frs) == 600
