@@ -539,6 +539,44 @@ def build_ivf_index(
     return IvfIndex(root)
 
 
+def append_to_ivf_index(index: "IvfIndex | str",
+                        new_rows: DataFrame) -> IvfIndex:
+    """Grow a persisted IVF index WITHOUT retraining or touching the
+    existing inverted lists: assign ONLY the new batch against the stored
+    centroids (one Arrow pass over the new rows) and append its files
+    into the cell-partitioned layout — the lake-append pattern applied at
+    index granularity. At corpus scale this is the difference between
+    O(batch) and O(corpus) per ingest tick.
+
+    Full-probe results over the grown index still equal exact brute force
+    over the union (any cell partition is exact under full probe). The
+    trade is quantizer staleness: centroids reflect the ORIGINAL training
+    distribution, so pruned-probe recall degrades if appended data
+    drifts; ``meta['appends']`` counts growth events so callers can
+    schedule a rebuild (the same policy lever as compaction thresholds).
+    Single-writer per index, like build — concurrent appends need an
+    external lock."""
+    import json
+    import os
+
+    idx = IvfIndex(index) if isinstance(index, str) else index
+    id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
+    assigned = (
+        _assign_cells(new_rows.select(id_col, vec_col),
+                      idx.centroids, 1, vec_col)
+        .withColumn("cell", F.col("cells")[0]).drop("cells")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(idx.root, "cells"))
+    meta = dict(idx.meta)
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    tmp = os.path.join(idx.root, f".{IvfIndex.META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(idx.root, IvfIndex.META))
+    return IvfIndex(idx.root)
+
+
 def ann_ivf_topk_indexed(
     spark,
     index: "IvfIndex | str",

@@ -635,3 +635,45 @@ def test_sample_video_frames_real_stsz_boundaries(spark, docs):
     frs = sample_video_frames(fdf, stride=256).collect()
     assert len(frs) == 3 and sum(len(bytes(r.frame_bytes))
                                  for r in frs) == 600
+
+
+def test_ivf_index_append_grows_without_retrain(spark, tmp_path):
+    """append_to_ivf_index assigns ONLY the new batch against the stored
+    centroids and appends its cell files: full-probe top-k over the grown
+    index equals exact brute force over the union, the quantizer is
+    byte-identical (no retrain), and the existing cell files are
+    untouched (no re-assignment of the old base)."""
+    import glob
+    import os
+
+    from cdcrypt.operators.similarity import (
+        IvfIndex, ann_ivf_topk_indexed, append_to_ivf_index,
+        build_ivf_index, cosine_topk)
+
+    emb = _clustered_embeddings(spark)          # 60 vectors, ids 0..59
+    old = emb.where("vec_id < 40")
+    new = emb.where("vec_id >= 40")
+    root = str(tmp_path / "ivfgrow")
+    idx = build_ivf_index(old, root, n_centroids=4, seed=42)
+    before_cents = idx.meta["centroids"]
+    before_files = sorted(glob.glob(
+        os.path.join(root, "cells", "**", "*.parquet"), recursive=True))
+    idx2 = append_to_ivf_index(root, new)
+    assert idx2.meta["centroids"] == before_cents      # no retrain
+    assert idx2.meta["appends"] == 1
+    after_files = sorted(glob.glob(
+        os.path.join(root, "cells", "**", "*.parquet"), recursive=True))
+    assert set(before_files) <= set(after_files)       # old lists intact
+    assert len(after_files) > len(before_files)        # new files appended
+
+    def key(df):
+        return {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+                for r in df.collect()}
+
+    q = emb.where("vec_id < 5")
+    assert key(ann_ivf_topk_indexed(spark, idx2, q, k=3, n_probe=4)) == \
+        key(cosine_topk(emb, q, k=3))
+    # appended vectors are really searchable: a query FROM the new batch
+    qn = emb.where("vec_id = 41")
+    assert key(ann_ivf_topk_indexed(spark, idx2, qn, k=3, n_probe=4)) == \
+        key(cosine_topk(emb, qn, k=3))
