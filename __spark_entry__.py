@@ -444,6 +444,29 @@ def _q_ann_ivf_indexed(spark, sf_dir):
                                 k=5, n_probe=8)
 
 
+def _q_ann_ivf_append(spark, sf_dir):
+    # incremental-growth gate: build the index on the even half of the
+    # embeddings, append the odd half (no retrain, no reassignment of the
+    # old lists), query across the split with full probe — equality with
+    # exact brute force over the UNION proves appended vectors are
+    # searchable and existing lists intact. The index dir is rebuilt
+    # (overwrite) each call, so the single append never accumulates.
+    import hashlib
+    import os
+    import tempfile
+
+    from cdcrypt.operators.similarity import (
+        ann_ivf_topk_indexed, append_to_ivf_index, build_ivf_index)
+    emb = _t(spark, sf_dir, "embeddings")
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":append").encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_ivfapp_{key}")
+    build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), root, n_centroids=8)
+    idx = append_to_ivf_index(root, emb.where(F.col("vec_id") % 2 == 1))
+    return ann_ivf_topk_indexed(spark, idx, emb.where(F.col("vec_id") < 10),
+                                k=5, n_probe=8)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # real struct-parsed header probes (PNG IHDR, WAV RIFF/fmt/data, MP4 box
     # walk) over synthesized-but-valid container bytes; the oracle derives
@@ -486,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
+        "ann_ivf_append": _q_ann_ivf_append,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
     }
@@ -899,6 +923,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "ann_ivf_indexed": """
+            SELECT query_id, neighbor_id, rank, sim FROM (
+              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                                DESC, b.vec_id ASC) AS rank
+              FROM embeddings q, embeddings b
+              WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id)
+            WHERE rank <= 5
+        """,
+        "ann_ivf_append": """
             SELECT query_id, neighbor_id, rank, sim FROM (
               SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
                      round(list_cosine_similarity(
