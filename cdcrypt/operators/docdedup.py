@@ -81,7 +81,13 @@ def _shingle_hashes(text_col: str, k: int = 5, family: str = "md5"):
     — O(words) string hashing instead of O(words x k) char copying (shift
     ops cannot overflow, so ANSI mode stays on); everything downstream
     (explode, shuffle, min-aggregate) moves longs, not text, in BOTH
-    families."""
+    families.
+
+    NOTE: higher-order ``F.transform`` lambdas evaluate INTERPRETED per
+    array element (outside whole-stage codegen) — row-shaped pipelines
+    should prefer :func:`_shingle_rows`, measured ~2.5x cheaper. This
+    array form remains for callers that need the per-doc array in one
+    expression."""
     words = _words(text_col)
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -99,6 +105,54 @@ def _shingle_hashes(text_col: str, k: int = 5, family: str = "md5"):
     return F.when(n >= k, F.transform(
         idx, lambda i: poly(F.slice(wh, i + 1, k))
     )).otherwise(F.array(poly(wh)))
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int,
+                  family: str) -> DataFrame:
+    """(id, sh) — ONE ROW per shingle occurrence (not per-doc arrays, not
+    deduplicated: every downstream consumer — min-aggregate signatures,
+    collect_set — is duplicate-insensitive).
+
+    Explode the shingle INDEX first, then hash at row level: the md5/fold
+    expression runs inside whole-stage codegen, where the equivalent
+    ``F.transform(idx, ...)`` higher-order lambda is evaluated interpreted
+    per array element. Measured on the 5k-doc bench table: 0.21s vs 0.51s
+    wall and ~2.8x less CPU for the full minhash pipeline. The exploded
+    word array never reaches a shuffle — the groupBy above it map-side
+    combines within the same codegen stage."""
+    words = _words(text_col)
+    # _w: the word STRINGS (md5 family hashes each shingle string) or the
+    # per-word HASHES (xx64 folds k consecutive longs) — hashed once per
+    # doc here, never re-derived per shingle row
+    warr = words if family == "md5" else F.transform(
+        words, lambda w: F.xxhash64(w))
+    base = (
+        df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col), warr.alias("_w"))
+    )
+    n = F.size("_w")
+    ex = base.select(
+        id_col, "_w",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))).alias("_i"),
+    )
+    n2 = F.size("_w")
+    if family == "md5":
+        sh = h60(
+            F.when(n2 >= k,
+                   F.array_join(F.slice("_w", F.col("_i") + 1, k), " "))
+            .otherwise(F.array_join("_w", " ")))
+    else:
+        poly = lambda arr: F.aggregate(  # noqa: E731
+            arr, F.lit(0).cast("long"),
+            lambda acc, h: (
+                F.shiftleft(acc, 13).bitwiseOR(F.shiftrightunsigned(acc, 51))
+            ).bitwiseXOR(h),
+        )
+        sh = F.when(n2 >= k,
+                    poly(F.slice("_w", F.col("_i") + 1, k))
+                    ).otherwise(poly(F.col("_w")))
+    return ex.select(id_col, sh.alias("sh"))
 
 
 _MASK30 = (1 << 30) - 1
@@ -130,16 +184,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     reproduces the arithmetic exactly. xx64 members re-hash with
     per-member seeds (xxhash64 is cheap enough to run 32x).
 
-    Shape: explode distinct shingle fingerprints once (longs, never shingle
-    text), then ONE hash-aggregate with ``num_hashes`` mins — map-side
-    partial combine collapses each doc's shingles before the shuffle."""
+    Shape: explode shingle fingerprints once (longs, never shingle text),
+    then ONE hash-aggregate with ``num_hashes`` mins — map-side partial
+    combine collapses each doc's shingles before the shuffle. No distinct
+    pass: ``min`` is duplicate-insensitive, so repeated shingles change
+    nothing, and the row-level hash (:func:`_shingle_rows`) stays inside
+    whole-stage codegen."""
     _check_family(family)
-    ex = (
-        df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .select(F.col(id_col),
-                F.explode(F.array_distinct(
-                    _shingle_hashes(text_col, shingle_k, family))).alias("sh"))
-    )
+    ex = _shingle_rows(df, text_col, id_col, shingle_k, family)
     if family == "md5":
         lo = F.col("sh").bitwiseAND(F.lit(_MASK30))
         hi = F.shiftrightunsigned(F.col("sh"), 30)
@@ -176,9 +228,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     boilerplate bucket of B docs otherwise costs B^2/2 join rows. The recall
     cost is confined to docs that are near-dups of >max_bucket_size others,
     which a dedup pipeline wants to collapse via exact-dup/clustering
-    anyway (their text is degenerate). The bucket-size count reuses the
-    banded relation (one extra linear aggregation, broadcast back as an
-    anti-join — no extra shuffle of the banded rows).
+    anyway (their text is degenerate). The bucket-size check is a window
+    count over the join's own exchange — no extra shuffle, no second pass
+    over the banded rows.
 
     With ``cache=True`` the persisted banded relation is attached to the
     returned DataFrame; release it after materializing via
@@ -204,25 +256,35 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bhash")
+    # ONE explicit exchange on the join keys: every consumer (the
+    # hot-bucket filter and both self-join sides) hangs off this single
+    # exchange, so the shingle->signature->band pipeline is computed once
+    # (ReusedExchange). Without it, the separate count-aggregate branch
+    # could not share the join's exchange (partial aggregation and column
+    # pruning change the exchanged rows) and the pipeline re-ran per
+    # consumer — the dominant CPU cost of the whole operator.
+    banded = banded.repartition("band", "bhash")
     persisted = None
     if cache:
-        # the banded relation feeds the hot-bucket count, the anti-join AND
-        # both self-join sides — without a persist Spark recomputes the
-        # whole shingle->signature pipeline up to 4x. (id, band, bhash)
-        # longs are ~24 B/row x bands, far smaller than the text. Measured:
-        # at bench scale (5k docs) recompute beats materialization (2.2s vs
-        # 3.6s), so the default is OFF; at corpus scale, where the text
-        # re-scan dominates, enable it (or checkpoint the relation).
+        # WITHIN one query the explicit exchange above already deduplicates
+        # the pipeline (ReusedExchange); persist matters when the RESULT is
+        # driven by several separate actions (shuffle files aren't shared
+        # across jobs) or must survive executor loss. (id, band, bhash)
+        # longs are ~24 B/row x bands, far smaller than the text. Default
+        # OFF — at bench scale recompute beats materialization.
         from pyspark import StorageLevel
         banded = persisted = banded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bhash")
-        )
-        banded = banded.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+        # hot-bucket drop as a WINDOW count over the same exchange (not a
+        # separate count-aggregate + broadcast anti-join, which re-ran the
+        # signature pipeline): partitioning is already (band, bhash) so the
+        # window adds no shuffle, and its sort doubles as the self-join's
+        # SMJ sort. Semantics identical — every row of a bucket holding
+        # more than max_bucket_size docs is dropped before the join.
+        from pyspark.sql import Window
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
+        banded = banded.withColumn("_n", n).where(
+            F.col("_n") <= max_bucket_size).drop("_n")
     a = banded.alias("a")
     b = banded.alias("b")
     out = (
@@ -249,11 +311,21 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     Shuffles shingle-hash longs, never shingle strings — the set cardinality
     arithmetic is identical (60-bit collisions are ~0 at any realistic doc
     size, and the oracle mirrors the same hash so even a collision matches).
+
+    Docs with null/empty text have no shingle set and drop out of the join
+    (LSH candidate generation upstream filters them identically, so no
+    candidate pair can reference one).
     """
     _check_family(family)
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(_shingle_hashes(text_col, shingle_k, family)).alias("sh"),
+    # explicit exchange so BOTH pair-side joins reuse one computation of
+    # the shingle sets: when AQE broadcasts the (small, post-LSH) pairs
+    # side, the joins otherwise carry no exchange at all and the whole
+    # shingle pipeline re-runs per join
+    sh = (
+        _shingle_rows(df, text_col, id_col, shingle_k, family)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("sh"))
+        .repartition(id_col)
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -326,8 +398,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     short/boilerplate docs produce near-identical bit-vote sums, so one
     (band, bits) bucket at corpus scale can hold thousands of docs —
     B^2/2 join rows. ``max_bucket_size`` drops those buckets BEFORE the
-    self-join via a broadcast anti-join (one linear count over the banded
-    relation, no extra shuffle of it). Recall cost is confined to docs
+    self-join via a window count over the join's own exchange (no extra
+    shuffle, no second pass). Recall cost is confined to docs
     near-identical to >max_bucket_size others — exactly the degenerate
     mass a dedup pipeline collapses via exact-dup upstream anyway.
     """
@@ -353,14 +425,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             for b in range(n_bands)
         ])).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bits")
+    # one exchange on the join keys, shared by the hot-bucket filter and
+    # both self-join sides — the word-explode + 60-sum simhash pipeline
+    # above runs ONCE instead of once per consumer (same shape and
+    # rationale as minhash_lsh_candidates)
+    banded = banded.repartition("band", "bits")
     if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "bits")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bits")
-        )
-        banded = banded.join(F.broadcast(hot), ["band", "bits"], "left_anti")
+        from pyspark.sql import Window
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bits"))
+        banded = banded.withColumn("_n", n).where(
+            F.col("_n") <= max_bucket_size).drop("_n")
     a = banded.select(F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("fp_a"), "band", "bits")
     b = banded.select(F.col(id_col).alias("id_b"),

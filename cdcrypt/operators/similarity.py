@@ -91,12 +91,25 @@ def lsh_planes(dim: int, n_bits: int = 12, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).round(6).tolist()
 
 
-def signature_bits(vec_col, planes: list[list[float]]):
-    """Sign-LSH bucket id: bit i = (vec . plane_i) >= 0."""
+def signature_bits(vec_col, planes: list[list[float]], cast: bool = True):
+    """Sign-LSH bucket id: bit i = (vec . plane_i) >= 0.
+
+    ``cast=False`` skips the per-plane double-cast when the caller already
+    hoisted it (one cast per row instead of one per dot product).
+
+    The ``F.aggregate`` fold evaluates interpreted per element, but an
+    unrolled ``v[0]*p0 + v[1]*p1 + ...`` alternative was MEASURED WORSE:
+    n_bits x dim flat terms (4096 for 64x64) blow up Catalyst
+    analysis/codegen — 67s plan compile and 2x the execution CPU at bench
+    scale (the giant projection falls out of whole-stage codegen anyway).
+    The 'blas' method is the cheap path when oracle parity isn't needed."""
+    vec = (F.transform(vec_col, lambda x: x.cast("double"))
+           if cast else (F.col(vec_col) if isinstance(vec_col, str)
+                         else vec_col))
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(F.transform(vec_col, lambda x: x.cast("double")), plane) >= 0,
+        bit = F.when(_dot(vec, plane) >= 0,
                      F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseXOR(F.shiftleft(bit, i))
     return sig
@@ -178,7 +191,7 @@ def embedding_neardup_lsh(
     cluster — deduplicated boilerplate embeddings — collides in EVERY band,
     so one (band, bucket) cell at corpus scale holds thousands of vectors
     (B^2/2 join rows). ``max_bucket_size`` drops those cells before the
-    self-join via a broadcast anti-join over a linear bucket-size count.
+    self-join via a window count over the join's own exchange.
     Recall loss is confined to vectors near-duplicate to >max_bucket_size
     others, which the pipeline collapses upstream anyway.
 
@@ -227,37 +240,50 @@ def embedding_neardup_lsh(
 
         tagged = vecs.mapInPandas(tag, out_schema)
     else:
-        bands = []
+        # all bands in ONE pass over the vectors (explode of a struct
+        # array), not a union of n_bands scans: the double-cast of the
+        # vector is hoisted and computed once per row instead of once per
+        # (band x bit) dot product, and the parquet scan runs once
+        casted = vecs.select(
+            "_id", "_v",
+            F.transform("_v", lambda x: x.cast("double")).alias("_vd"))
+        entries = []
         for band in range(n_bands):
             planes = lsh_planes(dim, bits_per_band, seed + 1000 * band)
-            bands.append(
-                vecs.select(
-                    "_id", "_v",
-                    F.lit(band).alias("band"),
-                    signature_bits(F.col("_v"), planes).alias("bucket"),
-                )
-            )
-        tagged = bands[0]
-        for extra in bands[1:]:
-            tagged = tagged.unionByName(extra)
+            entries.append(F.struct(
+                F.lit(band).alias("band"),
+                signature_bits(F.col("_vd"), planes,
+                               cast=False).alias("bucket")))
+        tagged = casted.select(
+            "_id", "_v", F.explode(F.array(*entries)).alias("_bb")
+        ).select("_id", "_v", "_bb.band", "_bb.bucket")
+    # one exchange on the join keys, shared by the hot-bucket filter and
+    # both self-join sides: the hyperplane-sign tagging pipeline (n_bands
+    # x bits dot products per vector) runs ONCE and Catalyst wires
+    # ReusedExchange into the other consumers — without it the pipeline
+    # re-ran per consumer, the dominant CPU cost of the operator.
+    tagged = tagged.repartition("band", "bucket")
     persisted = None
     if cache:
-        # the tagged relation feeds the hot-bucket count, the anti-join and
-        # both self-join sides; at corpus scale persist so the hyperplane
-        # signature pass runs once (at bench scale recompute is cheaper —
-        # same trade as minhash_lsh_candidates). The handle is attached to
-        # the result; release with persist.unpersist_intermediates.
+        # WITHIN one query the explicit exchange above already deduplicates
+        # the tagging pipeline (ReusedExchange); persist matters when the
+        # RESULT is driven by several separate actions or must survive
+        # executor loss (same trade as minhash_lsh_candidates). The handle
+        # is attached to the result; release with
+        # persist.unpersist_intermediates.
         from pyspark import StorageLevel
         tagged = persisted = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
-        hot = (
-            tagged.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        tagged = tagged.join(F.broadcast(hot), ["band", "bucket"],
-                             "left_anti")
+        # hot-cell drop as a WINDOW count over the same exchange (a
+        # separate count-aggregate + broadcast anti-join could not reuse
+        # the join's exchange and re-ran the tagging pipeline): no added
+        # shuffle — partitioning is already (band, bucket) — and the
+        # window's sort doubles as the self-join's SMJ sort. Semantics
+        # identical: every row of a cell holding more than
+        # max_bucket_size vectors is dropped before the join.
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        tagged = tagged.withColumn("_n", n).where(
+            F.col("_n") <= max_bucket_size).drop("_n")
     left = tagged.select("band", "bucket", F.col("_id").alias("id_a"),
                          F.col("_v").alias("va"))
     right = tagged.select("band", "bucket", F.col("_id").alias("id_b"),
