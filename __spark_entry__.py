@@ -350,6 +350,21 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
         max_bucket_size=_MINHASH["max_bucket_size"])
 
 
+def _q_dedup_components(spark, sf_dir):
+    # LSH candidate pairs -> transitive near-dup CLUSTERS via alternating
+    # large-star/small-star contraction (O(log n) rounds, fully distributed);
+    # oracle is a DuckDB recursive CTE over the identical pair set
+    from cdcrypt.operators.docdedup import (connected_components,
+                                            minhash_lsh_candidates)
+    pairs = minhash_lsh_candidates(
+        _tp(spark, sf_dir, "documents", "doc_id"),
+        num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
+    return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
 def _q_simhash_groups(spark, sf_dir):
     from cdcrypt.operators.docdedup import simhash_dup_groups
     return simhash_dup_groups(_tp(spark, sf_dir, "documents", "doc_id"))
@@ -502,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dedup_components": _q_dedup_components,
         "simhash_groups": _q_simhash_groups,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -587,6 +603,32 @@ def _minhash_pairs_sql() -> str:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def _dedup_components_sql() -> str:
+    # same banded CTEs as minhash_lsh_pairs, then min-label reachability
+    # closure: component = min node id reachable over the candidate edges
+    cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return cte + """
+        , pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
+        )
+        SELECT node AS doc_id, min(r) AS component
+        FROM reach GROUP BY node
     """
 
 
@@ -952,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _neardup_lsh_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
+        "dedup_components": _dedup_components_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(),

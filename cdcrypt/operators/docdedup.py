@@ -448,3 +448,107 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: (node, component)
+    for every node appearing in ``pairs``, where ``component`` is the
+    smallest node id in its connected component. The natural step after
+    LSH pair generation — a doc near-duplicate to B which is near-duplicate
+    to C belongs to one keep-one-of-three group even if (A, C) never
+    collided in a band.
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two groupBy+join passes over the edge list and the edge set
+    contracts toward star graphs rooted at each component's minimum;
+    convergence takes O(log n) rounds on any graph (a path of length
+    1000 converges in ~10). Wholly distributed — the driver sees only a
+    2-long convergence probe per round, never the edges.
+
+    Each round ends in ``localCheckpoint`` to truncate lineage —
+    iterative DataFrame algorithms otherwise grow the plan (and analysis
+    time) exponentially. On a multi-node cluster prefer a reliable
+    checkpoint dir (``sparkContext.setCheckpointDir`` + ``checkpoint``)
+    for executor-loss recovery; the algorithm is agnostic.
+
+    Raises after ``max_iter`` rounds without convergence (cannot happen
+    for a correct implementation at 2^25-node components; the guard turns
+    an implementation bug into an error instead of an infinite loop).
+    """
+    # materialize the pair list ONCE up front: the star rounds (and the
+    # final node join) each reference the edge relation several times, and
+    # without this the whole upstream pipeline (e.g. minhash LSH) would be
+    # recomputed per reference per round
+    raw = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .localCheckpoint())
+    # nodes from the UNFILTERED pairs: a self-loop-only node still appears
+    # in the output (labeled by itself)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    edges = raw.where(F.col("u") != F.col("v")).distinct()
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # group the full adjacency by u; link every LARGER neighbor to
+        # m = min(neighbors + self). u itself is covered by its smaller
+        # neighbors' groups (or is a minimum already).
+        adj = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (adj.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (
+            adj.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge toward its larger endpoint, group there, and
+        # link u AND all its smaller neighbors to their minimum — u must
+        # be re-linked here or a component's largest node (whom no other
+        # group references) falls out of the edge set.
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return relinked.where(F.col("u") != F.col("v")).distinct()
+
+    def _probe(e: DataFrame) -> tuple:
+        # count + order-independent xor fingerprint (bit_xor, not sum:
+        # summing xxhash64 longs overflows under ANSI mode)
+        row = e.select(
+            F.count(F.lit(1)),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)),
+        ).first()
+        return (row[0], row[1])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        edges = edges.localCheckpoint()
+        cur = _probe(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # converged edges are (node -> component root); roots map to themselves
+    return (
+        nodes.join(edges.select(F.col("u").alias("node"),
+                                F.col("v").alias("component")),
+                   "node", "left")
+        .select("node",
+                F.coalesce("component", F.col("node")).alias("component"))
+    )
