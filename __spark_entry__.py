@@ -365,6 +365,19 @@ def _q_dedup_components(spark, sf_dir):
             .select(F.col("node").alias("doc_id"), "component"))
 
 
+def _q_dedup_near(spark, sf_dir):
+    # end-to-end corpus dedup: LSH pairs -> transitive clusters -> one
+    # canonical survivor per cluster (longest text, min-id tiebreak)
+    from cdcrypt.operators.docdedup import dedup_near, minhash_lsh_candidates
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    pairs = minhash_lsh_candidates(
+        docs,
+        num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
+    return dedup_near(docs, pairs)
+
+
 def _q_simhash_groups(spark, sf_dir):
     from cdcrypt.operators.docdedup import simhash_dup_groups
     return simhash_dup_groups(_tp(spark, sf_dir, "documents", "doc_id"))
@@ -518,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_components": _q_dedup_components,
+        "dedup_near": _q_dedup_near,
         "simhash_groups": _q_simhash_groups,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -629,6 +643,46 @@ def _dedup_components_sql() -> str:
         )
         SELECT node AS doc_id, min(r) AS component
         FROM reach GROUP BY node
+    """
+
+
+def _dedup_near_sql() -> str:
+    # CC closure as in dedup_components, then left-join every document and
+    # keep the longest-text row per component (min doc_id tiebreak; null
+    # text coalesced below any real length on both engines)
+    cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return cte + """
+        , pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        labeled AS (
+          SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id) AS component,
+                 coalesce(length(d.text), -1) AS len
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT doc_id, component, n_in_cluster FROM (
+          SELECT doc_id, component,
+                 CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                   AS n_in_cluster,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY len DESC, doc_id ASC) AS rn
+          FROM labeled)
+        WHERE rn = 1
     """
 
 
@@ -995,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _neardup_lsh_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),
+        "dedup_near": _dedup_near_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(),

@@ -552,3 +552,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .select("node",
                 F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+def dedup_near(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """End-to-end near-dup corpus dedup: one CANONICAL survivor per
+    connected near-dup cluster. Returns one row per surviving document:
+    ``(id_col, component, n_in_cluster)`` — join back to ``docs`` on
+    ``id_col`` to materialize the deduplicated corpus.
+
+    Canonical pick: longest text wins (a training pipeline keeps the most
+    complete variant), ties broken by smallest id for determinism. Null
+    text sorts last (it cannot beat any real text).
+
+    Scale shape: :func:`connected_components` over the candidate pairs
+    (edge-list-only shuffles), a key-join of the labels back to the
+    corpus, and ONE window shuffle partitioned by component. Cluster
+    sizes are bounded upstream by the LSH ``max_bucket_size`` cap, so no
+    window partition is degenerate. Docs in no pair are their own
+    singleton component (left join + coalesce — they never enter the
+    component shuffle with a skewed NULL key because the coalesced id is
+    unique per row).
+    """
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs).withColumnRenamed("node", id_col)
+    labeled = (
+        docs.select(id_col, text_col)
+        .join(comps, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            F.coalesce(F.length(text_col), F.lit(-1)).alias("_len"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_len").desc(), F.col(id_col).asc())
+    return (
+        labeled
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_in_cluster",
+                    F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "component", "n_in_cluster")
+    )

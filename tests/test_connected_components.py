@@ -101,3 +101,38 @@ def test_empty_pairs(spark):
         .where(F.lit(False))
     )
     assert connected_components(df).count() == 0
+
+
+def test_dedup_near_picks_longest_then_smallest_id(spark):
+    from cdcrypt.operators.docdedup import dedup_near
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text of all"), (3, "medium len"),
+         (10, "same"), (11, "same"),       # tie on length -> min id wins
+         (20, "loner untouched by pairs"),
+         (30, None)],                       # null text, paired with 31
+        "doc_id long, text string")
+    docs = docs.union(spark.createDataFrame([(31, "real")],
+                                            "doc_id long, text string"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["component"], r["n_in_cluster"])
+           for r in dedup_near(docs, pairs).collect()}
+    assert out == {
+        2: (1, 3),     # longest of {1,2,3}
+        10: (10, 2),   # tie -> smaller id
+        20: (20, 1),   # singleton survives
+        31: (30, 2),   # real text beats null
+    }
+
+
+def test_dedup_near_survivor_count(spark):
+    from cdcrypt.operators.docdedup import dedup_near
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)],
+        "doc_id long, text string")
+    # chain 0-1-2-...-9 into one cluster; 40 singletons remain
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    out = dedup_near(docs, pairs)
+    assert out.count() == 41
+    assert out.where("n_in_cluster = 10").count() == 1
