@@ -350,6 +350,36 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
         max_bucket_size=_MINHASH["max_bucket_size"])
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    # persisted-index variant of minhash_lsh_pairs: signature pass over the
+    # even half ONCE into the banded artifact, then the odd half finds its
+    # near-dups against it in O(batch) — broadcast probe, no index shuffle,
+    # hot-bucket cap applied over UNION counts. Result == the one-shot
+    # pipeline's pairs restricted to pairs involving the odd half.
+    import hashlib
+    import os
+    import tempfile
+
+    from cdcrypt.operators.docdedup import (
+        MinHashIndex, MinHashIndexError, build_minhash_index,
+        minhash_candidates_incremental)
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:mh:{sorted(_MINHASH.items())}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_mhidx_{key}")
+    try:
+        idx = MinHashIndex(root)
+    except MinHashIndexError:
+        idx = build_minhash_index(
+            docs.where(F.col("doc_id") % 2 == 0), root,
+            num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+            shingle_k=_MINHASH["shingle_k"])
+    return minhash_candidates_incremental(
+        spark, idx, docs.where(F.col("doc_id") % 2 == 1),
+        max_bucket_size=_MINHASH["max_bucket_size"])
+
+
 def _q_dedup_components(spark, sf_dir):
     # LSH candidate pairs -> transitive near-dup CLUSTERS via alternating
     # large-star/small-star contraction (O(log n) rounds, fully distributed);
@@ -532,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_components": _q_dedup_components,
         "dedup_near": _q_dedup_near,
+        "minhash_incremental": _q_minhash_incremental,
         "simhash_groups": _q_simhash_groups,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1050,6 +1081,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),
         "dedup_near": _dedup_near_sql(),
+        # the incremental-index path must produce EXACTLY the one-shot
+        # pipeline's pairs restricted to pairs involving the new (odd) half
+        # — same bands, same hot-bucket cap over the union
+        "minhash_incremental": (
+            "SELECT * FROM (" + _minhash_pairs_sql()
+            + ") WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(),

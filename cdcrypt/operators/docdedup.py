@@ -207,6 +207,37 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_banded(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_hashes: int = 32,
+                   bands: int = 16, shingle_k: int = 5,
+                   family: str = "md5") -> DataFrame:
+    """(id, band, bhash) — one row per (doc, band): the LSH bucket keys.
+    band hash = seeded hash over the band's slice of the signature. Shared
+    by the one-shot pipeline (:func:`minhash_lsh_candidates`) and the
+    persisted-index path (:class:`MinHashIndex`) so both are bit-identical
+    to the DuckDB oracle."""
+    _check_family(family)
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              family)
+    if family == "md5":
+        bhash = lambda b: h60_combine(  # noqa: E731
+            F.lit(b),
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+    else:
+        bhash = lambda b: F.xxhash64(  # noqa: E731
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), bhash(b).alias("bhash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
                            bands: int = 16, shingle_k: int = 5,
@@ -236,26 +267,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     returned DataFrame; release it after materializing via
     :func:`cdcrypt.functions.persist.unpersist_intermediates`.
     """
-    _check_family(family)
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
-                              family)
-    if family == "md5":
-        bhash = lambda b: h60_combine(  # noqa: E731
-            F.lit(b),
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-    else:
-        bhash = lambda b: F.xxhash64(  # noqa: E731
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), bhash(b).alias("bhash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bhash")
+    banded = minhash_banded(df, text_col, id_col, num_hashes, bands,
+                            shingle_k, family)
     # ONE explicit exchange on the join keys: every consumer (the
     # hot-bucket filter and both self-join sides) hangs off this single
     # exchange, so the shingle->signature->band pipeline is computed once
@@ -595,4 +608,174 @@ def dedup_near(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                     F.count(F.lit(1)).over(Window.partitionBy("component")))
         .where(F.col("_rn") == 1)
         .select(id_col, "component", "n_in_cluster")
+    )
+
+
+class MinHashIndexError(RuntimeError):
+    pass
+
+
+class MinHashIndex:
+    """Persisted MinHash LSH index: shingle/sign ONCE per document, find
+    near-dups of each new ingest batch against the whole corpus in
+    O(batch), not O(corpus).
+
+    Layout::
+
+        root/_minhash_meta.json   LSH params (num_hashes/bands/shingle_k/
+                                  family/id_col/text_col/n_partitions)
+        root/banded/bpart=K/      (id, band, bhash) parquet rows — the
+                                  corpus's band-bucket keys, UNCAPPED
+                                  (the hot-bucket cap is a query-time
+                                  policy over union counts; baking it in
+                                  would freeze it and break cap-over-
+                                  union semantics), Hive-partitioned by
+                                  bpart = pmod(bhash, n_partitions) and
+                                  sorted by (band, bhash) within files
+                                  for row-group zone maps
+
+    Same fetch-once economics as :class:`~cdcrypt.operators.similarity.
+    IvfIndex` (and the reference's fetch-once public key,
+    GCPKeyManagementService.java:119-132): re-shingling 100 TB of text per
+    ingest tick is the cost that must be amortized — signatures are ~24
+    bytes/doc/band of longs, ~3 orders of magnitude smaller than the text.
+    The incremental query broadcasts the NEW batch's bucket keys against
+    this table: the index side is never shuffled, and the bpart equi-term
+    lets dynamic partition pruning skip untouched files when the tick is
+    small.
+    """
+
+    META = "_minhash_meta.json"
+
+    def __init__(self, root: str):
+        import json
+        import os
+        try:
+            with open(os.path.join(root, self.META)) as f:
+                self.meta = json.load(f)
+        except (OSError, ValueError) as e:
+            raise MinHashIndexError(f"not a minhash index: {root}") from e
+        self.root = root
+
+    def read_banded(self, spark) -> DataFrame:
+        import os
+        return spark.read.parquet(os.path.join(self.root, "banded"))
+
+    def _banded_for(self, docs: DataFrame) -> DataFrame:
+        m = self.meta
+        out = minhash_banded(
+            docs, text_col=m["text_col"], id_col=m["id_col"],
+            num_hashes=m["num_hashes"], bands=m["bands"],
+            shingle_k=m["shingle_k"], family=m["family"])
+        return out.withColumn(
+            "bpart",
+            F.pmod("bhash", F.lit(m["n_partitions"])).cast("int"))
+
+
+def _write_minhash_meta(root: str, meta: dict) -> None:
+    import json
+    import os
+    tmp = os.path.join(root, f".{MinHashIndex.META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, MinHashIndex.META))
+
+
+def build_minhash_index(docs: DataFrame, root: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 32,
+                        bands: int = 16, shingle_k: int = 5,
+                        family: str = "md5",
+                        n_partitions: int = 64) -> MinHashIndex:
+    """One shingle+signature pass over the corpus into the banded layout
+    (see :class:`MinHashIndex`). ``n_partitions`` sizes the bpart dirs:
+    pick ~(corpus banded rows / 128 MB of longs) at scale."""
+    import os
+    banded = (
+        minhash_banded(docs, text_col, id_col, num_hashes, bands,
+                       shingle_k, family)
+        .withColumn("bpart", F.pmod("bhash", F.lit(n_partitions)).cast("int"))
+        .sortWithinPartitions("bpart", "band", "bhash")
+    )
+    os.makedirs(root, exist_ok=True)
+    banded.write.mode("overwrite").partitionBy("bpart").parquet(
+        os.path.join(root, "banded"))
+    meta = {
+        "format": "cdcrypt-minhash/1",
+        "text_col": text_col, "id_col": id_col,
+        "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k,
+        "family": family, "n_partitions": n_partitions,
+    }
+    _write_minhash_meta(root, meta)
+    return MinHashIndex(root)
+
+
+def append_to_minhash_index(index: "MinHashIndex | str",
+                            new_docs: DataFrame) -> MinHashIndex:
+    """Grow the index by one ingest batch: signature pass over the NEW
+    docs only, files appended into the bpart layout — existing banded
+    files untouched. O(batch) per tick; single-writer, like build."""
+    import os
+    idx = MinHashIndex(index) if isinstance(index, str) else index
+    idx._banded_for(new_docs).sortWithinPartitions(
+        "bpart", "band", "bhash").write.mode("append").partitionBy(
+        "bpart").parquet(os.path.join(idx.root, "banded"))
+    meta = dict(idx.meta)
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    _write_minhash_meta(idx.root, meta)
+    return MinHashIndex(idx.root)
+
+
+def minhash_candidates_incremental(
+        spark, index: "MinHashIndex | str", new_docs: DataFrame,
+        max_bucket_size: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_shared_bands) where AT
+    LEAST ONE side is in ``new_docs`` — exactly the full pipeline's pairs
+    over (corpus ∪ batch) minus the already-known corpus-internal pairs.
+
+    Plan shape (the O(batch) contract):
+
+    - the batch's banded rows are computed once (localCheckpoint — they
+      feed the probe key set, the union, and the join);
+    - the index side is filtered by a BROADCAST semi-join on the batch's
+      distinct (bpart, band, bhash) keys — the corpus table is scanned
+      in place, never shuffled, and the bpart equi-term is DPP-prunable;
+    - ``max_bucket_size`` counts over the UNION of matched index rows and
+      batch rows, which IS the full-pipeline bucket size for every bucket
+      the batch touches (index rows outside touched buckets can't pair
+      with the batch), so capped results equal the one-shot pipeline's,
+      restricted to pairs involving the batch;
+    - pair orientation dedupes without a distinct pass: batch-batch pairs
+      join once via ``n.id < u.id``; corpus-batch pairs join once because
+      only the ``n`` side is the batch.
+    """
+    idx = MinHashIndex(index) if isinstance(index, str) else index
+    id_col = idx.meta["id_col"]
+    new_banded = idx._banded_for(new_docs).localCheckpoint()
+    probe = new_banded.select("bpart", "band", "bhash").distinct()
+    matched = idx.read_banded(spark).join(
+        F.broadcast(probe), ["bpart", "band", "bhash"])
+    unioned = (
+        matched.select(id_col, "band", "bhash",
+                       F.lit(False).alias("is_new"))
+        .unionByName(new_banded.select(id_col, "band", "bhash",
+                                       F.lit(True).alias("is_new")))
+    ).repartition("band", "bhash")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
+        unioned = unioned.withColumn("_n", n).where(
+            F.col("_n") <= max_bucket_size).drop("_n")
+    n_side = unioned.where("is_new").alias("n")
+    u_side = unioned.alias("u")
+    return (
+        n_side.join(u_side, ["band", "bhash"])
+        .where((F.col(f"n.{id_col}") < F.col(f"u.{id_col}"))
+               | (~F.col("u.is_new")
+                  & (F.col(f"n.{id_col}") != F.col(f"u.{id_col}"))))
+        .groupBy(
+            F.least(F.col(f"n.{id_col}"), F.col(f"u.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"),
+                       F.col(f"u.{id_col}")).alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
