@@ -694,6 +694,12 @@ def build_minhash_index(docs: DataFrame, root: str, text_col: str = "text",
         minhash_banded(docs, text_col, id_col, num_hashes, bands,
                        shingle_k, family)
         .withColumn("bpart", F.pmod("bhash", F.lit(n_partitions)).cast("int"))
+        # cluster by bpart BEFORE the partitionBy writer: without this every
+        # write task holds rows of every bpart and emits tasks x n_partitions
+        # tiny files (measured 5k+ files at sf0.1). One task per bpart is
+        # right while a bpart fits one file; at corpus scale add a second
+        # repartition key (e.g. a bhash range) for multiple files per dir.
+        .repartition("bpart")
         .sortWithinPartitions("bpart", "band", "bhash")
     )
     os.makedirs(root, exist_ok=True)
@@ -716,7 +722,7 @@ def append_to_minhash_index(index: "MinHashIndex | str",
     files untouched. O(batch) per tick; single-writer, like build."""
     import os
     idx = MinHashIndex(index) if isinstance(index, str) else index
-    idx._banded_for(new_docs).sortWithinPartitions(
+    idx._banded_for(new_docs).repartition("bpart").sortWithinPartitions(
         "bpart", "band", "bhash").write.mode("append").partitionBy(
         "bpart").parquet(os.path.join(idx.root, "banded"))
     meta = dict(idx.meta)
