@@ -658,8 +658,18 @@ class MinHashIndex:
         self.root = root
 
     def read_banded(self, spark) -> DataFrame:
+        import json
         import os
-        return spark.read.parquet(os.path.join(self.root, "banded"))
+        from pyspark.sql import types as T
+        # explicit schema from the meta (recorded at build): an index built
+        # on an EMPTY corpus (streaming from scratch) has a banded dir with
+        # no data files, which schema inference would reject
+        path = os.path.join(self.root, "banded")
+        sj = self.meta.get("banded_schema")
+        if sj is None:  # pre-schema artifact: fall back to inference
+            return spark.read.parquet(path)
+        schema = T.StructType.fromJson(json.loads(sj))
+        return spark.read.schema(schema).parquet(path)
 
     def _banded_for(self, docs: DataFrame) -> DataFrame:
         m = self.meta
@@ -705,11 +715,13 @@ def build_minhash_index(docs: DataFrame, root: str, text_col: str = "text",
     os.makedirs(root, exist_ok=True)
     banded.write.mode("overwrite").partitionBy("bpart").parquet(
         os.path.join(root, "banded"))
+    import json
     meta = {
         "format": "cdcrypt-minhash/1",
         "text_col": text_col, "id_col": id_col,
         "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k,
         "family": family, "n_partitions": n_partitions,
+        "banded_schema": json.dumps(banded.schema.jsonValue()),
     }
     _write_minhash_meta(root, meta)
     return MinHashIndex(root)
@@ -785,3 +797,31 @@ def minhash_candidates_incremental(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def minhash_dedup_tick(spark, index: "MinHashIndex | str",
+                       batch: DataFrame,
+                       max_bucket_size: int | None = None) -> DataFrame:
+    """One ingest tick of streaming near-dup detection: candidates for
+    ``batch`` against everything ingested so far (including the batch
+    itself), then the batch joins the index. Returns the MATERIALIZED
+    candidate pairs (the append must not race the query, so this is one
+    of the engine's few eager operators — batch-sized, not corpus-sized).
+
+    Running ticks over any partition of a corpus yields exactly the
+    one-shot pipeline's pairs (each pair surfaces on the tick of its
+    later-arriving side; tested), so a streaming deployment loses nothing
+    vs a nightly batch job — while paying O(batch) per tick.
+
+    Caveat: the hot-bucket cap is evaluated against the corpus AS OF each
+    tick — a bucket can go over the cap only after later ticks, so pairs
+    an earlier tick already emitted are not retroactively dropped. With
+    cap semantics "collapse degenerate near-everything docs", earlier
+    emission is the desired behavior; for exact one-shot cap parity run
+    the final corpus through :func:`minhash_lsh_candidates`.
+    """
+    idx = MinHashIndex(index) if isinstance(index, str) else index
+    pairs = minhash_candidates_incremental(
+        spark, idx, batch, max_bucket_size=max_bucket_size).localCheckpoint()
+    append_to_minhash_index(idx, batch)
+    return pairs

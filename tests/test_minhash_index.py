@@ -133,3 +133,23 @@ def test_reopen_and_layout(spark, root):
 def test_not_an_index_raises(tmp_path):
     with pytest.raises(MinHashIndexError):
         MinHashIndex(str(tmp_path / "nope"))
+
+
+def test_streamed_ticks_equal_one_shot_pipeline(spark, root):
+    """Feed the corpus through 3 ingest ticks; the union of per-tick
+    candidates must equal the one-shot pipeline over the full corpus
+    (uncapped — per-tick caps are AS-OF semantics, see docstring)."""
+    from cdcrypt.operators.docdedup import minhash_dedup_tick
+
+    docs = _corpus(spark)
+    build_minhash_index(docs.where("doc_id < 0"), root)  # empty index
+    got = {}
+    for tick in range(3):
+        pairs = minhash_dedup_tick(spark, root,
+                                   docs.where(f"doc_id % 3 = {tick}"))
+        for (a, b), n in _pairs_set(pairs).items():
+            assert (a, b) not in got, "pair emitted twice across ticks"
+            got[(a, b)] = n
+    want = _pairs_set(minhash_lsh_candidates(docs))
+    assert got == want
+    assert MinHashIndex(root).meta["appends"] == 3
