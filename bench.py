@@ -183,14 +183,13 @@ def main() -> None:
         # JIT. (Same idea as the JVM warmup above; input data differs so
         # no result caching.)
         warm_dir = "/root/testdata/sf0.001"
+        qdict = entrymod.queries()
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-            for name, fn in entrymod.queries().items():
+            for name, fn in qdict.items():
                 try:
                     fn(spark, warm_dir).count()
                 except Exception:  # noqa: BLE001 - warmup is best-effort
                     pass
-
-    if not os.environ.get("CDCRYPT_SKIP_QUERIES"):
         # build the persisted index artifacts (IVF cells, MinHash banded
         # layout) at the BENCH sf once, outside the timed loop: their
         # design contract is build-once/query-many (the artifact is cached
@@ -199,7 +198,7 @@ def main() -> None:
         # cost is reported by the artifact tests, not the query bench
         for name in ("ann_ivf_indexed", "minhash_incremental"):
             try:
-                entrymod.queries()[name](spark, sf_dir).count()
+                qdict[name](spark, sf_dir).count()
             except Exception:  # noqa: BLE001 - warmup is best-effort
                 pass
 

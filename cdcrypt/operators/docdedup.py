@@ -42,6 +42,22 @@ def _check_family(family: str) -> None:
         raise ValueError(f"hash family {family!r} must be one of {_FAMILIES}")
 
 
+def _cap_hot_buckets(df: DataFrame, keys: tuple,
+                     max_bucket_size: int | None) -> DataFrame:
+    """The LSH skew guard, shared by every banded path so their semantics
+    cannot diverge: drop EVERY row of a bucket holding more than
+    ``max_bucket_size`` rows, expressed as a window count over the
+    relation's existing ``keys`` partitioning — no extra shuffle, no
+    second pass, and the window's sort doubles as a downstream sort-merge
+    join's sort. No-op when ``max_bucket_size`` is None."""
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    return df.withColumn("_n", n).where(
+        F.col("_n") <= max_bucket_size).drop("_n")
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: one row per distinct text with keeper id +
@@ -287,17 +303,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         # OFF — at bench scale recompute beats materialization.
         from pyspark import StorageLevel
         banded = persisted = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_bucket_size is not None:
-        # hot-bucket drop as a WINDOW count over the same exchange (not a
-        # separate count-aggregate + broadcast anti-join, which re-ran the
-        # signature pipeline): partitioning is already (band, bhash) so the
-        # window adds no shuffle, and its sort doubles as the self-join's
-        # SMJ sort. Semantics identical — every row of a bucket holding
-        # more than max_bucket_size docs is dropped before the join.
-        from pyspark.sql import Window
-        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
-        banded = banded.withColumn("_n", n).where(
-            F.col("_n") <= max_bucket_size).drop("_n")
+    # hot-bucket drop as a WINDOW count over the same exchange (not a
+    # separate count-aggregate + broadcast anti-join, which re-ran the
+    # signature pipeline): partitioning is already (band, bhash) so the
+    # window adds no shuffle, and its sort doubles as the self-join's
+    # SMJ sort (shared _cap_hot_buckets helper).
+    banded = _cap_hot_buckets(banded, ("band", "bhash"), max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     out = (
@@ -442,12 +453,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     # both self-join sides — the word-explode + 60-sum simhash pipeline
     # above runs ONCE instead of once per consumer (same shape and
     # rationale as minhash_lsh_candidates)
-    banded = banded.repartition("band", "bits")
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bits"))
-        banded = banded.withColumn("_n", n).where(
-            F.col("_n") <= max_bucket_size).drop("_n")
+    banded = _cap_hot_buckets(banded.repartition("band", "bits"),
+                              ("band", "bits"), max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("fp_a"), "band", "bits")
     b = banded.select(F.col(id_col).alias("id_b"),
@@ -548,7 +555,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     prev = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges))
+        # checkpoint BETWEEN the stars too: _small_star references its
+        # input three times (orientation scan, m-aggregate, join), and
+        # without materialization each reference recomputes the whole
+        # large-star stage (measured: 4 joins / 12 input scans per round,
+        # zero ReusedExchange — aggregate branches cannot share a join's
+        # exchange, the same hazard minhash_lsh_candidates documents)
+        edges = _small_star(_large_star(edges).localCheckpoint())
         edges = edges.localCheckpoint()
         cur = _probe(edges)
         if cur == prev:
@@ -580,15 +593,17 @@ def dedup_near(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
     Scale shape: :func:`connected_components` over the candidate pairs
     (edge-list-only shuffles), a key-join of the labels back to the
-    corpus, and ONE window shuffle partitioned by component. Cluster
-    sizes are bounded upstream by the LSH ``max_bucket_size`` cap, so no
-    window partition is degenerate. Docs in no pair are their own
-    singleton component (left join + coalesce — they never enter the
-    component shuffle with a skewed NULL key because the coalesced id is
+    corpus, and ONE hash aggregate keyed by component. The survivor pick
+    is ``min(struct(-len, id))`` — an ordinary map-side-combining
+    aggregate, NOT a window: component sizes are unbounded (the LSH
+    bucket cap bounds buckets, but transitive chaining composes small
+    buckets into arbitrarily large components), and a window would funnel
+    a mega-component through one task's sort, where the aggregate
+    combines it partially on every input partition. Docs in no pair are
+    their own singleton component (left join + coalesce — they never
+    enter the shuffle with a skewed NULL key because the coalesced id is
     unique per row).
     """
-    from pyspark.sql import Window
-
     comps = connected_components(pairs).withColumnRenamed("node", id_col)
     labeled = (
         docs.select(id_col, text_col)
@@ -599,15 +614,17 @@ def dedup_near(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             F.coalesce(F.length(text_col), F.lit(-1)).alias("_len"),
         )
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("_len").desc(), F.col(id_col).asc())
+    # min(struct(-len, id)): smallest negated length = longest text, ties
+    # resolved toward the smallest id; id rides along untouched so any
+    # orderable id type works
     return (
-        labeled
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_in_cluster",
-                    F.count(F.lit(1)).over(Window.partitionBy("component")))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "component", "n_in_cluster")
+        labeled.groupBy("component")
+        .agg(
+            F.min(F.struct((-F.col("_len")).alias("n"),
+                           F.col(id_col).alias("i"))).alias("w"),
+            F.count(F.lit(1)).alias("n_in_cluster"),
+        )
+        .select(F.col("w.i").alias(id_col), "component", "n_in_cluster")
     )
 
 
@@ -727,20 +744,36 @@ def build_minhash_index(docs: DataFrame, root: str, text_col: str = "text",
     return MinHashIndex(root)
 
 
-def append_to_minhash_index(index: "MinHashIndex | str",
-                            new_docs: DataFrame) -> MinHashIndex:
-    """Grow the index by one ingest batch: signature pass over the NEW
-    docs only, files appended into the bpart layout — existing banded
-    files untouched. O(batch) per tick; single-writer, like build."""
+def _append_banded(idx: MinHashIndex, banded: DataFrame) -> MinHashIndex:
+    """Append already-computed banded rows into the bpart layout and bump
+    the append counter. Shared by :func:`append_to_minhash_index` (which
+    computes the rows from text) and :func:`minhash_dedup_tick` (which
+    reuses the rows its query pass already materialized)."""
     import os
-    idx = MinHashIndex(index) if isinstance(index, str) else index
-    idx._banded_for(new_docs).repartition("bpart").sortWithinPartitions(
+    banded.repartition("bpart").sortWithinPartitions(
         "bpart", "band", "bhash").write.mode("append").partitionBy(
         "bpart").parquet(os.path.join(idx.root, "banded"))
     meta = dict(idx.meta)
     meta["appends"] = int(meta.get("appends", 0)) + 1
     _write_minhash_meta(idx.root, meta)
     return MinHashIndex(idx.root)
+
+
+def append_to_minhash_index(index: "MinHashIndex | str",
+                            new_docs: DataFrame) -> MinHashIndex:
+    """Grow the index by one ingest batch: signature pass over the NEW
+    docs only, files appended into the bpart layout — existing banded
+    files untouched. O(batch) per tick; single-writer, like build.
+
+    CONTRACT: batches must be id-disjoint from what the index already
+    holds. Appending an already-indexed id stores a second copy of its
+    banded rows, which doubles that doc's n_shared_bands contributions
+    and inflates cap-over-union bucket counts — CDC updates to existing
+    docs should be collapsed upstream (exact dedup / LWW resolution) or
+    handled by rebuilding; the index itself has no dedup-on-read, by
+    design (it would cost a corpus-wide distinct per query)."""
+    idx = MinHashIndex(index) if isinstance(index, str) else index
+    return _append_banded(idx, idx._banded_for(new_docs))
 
 
 def minhash_candidates_incremental(
@@ -767,8 +800,16 @@ def minhash_candidates_incremental(
       only the ``n`` side is the batch.
     """
     idx = MinHashIndex(index) if isinstance(index, str) else index
-    id_col = idx.meta["id_col"]
     new_banded = idx._banded_for(new_docs).localCheckpoint()
+    return _candidates_from_banded(spark, idx, new_banded, max_bucket_size)
+
+
+def _candidates_from_banded(spark, idx: MinHashIndex, new_banded: DataFrame,
+                            max_bucket_size: int | None) -> DataFrame:
+    """Incremental candidate join over ALREADY-MATERIALIZED batch banded
+    rows (callers localCheckpoint them: they feed the probe key set, the
+    union, and the join)."""
+    id_col = idx.meta["id_col"]
     probe = new_banded.select("bpart", "band", "bhash").distinct()
     matched = idx.read_banded(spark).join(
         F.broadcast(probe), ["bpart", "band", "bhash"])
@@ -778,11 +819,7 @@ def minhash_candidates_incremental(
         .unionByName(new_banded.select(id_col, "band", "bhash",
                                        F.lit(True).alias("is_new")))
     ).repartition("band", "bhash")
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
-        unioned = unioned.withColumn("_n", n).where(
-            F.col("_n") <= max_bucket_size).drop("_n")
+    unioned = _cap_hot_buckets(unioned, ("band", "bhash"), max_bucket_size)
     n_side = unioned.where("is_new").alias("n")
     u_side = unioned.alias("u")
     return (
@@ -821,7 +858,13 @@ def minhash_dedup_tick(spark, index: "MinHashIndex | str",
     the final corpus through :func:`minhash_lsh_candidates`.
     """
     idx = MinHashIndex(index) if isinstance(index, str) else index
-    pairs = minhash_candidates_incremental(
-        spark, idx, batch, max_bucket_size=max_bucket_size).localCheckpoint()
-    append_to_minhash_index(idx, batch)
+    # ONE shingle+signature pass per tick: the checkpointed banded rows
+    # feed both the candidate query and the append (re-shingling is the
+    # cost this index exists to amortize — paying it twice per tick
+    # halved the point). Same id-disjointness contract as
+    # :func:`append_to_minhash_index`.
+    new_banded = idx._banded_for(batch).localCheckpoint()
+    pairs = _candidates_from_banded(
+        spark, idx, new_banded, max_bucket_size).localCheckpoint()
+    _append_banded(idx, new_banded)
     return pairs
