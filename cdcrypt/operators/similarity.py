@@ -164,6 +164,62 @@ def embedding_neardup_exact(
         block_pairs, "id_a long, id_b long, sim double")
 
 
+def _tag_bands(vecs: DataFrame, n_bands: int, bits_per_band: int,
+               seed: int, dim: int, method: str) -> DataFrame:
+    """Sign-LSH band tagging: (_id, _v) -> (_id, _v, band, bucket), one row
+    per (vector, band). Shared by :func:`embedding_neardup_lsh` and the
+    persisted :class:`EmbeddingLSHIndex` so the incremental path produces
+    bit-identical buckets to the one-shot pipeline (and hence to its
+    DuckDB oracle, whose float-addition order the 'column' method
+    reproduces exactly)."""
+    if method == "blas":
+        import pandas as pd
+
+        P = np.vstack([lsh_planes(dim, bits_per_band, seed + 1000 * b)
+                       for b in range(n_bands)])          # (bands*bits, dim)
+        w = (1 << np.arange(bits_per_band)).astype(np.int64)
+        out_schema = StructType(
+            list(vecs.schema.fields)
+            + [StructField("band", IntegerType()),
+               StructField("bucket", LongType())])
+
+        def tag(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+                S = (X @ P.T) >= 0                        # (rows, bands*bits)
+                frames = []
+                for b in range(n_bands):
+                    sl = S[:, b * bits_per_band:(b + 1) * bits_per_band]
+                    frames.append(pd.DataFrame({
+                        "_id": pdf["_id"].to_numpy(),
+                        "_v": pdf["_v"],
+                        "band": np.int32(b),
+                        "bucket": sl @ w,
+                    }))
+                yield pd.concat(frames, ignore_index=True)
+
+        return vecs.mapInPandas(tag, out_schema)
+    # all bands in ONE pass over the vectors (explode of a struct
+    # array), not a union of n_bands scans: the double-cast of the
+    # vector is hoisted and computed once per row instead of once per
+    # (band x bit) dot product, and the parquet scan runs once
+    casted = vecs.select(
+        "_id", "_v",
+        F.transform("_v", lambda x: x.cast("double")).alias("_vd"))
+    entries = []
+    for band in range(n_bands):
+        planes = lsh_planes(dim, bits_per_band, seed + 1000 * band)
+        entries.append(F.struct(
+            F.lit(band).alias("band"),
+            signature_bits(F.col("_vd"), planes,
+                           cast=False).alias("bucket")))
+    return casted.select(
+        "_id", "_v", F.explode(F.array(*entries)).alias("_bb")
+    ).select("_id", "_v", "_bb.band", "_bb.bucket")
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float = 0.95,
@@ -210,53 +266,7 @@ def embedding_neardup_lsh(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if method == "blas":
-        import pandas as pd
-
-        P = np.vstack([lsh_planes(dim, bits_per_band, seed + 1000 * b)
-                       for b in range(n_bands)])          # (bands*bits, dim)
-        w = (1 << np.arange(bits_per_band)).astype(np.int64)
-        out_schema = StructType(
-            list(vecs.schema.fields)
-            + [StructField("band", IntegerType()),
-               StructField("bucket", LongType())])
-
-        def tag(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.array(pdf["_v"].tolist(), dtype=np.float64)
-                S = (X @ P.T) >= 0                        # (rows, bands*bits)
-                frames = []
-                for b in range(n_bands):
-                    sl = S[:, b * bits_per_band:(b + 1) * bits_per_band]
-                    frames.append(pd.DataFrame({
-                        "_id": pdf["_id"].to_numpy(),
-                        "_v": pdf["_v"],
-                        "band": np.int32(b),
-                        "bucket": sl @ w,
-                    }))
-                yield pd.concat(frames, ignore_index=True)
-
-        tagged = vecs.mapInPandas(tag, out_schema)
-    else:
-        # all bands in ONE pass over the vectors (explode of a struct
-        # array), not a union of n_bands scans: the double-cast of the
-        # vector is hoisted and computed once per row instead of once per
-        # (band x bit) dot product, and the parquet scan runs once
-        casted = vecs.select(
-            "_id", "_v",
-            F.transform("_v", lambda x: x.cast("double")).alias("_vd"))
-        entries = []
-        for band in range(n_bands):
-            planes = lsh_planes(dim, bits_per_band, seed + 1000 * band)
-            entries.append(F.struct(
-                F.lit(band).alias("band"),
-                signature_bits(F.col("_vd"), planes,
-                               cast=False).alias("bucket")))
-        tagged = casted.select(
-            "_id", "_v", F.explode(F.array(*entries)).alias("_bb")
-        ).select("_id", "_v", "_bb.band", "_bb.bucket")
+    tagged = _tag_bands(vecs, n_bands, bits_per_band, seed, dim, method)
     # one exchange on the join keys, shared by the hot-bucket filter and
     # both self-join sides: the hyperplane-sign tagging pipeline (n_bands
     # x bits dot products per vector) runs ONCE and Catalyst wires
@@ -725,3 +735,335 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted sign-LSH index: streaming embedding near-dup in O(batch)/tick
+# ---------------------------------------------------------------------------
+
+
+class EmbeddingLSHIndexError(RuntimeError):
+    pass
+
+
+class EmbeddingLSHIndex:
+    """Persisted sign-LSH index: hyperplane-sign ONCE per vector, find
+    embedding near-dups of each new ingest batch against the whole corpus
+    in O(batch), not O(corpus) — the vector analog of
+    :class:`~cdcrypt.operators.docdedup.MinHashIndex` (text) and the
+    fetch-once economics of :class:`IvfIndex` / the reference's cached
+    public key (GCPKeyManagementService.java:119-132).
+
+    Layout::
+
+        root/_emblsh_meta.json   LSH params (n_bands/bits_per_band/seed/
+                                 dim/method/id_col/vec_col/n_partitions)
+        root/tagged/bpart=K/     (id, band, bucket) parquet rows — the
+                                 corpus's band-bucket keys, UNCAPPED (the
+                                 hot-bucket cap is a query-time policy
+                                 over union counts, as in MinHashIndex),
+                                 Hive-partitioned by
+                                 bpart = pmod(band * 2^bits + bucket, P)
+                                 and sorted by (band, bucket) in-file
+        root/vectors/vpart=K/    (id, vector) — ONE copy per vector (not
+                                 per band), Hive-partitioned by
+                                 vpart = pmod(xxhash64(id), P); the exact
+                                 cosine verify fetches only candidate
+                                 ids from here via a broadcast semi-join
+
+    Unlike text minhash (signatures ~1000x smaller than the documents),
+    the verify step here needs the raw vectors, so the artifact holds one
+    re-laid-out copy of the vector column — the same storage contract as
+    :class:`IvfIndex`'s inverted lists. The banded key component that
+    every tick probes stays ~20 bytes x n_bands per vector.
+    """
+
+    META = "_emblsh_meta.json"
+
+    def __init__(self, root: str):
+        import json
+        import os
+        try:
+            with open(os.path.join(root, self.META)) as f:
+                self.meta = json.load(f)
+        except (OSError, ValueError) as e:
+            raise EmbeddingLSHIndexError(
+                f"not an embedding LSH index: {root}") from e
+        self.root = root
+
+    def _read(self, spark, component: str, schema_key: str) -> DataFrame:
+        import json
+        import os
+        from pyspark.sql import types as T
+        # explicit schema recorded at build: an index built on an EMPTY
+        # corpus (streaming from scratch) has partition dirs with no data
+        # files, which schema inference would reject
+        schema = T.StructType.fromJson(json.loads(self.meta[schema_key]))
+        return spark.read.schema(schema).parquet(
+            os.path.join(self.root, component))
+
+    def read_tagged(self, spark) -> DataFrame:
+        return self._read(spark, "tagged", "tagged_schema")
+
+    def read_vectors(self, spark) -> DataFrame:
+        return self._read(spark, "vectors", "vectors_schema")
+
+    def _tagged_for(self, df: DataFrame) -> DataFrame:
+        m = self.meta
+        vecs = df.select(F.col(m["id_col"]).alias("_id"),
+                         F.col(m["vec_col"]).alias("_v"))
+        tagged = _tag_bands(vecs, m["n_bands"], m["bits_per_band"],
+                            m["seed"], m["dim"], m["method"])
+        return tagged.select(
+            F.col("_id").alias(m["id_col"]), "band", "bucket",
+            F.pmod(F.col("band").cast("long")
+                   * F.lit(1 << m["bits_per_band"]) + F.col("bucket"),
+                   F.lit(m["n_partitions"])).cast("int").alias("bpart"))
+
+    def _vectors_for(self, df: DataFrame) -> DataFrame:
+        m = self.meta
+        return df.select(
+            m["id_col"], m["vec_col"],
+            _vpart(m["id_col"], m["n_partitions"]))
+
+
+def _vpart(id_col: str, n_partitions: int):
+    # xxhash64 (fixed default seed 42, stable across sessions) spreads any
+    # id type; pmod folds the signed hash into [0, P)
+    return F.pmod(F.xxhash64(F.col(id_col)),
+                  F.lit(n_partitions)).cast("int").alias("vpart")
+
+
+def _write_emblsh_meta(root: str, meta: dict) -> None:
+    import json
+    import os
+    tmp = os.path.join(root, f".{EmbeddingLSHIndex.META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, EmbeddingLSHIndex.META))
+
+
+def build_embedding_lsh_index(
+    df: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    method: str = "column",
+    n_partitions: int = 16,
+) -> EmbeddingLSHIndex:
+    """One hyperplane-sign pass over the corpus into the banded layout plus
+    one clustered copy of the vectors (see :class:`EmbeddingLSHIndex`).
+    ``n_partitions`` sizes the partition dirs: pick ~(corpus rows x
+    n_bands x 20 B / 128 MB) at scale. ``method='column'`` keeps oracle
+    float-order parity; 'blas' is the cheap production path (~50x less
+    per-row cost, identical buckets except dot products within float
+    rounding of zero)."""
+    import json
+    import os
+    if method not in ("column", "blas"):
+        raise ValueError(f"method {method!r} must be 'column' or 'blas'")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    os.makedirs(root, exist_ok=True)
+    meta = {
+        "format": "cdcrypt-emblsh/1",
+        "id_col": id_col, "vec_col": vec_col,
+        "n_bands": n_bands, "bits_per_band": bits_per_band,
+        "seed": seed, "dim": dim, "method": method,
+        "n_partitions": n_partitions,
+    }
+    idx = EmbeddingLSHIndex.__new__(EmbeddingLSHIndex)
+    idx.meta, idx.root = meta, root
+    tagged = idx._tagged_for(df)
+    vectors = idx._vectors_for(df)
+    # cluster by the partition key BEFORE the partitionBy writer (same
+    # rationale as build_minhash_index: without it every write task emits
+    # tasks x n_partitions tiny files)
+    (tagged.repartition("bpart")
+     .sortWithinPartitions("bpart", "band", "bucket")
+     .write.mode("overwrite").partitionBy("bpart")
+     .parquet(os.path.join(root, "tagged")))
+    (vectors.repartition("vpart").sortWithinPartitions("vpart", id_col)
+     .write.mode("overwrite").partitionBy("vpart")
+     .parquet(os.path.join(root, "vectors")))
+    meta["tagged_schema"] = json.dumps(tagged.schema.jsonValue())
+    meta["vectors_schema"] = json.dumps(vectors.schema.jsonValue())
+    _write_emblsh_meta(root, meta)
+    return EmbeddingLSHIndex(root)
+
+
+def _append_emblsh(idx: EmbeddingLSHIndex, tagged: DataFrame,
+                   vectors: DataFrame) -> EmbeddingLSHIndex:
+    """Append already-computed banded rows + vectors into the layouts and
+    bump the append counter. Shared by :func:`append_to_embedding_lsh_index`
+    (computes them from raw rows) and :func:`embedding_dedup_tick` (reuses
+    the rows its query pass already materialized)."""
+    import os
+    id_col = idx.meta["id_col"]
+    (tagged.repartition("bpart")
+     .sortWithinPartitions("bpart", "band", "bucket")
+     .write.mode("append").partitionBy("bpart")
+     .parquet(os.path.join(idx.root, "tagged")))
+    (vectors.repartition("vpart").sortWithinPartitions("vpart", id_col)
+     .write.mode("append").partitionBy("vpart")
+     .parquet(os.path.join(idx.root, "vectors")))
+    meta = dict(idx.meta)
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    _write_emblsh_meta(idx.root, meta)
+    return EmbeddingLSHIndex(idx.root)
+
+
+def append_to_embedding_lsh_index(
+        index: "EmbeddingLSHIndex | str",
+        new_rows: DataFrame) -> EmbeddingLSHIndex:
+    """Grow the index by one ingest batch: sign pass over the NEW vectors
+    only, files appended into both layouts — existing files untouched.
+    O(batch) per tick; single-writer, like build.
+
+    CONTRACT: batches must be id-disjoint from what the index already
+    holds (same as MinHashIndex.append: an already-indexed id would store
+    duplicate banded rows and a second vector copy, inflating
+    cap-over-union counts and double-joining the verify fetch) — CDC
+    updates to existing vectors should be collapsed upstream or handled
+    by rebuilding."""
+    idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
+    return _append_emblsh(idx, idx._tagged_for(new_rows),
+                          idx._vectors_for(new_rows))
+
+
+def embedding_candidates_incremental(
+    spark,
+    index: "EmbeddingLSHIndex | str",
+    new_rows: DataFrame,
+    threshold: float = 0.95,
+    max_bucket_size: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Verified near-dup pairs (id_a < id_b, sim >= threshold) where AT
+    LEAST ONE side is in ``new_rows`` — exactly
+    :func:`embedding_neardup_lsh` over (corpus ∪ batch) minus the
+    already-known corpus-internal pairs.
+
+    Plan shape (the O(batch) contract, mirroring
+    minhash_candidates_incremental):
+
+    - the batch's banded rows and vectors are computed once
+      (localCheckpoint — they feed the probe key set, the union, the
+      join, and the verify lookup);
+    - the index's tagged side is filtered by a BROADCAST semi-join on the
+      batch's distinct (bpart, band, bucket) keys — the corpus keys are
+      scanned in place, never shuffled, and the bpart equi-term is
+      DPP-prunable;
+    - ``max_bucket_size`` counts over the UNION of matched index rows and
+      batch rows, which IS the full-pipeline bucket size for every bucket
+      the batch touches, so capped results equal the one-shot pipeline's
+      restricted to pairs involving the batch;
+    - the exact cosine verify fetches ONLY candidate ids' vectors from
+      the index's vector component (broadcast semi-join on (vpart, id) —
+      file-level pruning via the vpart equi-term), so the vector shuffle
+      is proportional to candidates, never the corpus. With
+      ``max_bucket_size=None`` a degenerate batch colliding with a dense
+      corpus cluster can make that candidate set large — cap in
+      production, as in the one-shot operator.
+    """
+    idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
+    new_tagged = idx._tagged_for(new_rows).localCheckpoint()
+    new_vecs = new_rows.select(
+        idx.meta["id_col"], idx.meta["vec_col"]).localCheckpoint()
+    return _candidates_from_emblsh(spark, idx, new_tagged, new_vecs,
+                                   threshold, max_bucket_size, round_digits)
+
+
+def _candidates_from_emblsh(spark, idx: EmbeddingLSHIndex,
+                            new_tagged: DataFrame, new_vecs: DataFrame,
+                            threshold: float, max_bucket_size: int | None,
+                            round_digits: int) -> DataFrame:
+    """Incremental candidate join + exact cosine verify over ALREADY-
+    MATERIALIZED batch rows (callers localCheckpoint them)."""
+    id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
+    probe = new_tagged.select("bpart", "band", "bucket").distinct()
+    matched = idx.read_tagged(spark).join(
+        F.broadcast(probe), ["bpart", "band", "bucket"])
+    unioned = (
+        matched.select(id_col, "band", "bucket",
+                       F.lit(False).alias("is_new"))
+        .unionByName(new_tagged.select(id_col, "band", "bucket",
+                                       F.lit(True).alias("is_new")))
+    ).repartition("band", "bucket")
+    if max_bucket_size is not None:
+        # window count over the join's own exchange — same cap mechanics
+        # (and the same AS-OF caveat) as the one-shot operator
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        unioned = unioned.withColumn("_n", n).where(
+            F.col("_n") <= max_bucket_size).drop("_n")
+    n_side = unioned.where("is_new").alias("n")
+    u_side = unioned.alias("u")
+    # orientation dedupes without a distinct-over-bands pass: batch-batch
+    # pairs once via n.id < u.id; corpus-batch once because only n drives
+    pairs = (
+        n_side.join(u_side, ["band", "bucket"])
+        .where((F.col(f"n.{id_col}") < F.col(f"u.{id_col}"))
+               | (~F.col("u.is_new")
+                  & (F.col(f"n.{id_col}") != F.col(f"u.{id_col}"))))
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"u.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"),
+                       F.col(f"u.{id_col}")).alias("id_b"))
+        .distinct()
+    )
+    # vector fetch ∝ candidates: broadcast the candidate id set against the
+    # vpart-partitioned vector component; batch vectors are already local.
+    # The id-disjointness contract guarantees the union has one row per id.
+    cand_ids = (pairs.select(F.explode(F.array("id_a", "id_b"))
+                             .alias(id_col)).distinct()
+                .select(id_col, _vpart(id_col, idx.meta["n_partitions"])))
+    corpus_vecs = (idx.read_vectors(spark)
+                   .join(F.broadcast(cand_ids), ["vpart", id_col])
+                   .select(id_col, vec_col))
+    lookup = corpus_vecs.unionByName(new_vecs.select(id_col, vec_col))
+    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    return (
+        pairs
+        .join(F.broadcast(lookup.select(F.col(id_col).alias("id_a"),
+                                        F.col(vec_col).alias("va"))), "id_a")
+        .join(F.broadcast(lookup.select(F.col(id_col).alias("id_b"),
+                                        F.col(vec_col).alias("vb"))), "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine_sim(dvec(F.col("va")), dvec(F.col("vb"))),
+                        round_digits).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_dedup_tick(
+    spark,
+    index: "EmbeddingLSHIndex | str",
+    batch: DataFrame,
+    threshold: float = 0.95,
+    max_bucket_size: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """One ingest tick of streaming embedding near-dup detection:
+    verified pairs for ``batch`` against everything ingested so far
+    (including the batch itself), then the batch joins the index. Returns
+    the MATERIALIZED pairs (the append must not race the query — eager,
+    batch-sized). One sign pass per tick: the checkpointed banded rows
+    feed both the query and the append.
+
+    Running ticks over any partition of a corpus yields exactly the
+    one-shot :func:`embedding_neardup_lsh` pairs (each pair surfaces on
+    the tick of its later-arriving side; tested), with the same AS-OF
+    hot-bucket-cap caveat as :func:`minhash_dedup_tick`."""
+    idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
+    new_tagged = idx._tagged_for(batch).localCheckpoint()
+    new_vecs = batch.select(
+        idx.meta["id_col"], idx.meta["vec_col"]).localCheckpoint()
+    pairs = _candidates_from_emblsh(
+        spark, idx, new_tagged, new_vecs, threshold, max_bucket_size,
+        round_digits).localCheckpoint()
+    _append_emblsh(idx, new_tagged, idx._vectors_for(new_vecs))
+    return pairs
