@@ -468,6 +468,40 @@ def _q_embedding_neardup(spark, sf_dir):
         max_bucket_size=_NEARDUP_LSH["max_bucket_size"])
 
 
+def _q_embedding_incremental(spark, sf_dir):
+    # persisted-index variant of embedding_neardup: hyperplane-sign the
+    # even half ONCE into the banded artifact, then the odd half finds its
+    # near-dups against it in O(batch) — broadcast probe of the corpus's
+    # band keys, vector fetch ∝ candidates, hot-bucket cap over UNION
+    # counts. Result == the one-shot pipeline's pairs restricted to pairs
+    # involving the odd half (cdcrypt/operators/similarity.py, mirrored
+    # from the MinHashIndex contract).
+    import hashlib
+    import os
+    import tempfile
+
+    from cdcrypt.operators.similarity import (
+        EmbeddingLSHIndex, EmbeddingLSHIndexError,
+        build_embedding_lsh_index, embedding_candidates_incremental)
+    emb = _tp(spark, sf_dir, "embeddings", "vec_id")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:emb:{sorted(_NEARDUP_LSH.items())}"
+        .encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_embidx_{key}")
+    try:
+        idx = EmbeddingLSHIndex(root)
+    except EmbeddingLSHIndexError:
+        idx = build_embedding_lsh_index(
+            emb.where(F.col("vec_id") % 2 == 0), root,
+            n_bands=_NEARDUP_LSH["n_bands"],
+            bits_per_band=_NEARDUP_LSH["bits_per_band"],
+            seed=_NEARDUP_LSH["seed"], dim=_NEARDUP_LSH["dim"])
+    return embedding_candidates_incremental(
+        spark, idx, emb.where(F.col("vec_id") % 2 == 1),
+        threshold=_NEARDUP_LSH["threshold"],
+        max_bucket_size=_NEARDUP_LSH["max_bucket_size"])
+
+
 def _q_ann_ivf(spark, sf_dir):
     # IVF with full probe == exact brute force (same oracle as cosine_topk);
     # pruned-probe recall covered in tests
@@ -572,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": _q_ann_ivf_indexed,
         "ann_ivf_append": _q_ann_ivf_append,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_incremental": _q_embedding_incremental,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -1078,6 +1113,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "embedding_neardup": _neardup_lsh_sql(),
+        # incremental-index path == the one-shot pipeline restricted to
+        # pairs involving the new (odd) half — same bands, same hot-bucket
+        # cap over the union (the minhash_incremental contract, for vectors)
+        "embedding_incremental": (
+            "SELECT * FROM (" + _neardup_lsh_sql()
+            + ") WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),
         "dedup_near": _dedup_near_sql(),
