@@ -196,7 +196,8 @@ def main() -> None:
         # per sf-dir), so the timed number below is the amortized query
         # path a production deployment pays per batch — the one-time build
         # cost is reported by the artifact tests, not the query bench
-        for name in ("ann_ivf_indexed", "minhash_incremental"):
+        for name in ("ann_ivf_indexed", "minhash_incremental",
+                     "embedding_incremental"):
             try:
                 qdict[name](spark, sf_dir).count()
             except Exception:  # noqa: BLE001 - warmup is best-effort
