@@ -744,17 +744,24 @@ def build_minhash_index(docs: DataFrame, root: str, text_col: str = "text",
     return MinHashIndex(root)
 
 
-def _append_banded(idx: MinHashIndex, banded: DataFrame) -> MinHashIndex:
+def _append_banded(idx: MinHashIndex, banded: DataFrame,
+                   meta_extra: dict | None = None) -> MinHashIndex:
     """Append already-computed banded rows into the bpart layout and bump
     the append counter. Shared by :func:`append_to_minhash_index` (which
     computes the rows from text) and :func:`minhash_dedup_tick` (which
-    reuses the rows its query pass already materialized)."""
+    reuses the rows its query pass already materialized).
+
+    ``meta_extra`` entries are merged into the meta JSON in the SAME
+    atomic ``os.replace`` as the append counter — a streaming caller can
+    record its watermark (e.g. the micro-batch id) exactly-once with the
+    growth it covers (streaming/dedup.py)."""
     import os
     banded.repartition("bpart").sortWithinPartitions(
         "bpart", "band", "bhash").write.mode("append").partitionBy(
         "bpart").parquet(os.path.join(idx.root, "banded"))
     meta = dict(idx.meta)
     meta["appends"] = int(meta.get("appends", 0)) + 1
+    meta.update(meta_extra or {})
     _write_minhash_meta(idx.root, meta)
     return MinHashIndex(idx.root)
 
@@ -838,7 +845,9 @@ def _candidates_from_banded(spark, idx: MinHashIndex, new_banded: DataFrame,
 
 def minhash_dedup_tick(spark, index: "MinHashIndex | str",
                        batch: DataFrame,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       meta_extra: dict | None = None,
+                       on_pairs=None) -> DataFrame:
     """One ingest tick of streaming near-dup detection: candidates for
     ``batch`` against everything ingested so far (including the batch
     itself), then the batch joins the index. Returns the MATERIALIZED
@@ -856,6 +865,14 @@ def minhash_dedup_tick(spark, index: "MinHashIndex | str",
     cap semantics "collapse degenerate near-everything docs", earlier
     emission is the desired behavior; for exact one-shot cap parity run
     the final corpus through :func:`minhash_lsh_candidates`.
+
+    ``on_pairs`` (a callable receiving the materialized pairs) runs AFTER
+    the query and BEFORE the index grows; ``meta_extra`` is merged into
+    the index meta atomically with the append. Together they give a
+    streaming caller crash-safe ordering: make the pairs durable first,
+    then advance the index + watermark — a batch that dies in between is
+    redelivered, recomputed against the unchanged index, and its pairs
+    sink idempotently (streaming/dedup.py).
     """
     idx = MinHashIndex(index) if isinstance(index, str) else index
     # ONE shingle+signature pass per tick: the checkpointed banded rows
@@ -866,5 +883,7 @@ def minhash_dedup_tick(spark, index: "MinHashIndex | str",
     new_banded = idx._banded_for(batch).localCheckpoint()
     pairs = _candidates_from_banded(
         spark, idx, new_banded, max_bucket_size).localCheckpoint()
-    _append_banded(idx, new_banded)
+    if on_pairs is not None:
+        on_pairs(pairs)
+    _append_banded(idx, new_banded, meta_extra)
     return pairs

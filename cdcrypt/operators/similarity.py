@@ -897,11 +897,17 @@ def build_embedding_lsh_index(
 
 
 def _append_emblsh(idx: EmbeddingLSHIndex, tagged: DataFrame,
-                   vectors: DataFrame) -> EmbeddingLSHIndex:
+                   vectors: DataFrame,
+                   meta_extra: dict | None = None) -> EmbeddingLSHIndex:
     """Append already-computed banded rows + vectors into the layouts and
     bump the append counter. Shared by :func:`append_to_embedding_lsh_index`
     (computes them from raw rows) and :func:`embedding_dedup_tick` (reuses
-    the rows its query pass already materialized)."""
+    the rows its query pass already materialized).
+
+    ``meta_extra`` entries are merged into the meta JSON in the SAME
+    atomic ``os.replace`` as the append counter — a streaming caller can
+    record its watermark (e.g. the micro-batch id) exactly-once with the
+    growth it covers (streaming/dedup.py)."""
     import os
     id_col = idx.meta["id_col"]
     (tagged.repartition("bpart")
@@ -913,6 +919,7 @@ def _append_emblsh(idx: EmbeddingLSHIndex, tagged: DataFrame,
      .parquet(os.path.join(idx.root, "vectors")))
     meta = dict(idx.meta)
     meta["appends"] = int(meta.get("appends", 0)) + 1
+    meta.update(meta_extra or {})
     _write_emblsh_meta(idx.root, meta)
     return EmbeddingLSHIndex(idx.root)
 
@@ -1046,6 +1053,8 @@ def embedding_dedup_tick(
     threshold: float = 0.95,
     max_bucket_size: int | None = None,
     round_digits: int = 4,
+    meta_extra: dict | None = None,
+    on_pairs=None,
 ) -> DataFrame:
     """One ingest tick of streaming embedding near-dup detection:
     verified pairs for ``batch`` against everything ingested so far
@@ -1057,7 +1066,12 @@ def embedding_dedup_tick(
     Running ticks over any partition of a corpus yields exactly the
     one-shot :func:`embedding_neardup_lsh` pairs (each pair surfaces on
     the tick of its later-arriving side; tested), with the same AS-OF
-    hot-bucket-cap caveat as :func:`minhash_dedup_tick`."""
+    hot-bucket-cap caveat as :func:`minhash_dedup_tick`.
+
+    ``on_pairs``/``meta_extra`` carry the same streaming crash-ordering
+    contract as :func:`minhash_dedup_tick`: pairs are made durable by the
+    callback BEFORE the index grows, and the watermark lands in the meta
+    atomically with the append."""
     idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
     new_tagged = idx._tagged_for(batch).localCheckpoint()
     new_vecs = batch.select(
@@ -1065,5 +1079,7 @@ def embedding_dedup_tick(
     pairs = _candidates_from_emblsh(
         spark, idx, new_tagged, new_vecs, threshold, max_bucket_size,
         round_digits).localCheckpoint()
-    _append_emblsh(idx, new_tagged, idx._vectors_for(new_vecs))
+    if on_pairs is not None:
+        on_pairs(pairs)
+    _append_emblsh(idx, new_tagged, idx._vectors_for(new_vecs), meta_extra)
     return pairs
