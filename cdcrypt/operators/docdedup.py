@@ -772,13 +772,14 @@ def append_to_minhash_index(index: "MinHashIndex | str",
     docs only, files appended into the bpart layout — existing banded
     files untouched. O(batch) per tick; single-writer, like build.
 
-    CONTRACT: batches must be id-disjoint from what the index already
-    holds. Appending an already-indexed id stores a second copy of its
+    CONTRACT: ids must be UNIQUE within a batch and DISJOINT from what
+    the index already holds. A repeated id stores a second copy of its
     banded rows, which doubles that doc's n_shared_bands contributions
     and inflates cap-over-union bucket counts — CDC updates to existing
-    docs should be collapsed upstream (exact dedup / LWW resolution) or
-    handled by rebuilding; the index itself has no dedup-on-read, by
-    design (it would cost a corpus-wide distinct per query)."""
+    docs should be collapsed upstream (exact dedup / LWW resolution
+    gives exactly this) or handled by rebuilding; the index itself has
+    no dedup-on-read, by design (it would cost a corpus-wide distinct
+    per query)."""
     idx = MinHashIndex(index) if isinstance(index, str) else index
     return _append_banded(idx, idx._banded_for(new_docs))
 

@@ -867,7 +867,12 @@ def build_embedding_lsh_index(
     if method not in ("column", "blas"):
         raise ValueError(f"method {method!r} must be 'column' or 'blas'")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot probe the vector dimension from an empty corpus — "
+                "pass dim explicitly (the from-scratch streaming build)")
+        dim = len(row[0])
     os.makedirs(root, exist_ok=True)
     meta = {
         "format": "cdcrypt-emblsh/1",
@@ -931,12 +936,13 @@ def append_to_embedding_lsh_index(
     only, files appended into both layouts — existing files untouched.
     O(batch) per tick; single-writer, like build.
 
-    CONTRACT: batches must be id-disjoint from what the index already
-    holds (same as MinHashIndex.append: an already-indexed id would store
-    duplicate banded rows and a second vector copy, inflating
-    cap-over-union counts and double-joining the verify fetch) — CDC
-    updates to existing vectors should be collapsed upstream or handled
-    by rebuilding."""
+    CONTRACT: ids must be UNIQUE within a batch and DISJOINT from what
+    the index already holds (same as MinHashIndex.append: a repeated id
+    stores duplicate banded rows and a second vector copy, inflating
+    cap-over-union counts and fanning out the verify joins into repeated
+    pair rows) — CDC updates to existing vectors should be collapsed
+    upstream (exact dedup / LWW resolution gives exactly this) or
+    handled by rebuilding."""
     idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
     return _append_emblsh(idx, idx._tagged_for(new_rows),
                           idx._vectors_for(new_rows))
@@ -1001,12 +1007,8 @@ def _candidates_from_emblsh(spark, idx: EmbeddingLSHIndex,
         .unionByName(new_tagged.select(id_col, "band", "bucket",
                                        F.lit(True).alias("is_new")))
     ).repartition("band", "bucket")
-    if max_bucket_size is not None:
-        # window count over the join's own exchange — same cap mechanics
-        # (and the same AS-OF caveat) as the one-shot operator
-        n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        unioned = unioned.withColumn("_n", n).where(
-            F.col("_n") <= max_bucket_size).drop("_n")
+    from cdcrypt.operators.docdedup import _cap_hot_buckets
+    unioned = _cap_hot_buckets(unioned, ("band", "bucket"), max_bucket_size)
     n_side = unioned.where("is_new").alias("n")
     u_side = unioned.alias("u")
     # orientation dedupes without a distinct-over-bands pass: batch-batch
@@ -1022,16 +1024,22 @@ def _candidates_from_emblsh(spark, idx: EmbeddingLSHIndex,
                        F.col(f"u.{id_col}")).alias("id_b"))
         .distinct()
     )
-    # vector fetch ∝ candidates: broadcast the candidate id set against the
-    # vpart-partitioned vector component; batch vectors are already local.
-    # The id-disjointness contract guarantees the union has one row per id.
+    # vector fetch ∝ candidates on BOTH sides: broadcast the candidate id
+    # set against the vpart-partitioned vector component AND against the
+    # batch's own vectors — without the second semi-join the lookup
+    # broadcasts every batch vector (batch x dim bytes, twice), which at
+    # a corpus-sized catch-up batch blows the broadcast limit even when
+    # only a handful of candidate pairs exist. The id-uniqueness contract
+    # guarantees the union has one row per id.
     cand_ids = (pairs.select(F.explode(F.array("id_a", "id_b"))
                              .alias(id_col)).distinct()
                 .select(id_col, _vpart(id_col, idx.meta["n_partitions"])))
     corpus_vecs = (idx.read_vectors(spark)
                    .join(F.broadcast(cand_ids), ["vpart", id_col])
                    .select(id_col, vec_col))
-    lookup = corpus_vecs.unionByName(new_vecs.select(id_col, vec_col))
+    lookup = corpus_vecs.unionByName(
+        new_vecs.select(id_col, vec_col)
+        .join(F.broadcast(cand_ids.select(id_col)), id_col))
     dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     return (
         pairs

@@ -39,6 +39,14 @@ commits; the LSH artifacts deliberately stay plain parquet + one meta
 JSON because their contents are derivable (rebuild == re-running the
 signature pass).
 
+The SS checkpoint and the index watermark form ONE recovery unit: batch
+ids are assigned by the offset log, so restoring or rebuilding the
+checkpoint without the matching index (or vice versa) re-numbers batches
+against a stale watermark — old files can re-append and new files can be
+skipped, silently. Recover them together, or rebuild the index and start
+a fresh checkpoint. (The CDC ingest has the identical contract between
+its checkpoint and the lake's committed_epoch.)
+
 Streamed ticks lose nothing vs a nightly batch job: the union of per-tick
 pairs over ANY micro-batching of a corpus equals the one-shot pipeline's
 pairs (tested at the tick level in test_minhash_index.py /
@@ -58,6 +66,7 @@ from cdcrypt.operators.similarity import (
     EmbeddingLSHIndex,
     embedding_dedup_tick,
 )
+from cdcrypt.streaming.structured import run_file_stream
 
 _KINDS = {
     "minhash": (MinHashIndex, minhash_dedup_tick),
@@ -126,27 +135,23 @@ class StreamingNearDup:
         max_files_per_trigger: int | None = None,
     ):
         """Start (and for ``available_now`` await) the streaming query."""
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger",
-                                   str(max_files_per_trigger))
-        src = reader.parquet(os.path.join(self.source_dir, "*.parquet"))
-        writer = (
-            src.writeStream
-            .foreachBatch(self.apply_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .outputMode("update")
+        return run_file_stream(
+            spark, self.source_dir, schema, self.apply_batch,
+            self.checkpoint_dir, available_now=available_now,
+            processing_time=processing_time,
+            max_files_per_trigger=max_files_per_trigger,
         )
-        if available_now:
-            q = writer.trigger(availableNow=True).start()
-            q.awaitTermination()
-            return q
-        if processing_time is not None:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()
 
     def read_pairs(self, spark: SparkSession) -> DataFrame:
         """All pairs emitted so far, with their ``epoch`` partition column
         (which micro-batch surfaced each pair)."""
+        if not any(e.startswith("epoch=")
+                   for e in (os.listdir(self.pairs_dir)
+                             if os.path.isdir(self.pairs_dir) else ())):
+            # the pair schema is only known once a tick has run — fail
+            # with the actual state instead of a parquet PATH_NOT_FOUND
+            raise FileNotFoundError(
+                f"no pairs emitted yet under {self.pairs_dir} "
+                "(no micro-batch has completed)")
         return spark.read.option("basePath", self.pairs_dir).parquet(
             self.pairs_dir)

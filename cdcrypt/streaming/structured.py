@@ -43,6 +43,56 @@ from cdcrypt.streaming.pipeline import IngestPipeline
 from cdcrypt.table.lake import repartition_by_bucket
 
 
+def run_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    apply_batch,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    disable_aqe_when_available_now: bool = False,
+):
+    """The one file-source -> foreachBatch wiring every streaming driver in
+    this package shares (CDC ingest, near-dup dedup): schema'd parquet
+    tail, optional per-trigger file cap, checkpointed offset log, and the
+    availableNow-await vs processingTime trigger split. Returns the
+    started (and for ``available_now`` terminated) streaming query."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    # glob keeps non-parquet bookkeeping files (_DONE markers) out
+    src = reader.parquet(os.path.join(source_dir, "*.parquet"))
+    writer = (
+        src.writeStream
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        if disable_aqe_when_available_now:
+            # same rationale as IngestPipeline.run: the fused plan is
+            # explicitly partitioned; AQE only adds per-batch re-planning
+            aqe_key = "spark.sql.adaptive.enabled"
+            prev = spark.conf.get(aqe_key, "true")
+            spark.conf.set(aqe_key, "false")
+            try:
+                q = writer.trigger(availableNow=True).start()
+                q.awaitTermination()
+            finally:
+                spark.conf.set(aqe_key, prev)
+            return q
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def infer_stream_schema(source_dir: str) -> StructType:
     """Union of all epoch-file footers (pyarrow, driver-side): the
     post-evolution superset schema the file source needs."""
@@ -93,30 +143,10 @@ class StructuredIngest(IngestPipeline):
     ):
         """Start (and for ``available_now`` await) the streaming query."""
         self.table()  # create on first run
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger",
-                                   str(max_files_per_trigger))
-        # glob keeps non-parquet bookkeeping files (_DONE markers) out
-        src = reader.parquet(os.path.join(self.source_dir, "*.parquet"))
-        writer = (
-            src.writeStream
-            .foreachBatch(self.apply_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .outputMode("update")
+        return run_file_stream(
+            spark, self.source_dir, schema, self.apply_batch,
+            self.checkpoint_dir, available_now=available_now,
+            processing_time=processing_time,
+            max_files_per_trigger=max_files_per_trigger,
+            disable_aqe_when_available_now=True,
         )
-        if available_now:
-            # same rationale as IngestPipeline.run: the fused plan is
-            # explicitly partitioned; AQE only adds per-batch re-planning
-            aqe_key = "spark.sql.adaptive.enabled"
-            prev = spark.conf.get(aqe_key, "true")
-            spark.conf.set(aqe_key, "false")
-            try:
-                q = writer.trigger(availableNow=True).start()
-                q.awaitTermination()
-            finally:
-                spark.conf.set(aqe_key, prev)
-            return q
-        if processing_time is not None:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()

@@ -162,6 +162,35 @@ def test_not_an_index_raises(tmp_path):
         EmbeddingLSHIndex(str(tmp_path / "nope"))
 
 
+def test_empty_build_without_dim_is_a_clear_error(spark, root):
+    emb = _corpus(spark).where("vec_id < 0")
+    with pytest.raises(ValueError, match="pass dim explicitly"):
+        build_embedding_lsh_index(emb, root)
+
+
+def test_verify_lookup_is_candidate_filtered_on_both_sides(spark, root):
+    """Both sides of the verify lookup must be candidate-filtered (the
+    batch side semi-joins on candidate ids before the broadcast union —
+    without it a corpus-sized catch-up batch ships every vector to every
+    executor twice). Structural check: every leaf feeding the broadcast
+    lookup joins against the candidate-id set, so the join count exceeds
+    the unfiltered shape's by one."""
+    emb = _corpus(spark)
+    build_embedding_lsh_index(emb.where("vec_id % 2 = 0"), root)
+    inc = embedding_candidates_incremental(spark, root,
+                                           emb.where("vec_id % 2 = 1"),
+                                           threshold=0.98)
+    plan = inc._jdf.queryExecution().optimizedPlan().toString()
+    # probe, cap-window self-join pair, corpus-vec fetch, BATCH-vec fetch,
+    # and the two id_a/id_b lookups: the batch fetch is the one the fix
+    # added — 6 joins in the optimized plan, 5 in the unfiltered shape
+    assert plan.count("Join ") >= 6
+    # degenerate batch (zero candidates) stays empty without error
+    none = embedding_candidates_incremental(
+        spark, root, emb.where("vec_id % 2 = 1"), threshold=1.000001)
+    assert none.count() == 0
+
+
 def test_streamed_ticks_equal_one_shot_pipeline(spark, root):
     """Feed the corpus through 3 ingest ticks; the union of per-tick
     verified pairs must equal the one-shot pipeline over the full corpus

@@ -154,6 +154,16 @@ def test_streaming_embedding_equals_one_shot(spark, dirs):
     assert EmbeddingLSHIndex(dirs["idx"]).meta["last_batch_id"] == 1
 
 
+def test_read_pairs_before_first_tick_is_a_clear_error(spark, dirs):
+    from cdcrypt.operators.docdedup import build_minhash_index
+    docs = spark.createDataFrame([], DOC_SCHEMA)
+    build_minhash_index(docs, dirs["idx"])
+    snd = StreamingNearDup(dirs["idx"], dirs["src"], dirs["pairs"],
+                           dirs["ckpt"], kind="minhash")
+    with pytest.raises(FileNotFoundError, match="no pairs emitted yet"):
+        snd.read_pairs(spark)
+
+
 def test_unbuilt_index_fails_fast(tmp_path):
     from cdcrypt.operators.docdedup import MinHashIndexError
     with pytest.raises(MinHashIndexError):
