@@ -468,21 +468,18 @@ def _q_embedding_neardup(spark, sf_dir):
         max_bucket_size=_NEARDUP_LSH["max_bucket_size"])
 
 
-def _q_embedding_incremental(spark, sf_dir):
-    # persisted-index variant of embedding_neardup: hyperplane-sign the
-    # even half ONCE into the banded artifact, then the odd half finds its
-    # near-dups against it in O(batch) — broadcast probe of the corpus's
-    # band keys, vector fetch ∝ candidates, hot-bucket cap over UNION
-    # counts. Result == the one-shot pipeline's pairs restricted to pairs
-    # involving the odd half (cdcrypt/operators/similarity.py, mirrored
-    # from the MinHashIndex contract).
+def _emb_index_for(spark, sf_dir):
+    """The gate's shared embedding sign-LSH index: built ONCE per sf dir
+    on the EVEN vec_ids with the _NEARDUP_LSH band params, cached in /tmp
+    (same economics as the IVF/minhash gate artifacts). Two gates query
+    it — embedding_incremental (near-dup ticks) and ann_lsh_indexed
+    (similarity top-k) — the one-artifact/two-query-types design."""
     import hashlib
     import os
     import tempfile
 
     from cdcrypt.operators.similarity import (
-        EmbeddingLSHIndex, EmbeddingLSHIndexError,
-        build_embedding_lsh_index, embedding_candidates_incremental)
+        EmbeddingLSHIndex, EmbeddingLSHIndexError, build_embedding_lsh_index)
     emb = _tp(spark, sf_dir, "embeddings", "vec_id")
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:emb:{sorted(_NEARDUP_LSH.items())}"
@@ -496,10 +493,36 @@ def _q_embedding_incremental(spark, sf_dir):
             n_bands=_NEARDUP_LSH["n_bands"],
             bits_per_band=_NEARDUP_LSH["bits_per_band"],
             seed=_NEARDUP_LSH["seed"], dim=_NEARDUP_LSH["dim"])
+    return idx, emb
+
+
+def _q_embedding_incremental(spark, sf_dir):
+    # persisted-index variant of embedding_neardup: hyperplane-sign the
+    # even half ONCE into the banded artifact, then the odd half finds its
+    # near-dups against it in O(batch) — broadcast probe of the corpus's
+    # band keys, vector fetch ∝ candidates, hot-bucket cap over UNION
+    # counts. Result == the one-shot pipeline's pairs restricted to pairs
+    # involving the odd half (cdcrypt/operators/similarity.py, mirrored
+    # from the MinHashIndex contract).
+    from cdcrypt.operators.similarity import embedding_candidates_incremental
+    idx, emb = _emb_index_for(spark, sf_dir)
     return embedding_candidates_incremental(
         spark, idx, emb.where(F.col("vec_id") % 2 == 1),
         threshold=_NEARDUP_LSH["threshold"],
         max_bucket_size=_NEARDUP_LSH["max_bucket_size"])
+
+
+def _q_ann_lsh_indexed(spark, sf_dir):
+    # the SAME persisted index also serves ANN top-k: multi-table LSH
+    # OR-probing (candidates share >=1 band bucket) + exact cosine rank —
+    # corpus signed once at build, per-batch cost is one sign pass over
+    # the queries plus candidate-proportional fetch/shuffle. Oracle
+    # replicates band tagging with identical-order arithmetic + the rank
+    # window over the even-id base.
+    from cdcrypt.operators.similarity import ann_lsh_topk_indexed
+    idx, emb = _emb_index_for(spark, sf_dir)
+    return ann_lsh_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 10), k=_ANN_LSH["k"])
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -607,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_append": _q_ann_ivf_append,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_incremental": _q_embedding_incremental,
+        "ann_lsh_indexed": _q_ann_lsh_indexed,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -870,9 +894,11 @@ def _ann_lsh_sql() -> str:
     """
 
 
-def _neardup_lsh_sql() -> str:
+def _emb_band_tag_sql() -> str:
+    """The sign-LSH band tagging every embedding-index oracle shares:
+    (vec_id, band, bucket) rows with identical-order float arithmetic."""
     from cdcrypt.operators.similarity import lsh_planes
-    t, nb = _NEARDUP_LSH["threshold"], _NEARDUP_LSH["n_bands"]
+    nb = _NEARDUP_LSH["n_bands"]
     bpb, dim = _NEARDUP_LSH["bits_per_band"], _NEARDUP_LSH["dim"]
     seed = _NEARDUP_LSH["seed"]
     band_selects = []
@@ -885,10 +911,43 @@ def _neardup_lsh_sql() -> str:
         band_selects.append(
             f"SELECT vec_id, {band} AS band, CAST({bucket} AS BIGINT) "
             "AS bucket FROM embeddings")
-    cap = _NEARDUP_LSH["max_bucket_size"]
-    tagged = "\n          UNION ALL ".join(band_selects)
+    return "\n          UNION ALL ".join(band_selects)
+
+
+def _ann_lsh_indexed_sql() -> str:
+    k = _ANN_LSH["k"]
     return f"""
-        WITH tagged_all AS ({tagged}),
+        WITH tagged_all AS ({_emb_band_tag_sql()}),
+        base AS (SELECT * FROM tagged_all WHERE vec_id % 2 = 0),
+        qtag AS (SELECT * FROM tagged_all WHERE vec_id < 10),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+          FROM qtag q JOIN base b
+            ON q.band = b.band AND q.bucket = b.bucket
+           AND q.vec_id <> b.vec_id
+        ),
+        sims AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(
+                   eq.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+          FROM cand c
+          JOIN embeddings eq ON eq.vec_id = c.query_id
+          JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sims)
+        WHERE rank <= {k}
+    """
+
+
+def _neardup_lsh_sql() -> str:
+    t = _NEARDUP_LSH["threshold"]
+    cap = _NEARDUP_LSH["max_bucket_size"]
+    return f"""
+        WITH tagged_all AS ({_emb_band_tag_sql()}),
         hot AS (SELECT band, bucket FROM tagged_all
                 GROUP BY band, bucket HAVING count(*) > {cap}),
         tagged AS (
@@ -1119,6 +1178,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_incremental": (
             "SELECT * FROM (" + _neardup_lsh_sql()
             + ") WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
+        # the same index artifact serving ANN: multi-band OR candidates
+        # over the even-id base + exact cosine rank window
+        "ann_lsh_indexed": _ann_lsh_indexed_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),
         "dedup_near": _dedup_near_sql(),

@@ -1091,3 +1091,74 @@ def embedding_dedup_tick(
         on_pairs(pairs)
     _append_emblsh(idx, new_tagged, idx._vectors_for(new_vecs), meta_extra)
     return pairs
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    index: "EmbeddingLSHIndex | str",
+    queries: DataFrame,
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k served from the persisted :class:`EmbeddingLSHIndex` —
+    one artifact answers BOTH query types (near-dup ticks and similarity
+    search), the multi-table analog of :func:`ann_lsh_topk`'s single
+    signature: a query's candidates are every indexed vector sharing at
+    least one band bucket (classic multi-table LSH OR-probing — recall is
+    strictly >= one (n_bands x bits)-bit table at equal total bits,
+    because a single disagreeing hyperplane no longer kills the match).
+
+    Plan shape (the amortized contract): the base corpus was signed ONCE
+    at build; per query batch there is one sign pass over the QUERIES
+    only, a broadcast probe of the batch's distinct (bpart, band, bucket)
+    keys against the tagged scan (never shuffling the corpus; bpart
+    prunes files), a candidate-id broadcast semi-join fetching ONLY
+    candidate vectors from the vpart layout, and an exact cosine rank.
+    Shuffle and vector I/O are proportional to candidates, never |base|.
+
+    No hot-bucket cap here, deliberately: dropping a hot bucket breaks
+    top-k semantics (it removes true neighbors), unlike near-dup where
+    over-capped docs are collapsed upstream anyway. A degenerate bucket
+    costs candidates, not correctness — same exposure as
+    :func:`ann_lsh_topk`.
+    """
+    idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
+    id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
+    # one sign pass over the query batch, reused by the probe key set and
+    # the candidate join
+    qt = idx._tagged_for(queries.select(id_col, vec_col)).localCheckpoint()
+    probe = qt.select("bpart", "band", "bucket").distinct()
+    matched = idx.read_tagged(spark).join(
+        F.broadcast(probe), ["bpart", "band", "bucket"])
+    cands = (
+        qt.select(F.col(id_col).alias("query_id"), "band", "bucket")
+        .join(matched.select(F.col(id_col).alias("neighbor_id"),
+                             "band", "bucket"),
+              ["band", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cand_ids = (cands.select(F.col("neighbor_id").alias(id_col)).distinct()
+                .select(id_col, _vpart(id_col, idx.meta["n_partitions"])))
+    nvec = (idx.read_vectors(spark)
+            .join(F.broadcast(cand_ids), ["vpart", id_col])
+            .select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("bv")))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv"))
+    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    sims = (
+        cands.join(F.broadcast(qvec), "query_id")
+        .join(F.broadcast(nvec), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine_sim(dvec(F.col("qv")), dvec(F.col("bv"))),
+                        round_digits).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -157,6 +157,40 @@ def test_blas_method_roundtrips(spark, root):
     assert _pairs(inc) == _pairs(full)
 
 
+def test_ann_topk_indexed_matches_exact_on_planted_clusters(spark, root):
+    """Same artifact, second query type: multi-band OR probing + exact
+    cosine rank. On the planted clusters (near-identical vectors agree on
+    almost every hyperplane) the indexed top-k equals brute force."""
+    from cdcrypt.operators.similarity import ann_lsh_topk_indexed, cosine_topk
+    emb = _corpus(spark)
+    build_embedding_lsh_index(emb, root)
+    q = emb.where("vec_id < 5")
+    exact = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+             for r in cosine_topk(emb, q, k=3).collect()}
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+           for r in ann_lsh_topk_indexed(spark, root, q, k=3).collect()}
+    assert got == exact
+    assert len(got) == 15  # 5 queries x 3
+
+
+def test_ann_topk_indexed_sees_appended_vectors(spark, root, tmp_path):
+    """Build-on-half + append == build-on-all for the ANN query path."""
+    from cdcrypt.operators.similarity import ann_lsh_topk_indexed
+    emb = _corpus(spark)
+    full_root = str(tmp_path / "full")
+    build_embedding_lsh_index(emb, full_root)
+    build_embedding_lsh_index(emb.where("vec_id % 2 = 0"), root)
+    append_to_embedding_lsh_index(root, emb.where("vec_id % 2 = 1"))
+    q = emb.where("vec_id < 5")
+
+    def key(df):
+        return {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+                for r in df.collect()}
+
+    assert key(ann_lsh_topk_indexed(spark, root, q, k=3)) == \
+        key(ann_lsh_topk_indexed(spark, full_root, q, k=3))
+
+
 def test_not_an_index_raises(tmp_path):
     with pytest.raises(EmbeddingLSHIndexError):
         EmbeddingLSHIndex(str(tmp_path / "nope"))
