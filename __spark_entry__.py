@@ -582,6 +582,41 @@ def _q_ann_ivf_append(spark, sf_dir):
                                 k=5, n_probe=8)
 
 
+# deterministic split/sample gate parameters (functions/sampling.py);
+# thresholds are Python-summed literals embedded in BOTH engines
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT, _SAMPLE_SALT, _SAMPLE_FRAC = "v1", "s1", 0.25
+
+
+def _q_dataset_split(spark, sf_dir):
+    # reproducible train/val/test assignment + nested-sample membership:
+    # pure function of (doc_id, salt) via the DuckDB-identical md5 hash —
+    # stable under repartitioning/ordering/engine, unlike randomSplit
+    from cdcrypt.functions.sampling import deterministic_split, unit_hash
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_split(docs, _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return out.withColumn(
+        "in_sample",
+        unit_hash("doc_id", _SAMPLE_SALT) < F.lit(_SAMPLE_FRAC))
+
+
+def _q_split_leakage_safe(spark, sf_dir):
+    # eval-contamination-safe split: assignment hashes the near-dup
+    # CONNECTED COMPONENT (minhash LSH pairs -> min-label closure), so no
+    # near-duplicate pair ever straddles train and test; singletons hash
+    # their own id (component == id), matching dataset_split for them
+    from cdcrypt.functions.sampling import leakage_safe_split
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
+    return leakage_safe_split(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"),
+        _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # real struct-parsed header probes (PNG IHDR, WAV RIFF/fmt/data, MP4 box
     # walk) over synthesized-but-valid container bytes; the oracle derives
@@ -631,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_incremental": _q_embedding_incremental,
         "ann_lsh_indexed": _q_ann_lsh_indexed,
+        "dataset_split": _q_dataset_split,
+        "split_leakage_safe": _q_split_leakage_safe,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -733,6 +770,52 @@ def _dedup_components_sql() -> str:
         )
         SELECT node AS doc_id, min(r) AS component
         FROM reach GROUP BY node
+    """
+
+
+def _dataset_split_sql() -> str:
+    from cdcrypt.functions.sampling import split_label_sql, unit_hash_sql
+    case = split_label_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SALT)
+    u = unit_hash_sql("doc_id", _SAMPLE_SALT)
+    return f"""
+        SELECT doc_id, {case} AS split,
+               ({u}) < {_SAMPLE_FRAC!r} AS in_sample
+        FROM documents
+    """
+
+
+def _split_leakage_safe_sql() -> str:
+    # the components closure CTE (as in dedup_components), then every doc
+    # left-joined, singleton component = own id, split CASE on component
+    from cdcrypt.functions.sampling import split_label_sql
+    cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    case = split_label_sql("coalesce(c.component, d.doc_id)",
+                           _SPLIT_WEIGHTS, _SPLIT_SALT)
+    return cte + f"""
+        , cpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM cpairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM cpairs
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
+        ),
+        comps AS (
+          SELECT node AS doc_id, min(r) AS component
+          FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               {case} AS split
+        FROM documents d LEFT JOIN comps c ON c.doc_id = d.doc_id
     """
 
 
@@ -1181,6 +1264,8 @@ def oracle_sql() -> dict[str, str]:
         # the same index artifact serving ANN: multi-band OR candidates
         # over the even-id base + exact cosine rank window
         "ann_lsh_indexed": _ann_lsh_indexed_sql(),
+        "dataset_split": _dataset_split_sql(),
+        "split_leakage_safe": _split_leakage_safe_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),
         "dedup_near": _dedup_near_sql(),

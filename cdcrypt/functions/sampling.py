@@ -1,0 +1,158 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+Training data must split REPRODUCIBLY: the same corpus, salt, and weights
+must yield the same train/val/test assignment on every run, every engine,
+and every cluster size — `df.sample()`/`randomSplit()` are seeded per
+partition and change with the partitioning, which silently reshuffles a
+split when the input layout changes. Here assignment is a pure function
+of (id, salt): the shared md5-derived 60-bit hash (functions/hash64.py,
+bit-identical in DuckDB) scaled to [0, 1) and cut at literal thresholds.
+Properties that fall out:
+
+- stable under repartitioning, re-ordering, engine, and incremental
+  ingest (a new document's split never moves an old one's);
+- disjoint and exhaustive by construction (one CASE over one value);
+- a different ``salt`` is a fresh independent split — version it;
+- oracle-verifiable end to end (the correctness gates hash-compare
+  every assignment against DuckDB).
+
+``leakage_safe_split`` closes the classic eval-contamination hole: two
+near-duplicate documents must never straddle train and test, or the
+model is evaluated on (near-copies of) its training data. Assignment is
+therefore made per near-dup CLUSTER — the connected component over the
+LSH candidate pairs (operators/docdedup.py) — so every member of a
+cluster lands in the same split. Cost at scale: the component join is
+the only addition, and components were already computed for dedup.
+
+Threshold arithmetic note: cumulative weights are summed in PYTHON and
+embedded as repr'd double literals in both the Column expression and the
+oracle SQL — neither engine does float accumulation, so 0.8 + 0.1
+rounding cannot diverge between them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdcrypt.functions.hash64 import h60, h60_sql
+
+_SCALE = float(1 << 60)
+
+
+def unit_hash(col: Column | str, salt: str) -> Column:
+    """Deterministic uniform [0, 1) from a column + salt: the 60-bit
+    md5 hash of ``CAST(col AS STRING) || ':' || salt`` divided by 2^60.
+    NON-NULL inputs only (hash64.py's concat_ws/|| null caveat)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return h60(F.concat_ws(":", c.cast("string"), F.lit(salt))) / F.lit(_SCALE)
+
+
+def unit_hash_sql(expr: str, salt: str) -> str:
+    """The DuckDB side of :func:`unit_hash` (oracle fragment)."""
+    return (h60_sql(f"CAST({expr} AS VARCHAR) || ':' || '{salt}'")
+            + f" / {_SCALE!r}")
+
+
+def _cumulative(weights: dict[str, float]) -> list[tuple[str, float]]:
+    if not weights:
+        raise ValueError("weights must be a non-empty {label: weight} dict")
+    bad = {k: w for k, w in weights.items() if not w > 0}
+    if bad:
+        raise ValueError(f"weights must be positive, got {bad}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    cum, acc = [], 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:        # last label takes the remainder
+        acc += w
+        cum.append((label, acc))
+    cum.append((labels[-1][0], None))
+    return cum
+
+
+def split_label(col: Column | str, weights: dict[str, float],
+                salt: str = "split-v1") -> Column:
+    """The split label as a Column: first label whose cumulative threshold
+    exceeds ``unit_hash(col, salt)``. Dict order sets the cut order."""
+    u = unit_hash(col, salt)
+    cum = _cumulative(weights)
+    expr = F.lit(cum[-1][0])
+    for label, threshold in reversed(cum[:-1]):
+        expr = F.when(u < F.lit(threshold), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def split_label_sql(expr: str, weights: dict[str, float],
+                    salt: str = "split-v1") -> str:
+    """The DuckDB side of :func:`split_label` — identical literal
+    thresholds, identical comparison, so assignments hash-match."""
+    u = unit_hash_sql(expr, salt)
+    cum = _cumulative(weights)
+    whens = "".join(f" WHEN {u} < {t!r} THEN '{label}'"
+                    for label, t in cum[:-1])
+    return f"CASE{whens} ELSE '{cum[-1][0]}' END"
+
+
+def deterministic_split(df: DataFrame, weights: dict[str, float],
+                        id_col: str = "doc_id", salt: str = "split-v1",
+                        out_col: str = "split") -> DataFrame:
+    """Append a reproducible split label keyed on ``id_col``."""
+    return df.withColumn(out_col, split_label(id_col, weights, salt))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id",
+                         salt: str = "sample-v1") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed on ``id_col`` —
+    stable under repartitioning and engine, unlike ``df.sample``. Nested
+    samples with the SAME salt: a 0.1 sample is a subset of a 0.25 sample
+    (both cut the same unit hash), which is exactly what staged
+    experiments want; use different salts for independent draws."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(unit_hash(id_col, salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
+                      id_col: str = "doc_id",
+                      salt: str = "sample-v1") -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps a stratum
+    value to its keep fraction (missing strata keep nothing). The hash is
+    keyed on the id ONLY, so changing one stratum's fraction never
+    reshuffles another's sample (and nested-subset behavior holds
+    per stratum)."""
+    u = unit_hash(id_col, salt)
+    keep = F.lit(0.0)
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        keep = F.when(F.col(strata_col) == F.lit(value),
+                      F.lit(float(frac))).otherwise(keep)
+    return df.where(u < keep)
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       weights: dict[str, float], id_col: str = "doc_id",
+                       salt: str = "split-v1",
+                       out_col: str = "split") -> DataFrame:
+    """Split with near-dup clusters kept whole: assignment hashes the
+    CONNECTED COMPONENT label (min reachable id over the candidate-pair
+    graph), so no near-duplicate pair ever straddles two splits —
+    eval-set contamination by training near-copies is structurally
+    impossible. Singletons hash their own id (component label == id for
+    them, so the assignment is consistent with :func:`deterministic_split`
+    restricted to un-paired docs).
+
+    ``pairs`` is any (id_a, id_b) near-dup relation — minhash LSH,
+    simhash, or embedding pairs. Returns docs + (component, split)."""
+    from cdcrypt.operators.docdedup import connected_components
+    comps = connected_components(pairs).select(
+        F.col("node").alias(id_col), "component")
+    return (
+        docs.join(comps, id_col, "left")
+        .withColumn("component",
+                    F.coalesce("component", F.col(id_col)))
+        .withColumn(out_col, split_label("component", weights, salt))
+    )

@@ -1,0 +1,119 @@
+"""Deterministic splitting/sampling (functions/sampling.py): pure function
+of (id, salt) — stable under repartitioning, disjoint+exhaustive, nested
+samples, per-stratum independence, and near-dup-cluster-safe splits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdcrypt.functions.sampling import (
+    deterministic_sample,
+    deterministic_split,
+    leakage_safe_split,
+    stratified_sample,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_split_is_deterministic_and_partition_invariant(spark):
+    df = _ids(spark)
+    a = {r.doc_id: r.split
+         for r in deterministic_split(df, WEIGHTS).collect()}
+    b = {r.doc_id: r.split
+         for r in deterministic_split(df.repartition(7), WEIGHTS).collect()}
+    c = {r.doc_id: r.split
+         for r in deterministic_split(df.orderBy(F.desc("doc_id")),
+                                      WEIGHTS).collect()}
+    assert a == b == c
+    assert len(a) == 2000  # exhaustive: every row got exactly one label
+
+
+def test_split_proportions_and_salt_independence(spark):
+    df = _ids(spark)
+    got = deterministic_split(df, WEIGHTS).groupBy("split").count()
+    counts = {r.split: r["count"] for r in got.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.04
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # a different salt is a fresh, materially different assignment
+    other = {r.doc_id: r.split
+             for r in deterministic_split(df, WEIGHTS, salt="v2").collect()}
+    base = {r.doc_id: r.split
+            for r in deterministic_split(df, WEIGHTS).collect()}
+    assert sum(base[i] != other[i] for i in base) > 400
+
+
+def test_split_weight_validation():
+    from cdcrypt.functions.sampling import _cumulative
+    with pytest.raises(ValueError, match="sum to 1"):
+        _cumulative({"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="positive"):
+        _cumulative({"a": 1.2, "b": -0.2})
+    with pytest.raises(ValueError, match="non-empty"):
+        _cumulative({})
+
+
+def test_nested_samples_and_incremental_stability(spark):
+    df = _ids(spark)
+    s10 = {r.doc_id for r in deterministic_sample(df, 0.1).collect()}
+    s25 = {r.doc_id for r in deterministic_sample(df, 0.25).collect()}
+    assert s10 <= s25                      # same salt: nested subsets
+    assert abs(len(s25) / 2000 - 0.25) < 0.04
+    ind = {r.doc_id for r in
+           deterministic_sample(df, 0.25, salt="other").collect()}
+    assert ind != s25                      # different salt: independent
+    # incremental ingest never moves an old row's membership
+    bigger = _ids(spark, 4000)
+    again = {r.doc_id for r in
+             deterministic_sample(bigger, 0.25).collect()}
+    assert {i for i in again if i < 2000} == s25
+
+
+def test_stratified_sample_per_stratum_independence(spark):
+    df = _ids(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de"))
+    a = stratified_sample(df, {"en": 0.5, "de": 0.1}, "lang")
+    kept_a = {r.doc_id for r in a.collect()}
+    n_en = sum(1 for i in kept_a if i % 2 == 0)
+    n_de = len(kept_a) - n_en
+    assert abs(n_en / 1000 - 0.5) < 0.06
+    assert abs(n_de / 1000 - 0.1) < 0.04
+    # changing ONE stratum's fraction must not reshuffle the other's keep
+    b = stratified_sample(df, {"en": 0.5, "de": 0.3}, "lang")
+    kept_b = {r.doc_id for r in b.collect()}
+    assert {i for i in kept_a if i % 2 == 0} == \
+        {i for i in kept_b if i % 2 == 0}
+    # a stratum absent from fractions keeps nothing
+    c = stratified_sample(df, {"en": 0.5}, "lang")
+    assert all(r.lang == "en" for r in c.collect())
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    docs = _ids(spark, 300)
+    # planted near-dup graph: chains {i, i+1, i+2} for i % 30 == 0 —
+    # transitive clusters that single-pair reasoning would split
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 300, 30)]
+        + [(i + 1, i + 2) for i in range(0, 300, 30)],
+        "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs, WEIGHTS)
+    rows = {r.doc_id: (r.component, r.split) for r in out.collect()}
+    assert len(rows) == 300
+    for i in range(0, 300, 30):
+        comp, split = rows[i]
+        assert comp == i                      # min-id component label
+        assert rows[i + 1] == (comp, split)   # whole cluster, one split
+        assert rows[i + 2] == (comp, split)
+    # singletons assign exactly as the plain id-keyed split
+    plain = {r.doc_id: r.split
+             for r in deterministic_split(docs, WEIGHTS).collect()}
+    clustered = {i for i in range(300)
+                 if i % 30 in (0, 1, 2)}
+    assert all(split == plain[i] for i, (comp, split) in rows.items()
+               if i not in clustered)
