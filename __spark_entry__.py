@@ -747,11 +747,12 @@ def _minhash_pairs_sql() -> str:
     """
 
 
-def _dedup_components_sql() -> str:
-    # same banded CTEs as minhash_lsh_pairs, then min-label reachability
-    # closure: component = min node id reachable over the candidate edges
-    cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-    return cte + """
+def _components_closure_cte() -> str:
+    """The ONE copy of the minhash-pairs -> min-label reachability closure
+    every components-based oracle splices after the RECURSIVE banded CTEs:
+    ends with ``comp(node, component)``. (Three oracles previously carried
+    hand-copied variants of this fragment.)"""
+    return """
         , pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM banded a JOIN banded b
@@ -767,55 +768,53 @@ def _dedup_components_sql() -> str:
           SELECT u, u FROM edges
           UNION
           SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
-        )
-        SELECT node AS doc_id, min(r) AS component
-        FROM reach GROUP BY node
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    """
+
+
+def _dedup_components_sql() -> str:
+    # same banded CTEs as minhash_lsh_pairs, then min-label reachability
+    # closure: component = min node id reachable over the candidate edges
+    cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return cte + _components_closure_cte() + """
+        SELECT node AS doc_id, component FROM comp
     """
 
 
 def _dataset_split_sql() -> str:
-    from cdcrypt.functions.sampling import split_label_sql, unit_hash_sql
-    case = split_label_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SALT)
-    u = unit_hash_sql("doc_id", _SAMPLE_SALT)
+    # one md5 per row per purpose (split/sample), computed in a subquery —
+    # mirrors deterministic_split's hashed helper column
+    from cdcrypt.functions.sampling import split_case_sql, unit_hash_sql
+    case = split_case_sql("u_split", _SPLIT_WEIGHTS)
     return f"""
         SELECT doc_id, {case} AS split,
-               ({u}) < {_SAMPLE_FRAC!r} AS in_sample
-        FROM documents
+               u_sample < {_SAMPLE_FRAC!r} AS in_sample
+        FROM (
+          SELECT doc_id,
+                 {unit_hash_sql('doc_id', _SPLIT_SALT)} AS u_split,
+                 {unit_hash_sql('doc_id', _SAMPLE_SALT)} AS u_sample
+          FROM documents)
     """
 
 
 def _split_leakage_safe_sql() -> str:
-    # the components closure CTE (as in dedup_components), then every doc
-    # left-joined, singleton component = own id, split CASE on component
-    from cdcrypt.functions.sampling import split_label_sql
+    # the shared components closure, then every doc left-joined (singleton
+    # component = own id) and the split CASE over ONE hash of the component
+    from cdcrypt.functions.sampling import split_case_sql, unit_hash_sql
     cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-    case = split_label_sql("coalesce(c.component, d.doc_id)",
-                           _SPLIT_WEIGHTS, _SPLIT_SALT)
-    return cte + f"""
-        , cpairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ),
-        edges AS (
-          SELECT id_a AS u, id_b AS v FROM cpairs
-          UNION
-          SELECT id_b AS u, id_a AS v FROM cpairs
-        ),
-        reach(node, r) AS (
-          SELECT u, u FROM edges
-          UNION
-          SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
-        ),
-        comps AS (
-          SELECT node AS doc_id, min(r) AS component
-          FROM reach GROUP BY node
+    return cte + _components_closure_cte() + f"""
+        , labeled AS (
+          SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         )
-        SELECT d.doc_id,
-               coalesce(c.component, d.doc_id) AS component,
-               {case} AS split
-        FROM documents d LEFT JOIN comps c ON c.doc_id = d.doc_id
+        SELECT doc_id, component,
+               {split_case_sql("u_split", _SPLIT_WEIGHTS)} AS split
+        FROM (
+          SELECT doc_id, component,
+                 {unit_hash_sql('component', _SPLIT_SALT)} AS u_split
+          FROM labeled)
     """
 
 
@@ -824,25 +823,8 @@ def _dedup_near_sql() -> str:
     # keep the longest-text row per component (min doc_id tiebreak; null
     # text coalesced below any real length on both engines)
     cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-    return cte + """
-        , pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ),
-        edges AS (
-          SELECT id_a AS u, id_b AS v FROM pairs
-          UNION
-          SELECT id_b AS u, id_a AS v FROM pairs
-        ),
-        reach(node, r) AS (
-          SELECT u, u FROM edges
-          UNION
-          SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
-        ),
-        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
-        labeled AS (
+    return cte + _components_closure_cte() + """
+        , labeled AS (
           SELECT d.doc_id,
                  coalesce(c.component, d.doc_id) AS component,
                  coalesce(length(d.text), -1) AS len

@@ -40,6 +40,12 @@ from cdcrypt.functions.hash64 import h60, h60_sql
 _SCALE = float(1 << 60)
 
 
+def _sq(s: str) -> str:
+    """Escape a string for interpolation into a SQL single-quoted literal
+    (the Spark side uses F.lit and needs none)."""
+    return str(s).replace("'", "''")
+
+
 def unit_hash(col: Column | str, salt: str) -> Column:
     """Deterministic uniform [0, 1) from a column + salt: the 60-bit
     md5 hash of ``CAST(col AS STRING) || ':' || salt`` divided by 2^60.
@@ -50,7 +56,7 @@ def unit_hash(col: Column | str, salt: str) -> Column:
 
 def unit_hash_sql(expr: str, salt: str) -> str:
     """The DuckDB side of :func:`unit_hash` (oracle fragment)."""
-    return (h60_sql(f"CAST({expr} AS VARCHAR) || ':' || '{salt}'")
+    return (h60_sql(f"CAST({expr} AS VARCHAR) || ':' || '{_sq(salt)}'")
             + f" / {_SCALE!r}")
 
 
@@ -72,11 +78,10 @@ def _cumulative(weights: dict[str, float]) -> list[tuple[str, float]]:
     return cum
 
 
-def split_label(col: Column | str, weights: dict[str, float],
-                salt: str = "split-v1") -> Column:
-    """The split label as a Column: first label whose cumulative threshold
-    exceeds ``unit_hash(col, salt)``. Dict order sets the cut order."""
-    u = unit_hash(col, salt)
+def split_case(u: Column, weights: dict[str, float]) -> Column:
+    """The threshold CASE over an ALREADY-COMPUTED unit hash — callers
+    compute the hash once per row (a CASE that embeds the md5 expression
+    would recompute it per threshold in both engines)."""
     cum = _cumulative(weights)
     expr = F.lit(cum[-1][0])
     for label, threshold in reversed(cum[:-1]):
@@ -84,22 +89,41 @@ def split_label(col: Column | str, weights: dict[str, float],
     return expr
 
 
+def split_label(col: Column | str, weights: dict[str, float],
+                salt: str = "split-v1") -> Column:
+    """The split label as a single Column expression: first label whose
+    cumulative threshold exceeds ``unit_hash(col, salt)``. Dict order
+    sets the cut order. NOTE: as one expression the hash is re-evaluated
+    per threshold — fine for one-off use; the split operators below go
+    through a hashed helper column instead (one md5 per row)."""
+    return split_case(unit_hash(col, salt), weights)
+
+
+def split_case_sql(u_expr: str, weights: dict[str, float]) -> str:
+    """The DuckDB side of :func:`split_case` — identical literal
+    thresholds, identical comparison, so assignments hash-match. Pass a
+    cheap ``u_expr`` (a subquery column holding the unit hash)."""
+    cum = _cumulative(weights)
+    whens = "".join(f" WHEN {u_expr} < {t!r} THEN '{_sq(label)}'"
+                    for label, t in cum[:-1])
+    return f"CASE{whens} ELSE '{_sq(cum[-1][0])}' END"
+
+
 def split_label_sql(expr: str, weights: dict[str, float],
                     salt: str = "split-v1") -> str:
-    """The DuckDB side of :func:`split_label` — identical literal
-    thresholds, identical comparison, so assignments hash-match."""
-    u = unit_hash_sql(expr, salt)
-    cum = _cumulative(weights)
-    whens = "".join(f" WHEN {u} < {t!r} THEN '{label}'"
-                    for label, t in cum[:-1])
-    return f"CASE{whens} ELSE '{cum[-1][0]}' END"
+    """Single-expression oracle form of :func:`split_label` (same
+    per-threshold recompute note)."""
+    return split_case_sql(unit_hash_sql(expr, salt), weights)
 
 
 def deterministic_split(df: DataFrame, weights: dict[str, float],
                         id_col: str = "doc_id", salt: str = "split-v1",
                         out_col: str = "split") -> DataFrame:
-    """Append a reproducible split label keyed on ``id_col``."""
-    return df.withColumn(out_col, split_label(id_col, weights, salt))
+    """Append a reproducible split label keyed on ``id_col`` (one md5
+    per row via a hashed helper column)."""
+    return (df.withColumn("_u", unit_hash(id_col, salt))
+            .withColumn(out_col, split_case(F.col("_u"), weights))
+            .drop("_u"))
 
 
 def deterministic_sample(df: DataFrame, fraction: float,
@@ -154,5 +178,7 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
         docs.join(comps, id_col, "left")
         .withColumn("component",
                     F.coalesce("component", F.col(id_col)))
-        .withColumn(out_col, split_label("component", weights, salt))
+        .withColumn("_u", unit_hash("component", salt))
+        .withColumn(out_col, split_case(F.col("_u"), weights))
+        .drop("_u")
     )

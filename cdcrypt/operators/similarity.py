@@ -39,6 +39,24 @@ def cosine_sim(a, b):
     return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
 
 
+def _dvec(c):
+    """Hoisted double-cast of a vector column (one cast per row)."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
+    """The one top-k tail every ANN/exact search shares, so the
+    rounding/tie-break contract the DuckDB oracles mirror (sim DESC,
+    neighbor_id ASC, row_number) has a single source of truth."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def cosine_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -75,14 +93,7 @@ def cosine_topk(
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(sims, k)
 
 
 def lsh_planes(dim: int, n_bits: int = 12, seed: int = 42) -> list[list[float]]:
@@ -450,7 +461,6 @@ def ann_ivf_topk(
         fraction=sample_fraction, seed=seed)
     cents = _train_centroids(train, n_centroids, vec_col, seed)
 
-    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     b = _assign_cells(
         base.select(F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("bv")),
@@ -466,19 +476,12 @@ def ann_ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine_sim(dvec(F.col("qv")), dvec(F.col("bv"))), 4)
+            F.round(cosine_sim(_dvec(F.col("qv")), _dvec(F.col("bv"))), 4)
             .alias("sim"),
         )
         # no pair dedup needed: each base vector lives in exactly one cell
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(sims, k)
 
 
 class IvfIndexError(RuntimeError):
@@ -665,24 +668,16 @@ def ann_ivf_topk_indexed(
         if len(probed) <= prune_cells:
             b = b.where(F.col("cell").isin(probed))
         q = F.broadcast(spark.createDataFrame(q_rows, q.schema))
-    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     sims = (
         q.join(b, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine_sim(dvec(F.col("qv")), dvec(F.col("bv"))), 4)
+            F.round(cosine_sim(_dvec(F.col("qv")), _dvec(F.col("bv"))), 4)
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(sims, k)
 
 
 def ann_lsh_topk(
@@ -727,14 +722,7 @@ def ann_lsh_topk(
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(sims, k)
 
 
 # ---------------------------------------------------------------------------
@@ -1040,7 +1028,6 @@ def _candidates_from_emblsh(spark, idx: EmbeddingLSHIndex,
     lookup = corpus_vecs.unionByName(
         new_vecs.select(id_col, vec_col)
         .join(F.broadcast(cand_ids.select(id_col)), id_col))
-    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     return (
         pairs
         .join(F.broadcast(lookup.select(F.col(id_col).alias("id_a"),
@@ -1048,7 +1035,7 @@ def _candidates_from_emblsh(spark, idx: EmbeddingLSHIndex,
         .join(F.broadcast(lookup.select(F.col(id_col).alias("id_b"),
                                         F.col(vec_col).alias("vb"))), "id_b")
         .select("id_a", "id_b",
-                F.round(cosine_sim(dvec(F.col("va")), dvec(F.col("vb"))),
+                F.round(cosine_sim(_dvec(F.col("va")), _dvec(F.col("vb"))),
                         round_digits).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
@@ -1145,20 +1132,19 @@ def ann_lsh_topk_indexed(
             .join(F.broadcast(cand_ids), ["vpart", id_col])
             .select(F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("bv")))
-    qvec = queries.select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).alias("qv"))
-    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    # the query side of the lookup is candidate-filtered too: broadcasting
+    # the RAW query batch ships every query vector even when most have
+    # zero LSH candidates (the same blow-the-broadcast exposure the
+    # near-dup incremental path guards against)
+    qvec = (queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+            .join(F.broadcast(cands.select("query_id").distinct()),
+                  "query_id"))
     sims = (
         cands.join(F.broadcast(qvec), "query_id")
         .join(F.broadcast(nvec), "neighbor_id")
         .select("query_id", "neighbor_id",
-                F.round(cosine_sim(dvec(F.col("qv")), dvec(F.col("bv"))),
+                F.round(cosine_sim(_dvec(F.col("qv")), _dvec(F.col("bv"))),
                         round_digits).alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(sims, k)
