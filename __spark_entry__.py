@@ -617,6 +617,30 @@ def _q_split_leakage_safe(spark, sf_dir):
         _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
 
 
+_CURATE = dict(min_quality=0.8, langs=("en",))
+
+
+def _q_corpus_curation(spark, sf_dir):
+    # the capstone composition every pretraining pipeline runs, one call:
+    # LSH near-dup pairs -> transitive clusters -> canonical survivor ->
+    # quality + language gates -> token counts -> deterministic split
+    # (hashed on the component, so the split is stable even if the
+    # survivor pick changes). Oracle replays the WHOLE pipeline in SQL:
+    # banded CTEs -> recursive closure -> survivor window -> the same
+    # quality/lang/token expressions -> hash-split CASE.
+    from cdcrypt.operators.curation import curate_corpus
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
+    return curate_corpus(
+        docs, pairs.select("id_a", "id_b"), _SPLIT_WEIGHTS,
+        min_quality=_CURATE["min_quality"], langs=_CURATE["langs"],
+        salt=_SPLIT_SALT)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # real struct-parsed header probes (PNG IHDR, WAV RIFF/fmt/data, MP4 box
     # walk) over synthesized-but-valid container bytes; the oracle derives
@@ -668,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_indexed": _q_ann_lsh_indexed,
         "dataset_split": _q_dataset_split,
         "split_leakage_safe": _q_split_leakage_safe,
+        "corpus_curation": _q_corpus_curation,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -747,6 +772,48 @@ def _minhash_pairs_sql() -> str:
     """
 
 
+def _tokens_sql(col: str) -> str:
+    """DuckDB replica of functions/text.py token_count (BIGINT)."""
+    return (f"CAST(CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END "
+            "AS BIGINT)")
+
+
+def _punct_ratio_sql(col: str) -> str:
+    return (f"round((length({col}) - length(regexp_replace({col}, "
+            f"'[.,;:!?''\"()\\[\\]{{}}]', '', 'g'))) "
+            f"/ greatest(length({col}), 1)::DOUBLE, 6)")
+
+
+def _digit_ratio_sql(col: str) -> str:
+    return (f"round((length({col}) - length(regexp_replace({col}, "
+            f"'[0-9]', '', 'g'))) / greatest(length({col}), 1)::DOUBLE, 6)")
+
+
+def _quality_sql(col: str) -> str:
+    """DuckDB replica of functions/text.py quality_score (round 6)."""
+    space = (f"round((length({col}) - length(replace({col}, ' ', ''))) "
+             f"/ greatest(length({col}), 1)::DOUBLE, 6)")
+    return (f"round(greatest(least(length({col}) / 500.0, 1.0) * 0.4 "
+            f"+ least({space} * 8, 1.0) * 0.4 "
+            f"+ (1 - least(({_punct_ratio_sql(col)} "
+            f"+ {_digit_ratio_sql(col)}) * 3, 1.0)) * 0.2, 0.0), 6)")
+
+
+def _lang_sql(col: str) -> str:
+    """DuckDB replica of functions/text.py lang_id."""
+    return f"""CASE
+                WHEN len(regexp_extract_all({col}, '[぀-ヿ一-鿿]')) > 0 THEN 'cjk'
+                WHEN len(regexp_extract_all({col}, '[Ͱ-Ͽ]')) > 0 THEN 'greek'
+                WHEN (length({col}) - length(replace({col}, ' the ', ''))) / 5.0
+                   + (length({col}) - length(replace({col}, ' and ', ''))) / 5.0
+                   + (length({col}) - length(replace({col}, ' of ', ''))) / 4.0
+                   + (length({col}) - length(replace({col}, ' to ', ''))) / 4.0 >= 1
+                  THEN 'en'
+                ELSE 'other'
+              END"""
+
+
 def _components_closure_cte() -> str:
     """The ONE copy of the minhash-pairs -> min-label reachability closure
     every components-based oracle splices after the RECURSIVE banded CTEs:
@@ -818,26 +885,60 @@ def _split_leakage_safe_sql() -> str:
     """
 
 
+def _corpus_curation_sql() -> str:
+    from cdcrypt.functions.sampling import split_case_sql, unit_hash_sql
+    cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    mq, lang = _CURATE["min_quality"], _CURATE["langs"][0]
+    return cte + _survivors_cte() + f"""
+        , scored AS (
+          SELECT s.doc_id, s.component, s.n_in_cluster,
+                 {_tokens_sql('d.text')} AS n_tokens,
+                 {_quality_sql('d.text')} AS quality,
+                 {_lang_sql('d.text')} AS lang_guess
+          FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+        )
+        SELECT doc_id, component, n_in_cluster, n_tokens, quality,
+               lang_guess,
+               {split_case_sql('u_split', _SPLIT_WEIGHTS)} AS split
+        FROM (
+          SELECT *, {unit_hash_sql('component', _SPLIT_SALT)} AS u_split
+          FROM scored
+          WHERE quality >= {mq!r} AND lang_guess = '{lang}')
+    """
+
+
 def _dedup_near_sql() -> str:
     # CC closure as in dedup_components, then left-join every document and
     # keep the longest-text row per component (min doc_id tiebreak; null
     # text coalesced below any real length on both engines)
     cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-    return cte + _components_closure_cte() + """
+    return cte + _survivors_cte() + """
+        SELECT doc_id, component, n_in_cluster FROM survivors
+    """
+
+
+def _survivors_cte() -> str:
+    """Splices after the closure: ``survivors(doc_id, component,
+    n_in_cluster)`` — dedup_near's canonical pick (longest text, min-id
+    tiebreak, null text below any real text). Shared by the dedup_near
+    and corpus_curation oracles."""
+    return _components_closure_cte() + """
         , labeled AS (
           SELECT d.doc_id,
                  coalesce(c.component, d.doc_id) AS component,
                  coalesce(length(d.text), -1) AS len
           FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ),
+        survivors AS (
+          SELECT doc_id, component, n_in_cluster FROM (
+            SELECT doc_id, component,
+                   CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                     AS n_in_cluster,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY len DESC, doc_id ASC) AS rn
+            FROM labeled)
+          WHERE rn = 1
         )
-        SELECT doc_id, component, n_in_cluster FROM (
-          SELECT doc_id, component,
-                 CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
-                   AS n_in_cluster,
-                 row_number() OVER (PARTITION BY component
-                                    ORDER BY len DESC, doc_id ASC) AS rn
-          FROM labeled)
-        WHERE rn = 1
     """
 
 
@@ -1134,46 +1235,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE text IS NOT NULL
             GROUP BY md5(text)
         """,
-        "text_stats": """
+        "text_stats": f"""
             SELECT doc_id,
               length(text) AS n_chars,
               CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-              round((length(text) - length(regexp_replace(text,
-                    '[.,;:!?''"()\\[\\]{}]', '', 'g')))
-                    / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
-              round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                    / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio,
-              round(greatest(
-                least(length(text) / 500.0, 1.0) * 0.4
-                + least(round((length(text) - length(replace(text, ' ', '')))
-                        / greatest(length(text), 1)::DOUBLE, 6) * 8, 1.0) * 0.4
-                + (1 - least((
-                    round((length(text) - length(regexp_replace(text,
-                          '[.,;:!?''"()\\[\\]{}]', '', 'g')))
-                          / greatest(length(text), 1)::DOUBLE, 6)
-                  + round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                          / greatest(length(text), 1)::DOUBLE, 6)) * 3, 1.0)) * 0.2,
-                0.0), 6) AS quality,
-              CASE
-                WHEN len(regexp_extract_all(text, '[぀-ヿ一-鿿]')) > 0 THEN 'cjk'
-                WHEN len(regexp_extract_all(text, '[Ͱ-Ͽ]')) > 0 THEN 'greek'
-                WHEN (length(text) - length(replace(text, ' the ', ''))) / 5.0
-                   + (length(text) - length(replace(text, ' and ', ''))) / 5.0
-                   + (length(text) - length(replace(text, ' of ', ''))) / 4.0
-                   + (length(text) - length(replace(text, ' to ', ''))) / 4.0 >= 1
-                  THEN 'en'
-                ELSE 'other'
-              END AS lang_guess,
+              {_punct_ratio_sql('text')} AS punct_ratio,
+              {_digit_ratio_sql('text')} AS digit_ratio,
+              {_quality_sql('text')} AS quality,
+              {_lang_sql('text')} AS lang_guess,
               ('0x' || substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')),
                               1, 15))::BIGINT AS fp64
             FROM documents
         """,
-        "token_counts": """
+        "token_counts": f"""
             SELECT doc_id,
-              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
-                AS n_tokens,
+              {_tokens_sql('text')} AS n_tokens,
               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
                 + floor(length(regexp_replace(text, '\\s', '', 'g')) / 4) AS BIGINT)
@@ -1248,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_indexed": _ann_lsh_indexed_sql(),
         "dataset_split": _dataset_split_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
+        "corpus_curation": _corpus_curation_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),
         "dedup_near": _dedup_near_sql(),
