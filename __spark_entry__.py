@@ -114,6 +114,30 @@ def _q_smt_array_wildcard(spark, sf_dir):
     )
 
 
+def _q_smt_array_struct_wildcard(spark, sf_dir):
+    # O4/O5 mid-path arrays (r4): $.path[*].field over an array of STRUCTS —
+    # the reference's nested-Debezium shape (README.md:142-148 positional
+    # operators, TransformTest.java:43-49 nested fixture). Leaves are
+    # extracted with F.transform, cryptoed as ONE batch, zipped back via
+    # withField — sibling struct fields untouched.
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.struct(F.col("text").alias("t"), F.col("source").alias("s")),
+            F.struct(F.col("source").alias("t"), F.col("text").alias("s")),
+        ).alias("turns"))
+    enc = encrypt_fields(docs, ["$.turns[*].t"], key_id="cdcrypt/docs")
+    dec = decrypt_fields(enc, ["$.turns[*].t"], key_id="cdcrypt/docs")
+    return dec.select(
+        "doc_id",
+        F.col("turns")[0]["t"].alias("text"),
+        F.col("turns")[0]["s"].alias("source"),
+        F.col("turns")[1]["t"].alias("source2"),
+    )
+
+
 def _q_smt_conditional_crypto(spark, sf_dir):
     # O6 through the crypto path: only source='web' rows are encrypted
     # (then decrypted back); others pass through untouched — round-trip
@@ -661,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "smt_array_wildcard": _q_smt_array_wildcard,
+        "smt_array_struct_wildcard": _q_smt_array_struct_wildcard,
         "smt_conditional_crypto": _q_smt_conditional_crypto,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
         "smt_asym_roundtrip": _q_smt_asym_roundtrip,
@@ -1142,6 +1167,8 @@ def oracle_sql() -> dict[str, str]:
         "smt_encrypt_roundtrip": "SELECT doc_id, text FROM documents",
         "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
         "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",
+        "smt_array_struct_wildcard": (
+            "SELECT doc_id, text, source, source AS source2 FROM documents"),
         "smt_conditional_crypto": "SELECT doc_id, text, source FROM documents",
         "smt_schemaless_roundtrip": "SELECT doc_id, text, source FROM documents",
         "smt_asym_roundtrip": "SELECT doc_id, text FROM documents",

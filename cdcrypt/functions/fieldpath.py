@@ -18,9 +18,17 @@ Wildcards over arrays do NOT expand per record (the reference expands
 which is the Spark-native equivalent with identical semantics and order
 preservation (SURVEY.md O5).
 
-Unsupported shapes (arrays of structs, wildcard mid-path) raise
-``PathCompileError`` at config time, mirroring the reference's
-``ConfigException`` on invalid paths (``Config.java:161-163``).
+Mid-path array segments (``$.arr[*].field`` / ``$.arr[n].field`` — the
+reference's syntax table permits positional operators anywhere,
+``README.md:142-148``, and arrays-of-structs are a legal Connect shape,
+nested fixture ``TransformTest.java:43-49``) compile to a struct-suffix
+navigation: the leaf values are extracted with ``F.transform`` (wildcard)
+or ``element_at`` (index), cryptoed as one batch, and written back with a
+``transform`` lambda that rebuilds each struct element via ``withField`` —
+still zero per-record Python outside the crypto UDF. Scope: ONE array
+segment per path (a second array segment raises ``PathCompileError`` at
+config time, mirroring the reference's ``ConfigException`` on invalid
+paths, ``Config.java:161-163``).
 """
 
 from __future__ import annotations
@@ -98,15 +106,25 @@ def parse_path(path: str) -> list[object]:
 
 @dataclass(frozen=True)
 class CompiledPath:
-    """Driver-side compiled form: struct-name prefix + optional array tail."""
+    """Driver-side compiled form: struct-name prefix + optional array segment
+    + optional struct-name suffix (``$.a.b[*].c.d`` -> names=(a,b),
+    wildcard, suffix=(c,d))."""
 
     names: tuple[str, ...]  # struct navigation (a, b, c)
-    array_index: int | None = None  # [n] tail
-    array_wildcard: bool = False  # [*] tail
+    array_index: int | None = None  # [n] segment
+    array_wildcard: bool = False  # [*] segment
+    suffix: tuple[str, ...] = ()  # struct navigation under each array element
 
     @property
     def is_array(self) -> bool:
         return self.array_wildcard or self.array_index is not None
+
+    @property
+    def vector_crypto(self) -> bool:
+        """True when the crypto input is an array<string> (one array UDF
+        call); False when it is a scalar (``[n].field`` selects one leaf)."""
+        return self.array_wildcard or (
+            self.array_index is not None and not self.suffix)
 
 
 def compile_path(path: str) -> CompiledPath:
@@ -121,24 +139,56 @@ def compile_path(path: str) -> CompiledPath:
     if i == len(segs):
         return CompiledPath(tuple(names))
     tail = segs[i]
-    if i != len(segs) - 1:
+    i += 1
+    suffix: list[str] = []
+    while i < len(segs) and isinstance(segs[i], Name):
+        suffix.append(segs[i].value)
+        i += 1
+    if i != len(segs):
         raise PathCompileError(
-            f"unsupported path shape {path!r}: array segment must be terminal "
-            "(arrays of structs / wildcard mid-path not supported)"
+            f"unsupported path shape {path!r}: at most one array segment per "
+            "path (nested arrays not supported)"
         )
     if isinstance(tail, Index):
-        return CompiledPath(tuple(names), array_index=tail.value)
+        return CompiledPath(tuple(names), array_index=tail.value,
+                            suffix=tuple(suffix))
     if tail is WILDCARD or isinstance(tail, Wildcard):
-        return CompiledPath(tuple(names), array_wildcard=True)
-    raise PathCompileError(f"invalid terminal segment in {path!r}")
+        return CompiledPath(tuple(names), array_wildcard=True,
+                            suffix=tuple(suffix))
+    raise PathCompileError(f"invalid array segment in {path!r}")
+
+
+def _nav(names: tuple[str, ...]) -> Column:
+    col = F.col(names[0])
+    for n in names[1:]:
+        col = col.getField(n)
+    return col
+
+
+def _suffix_of(col: Column, suffix: tuple[str, ...]) -> Column:
+    for n in suffix:
+        col = col.getField(n)
+    return col
 
 
 def select_column(cp: CompiledPath) -> Column:
-    """Column that reads the path's value (array paths read the whole array)."""
-    col = F.col(cp.names[0])
-    for n in cp.names[1:]:
-        col = col.getField(n)
-    return col
+    """Column that feeds the crypto UDF:
+
+    - plain struct path -> the scalar leaf;
+    - terminal ``[*]`` / ``[n]`` -> the whole array (array UDF handles the
+      index);
+    - ``[*].field`` -> array of extracted leaves (one ``F.transform`` pass);
+    - ``[n].field`` -> the single extracted leaf (scalar; out-of-range ->
+      NULL -> crypto passthrough).
+    """
+    col = _nav(cp.names)
+    if not cp.is_array:
+        return col
+    if not cp.suffix:
+        return col  # array UDF consumes the array itself
+    if cp.array_wildcard:
+        return F.transform(col, lambda x: _suffix_of(x, cp.suffix))
+    return _suffix_of(F.get(col, cp.array_index), cp.suffix)
 
 
 def path_exists(df: DataFrame, cp: CompiledPath) -> bool:
@@ -147,6 +197,7 @@ def path_exists(df: DataFrame, cp: CompiledPath) -> bool:
     dt = df.schema
     fields = {f.name: f.dataType for f in dt.fields}
     cur = fields
+    t = None
     for i, n in enumerate(cp.names):
         if not isinstance(cur, dict) or n not in cur:
             return False
@@ -155,6 +206,19 @@ def path_exists(df: DataFrame, cp: CompiledPath) -> bool:
             if not hasattr(t, "fields"):
                 return False
             cur = {f.name: f.dataType for f in t.fields}
+    if not cp.suffix:
+        return True
+    # array-of-structs: t must be ArrayType whose elementType carries suffix
+    et = getattr(t, "elementType", None)
+    if et is None:
+        return False
+    for i, n in enumerate(cp.suffix):
+        if not hasattr(et, "fields"):
+            return False
+        sub = {f.name: f.dataType for f in et.fields}
+        if n not in sub:
+            return False
+        et = sub[n]
     return True
 
 
@@ -162,11 +226,41 @@ def rewrite(df: DataFrame, cp: CompiledPath, new_value: Column) -> DataFrame:
     """Replace the value at ``cp`` with ``new_value`` (a Column computed from
     :func:`select_column`'s output), preserving the rest of the row — the
     writeback half of the transform (``Transform.java:106-121``).
+
+    Mid-path array shapes rebuild the array with ``F.transform``: the crypto
+    UDF column is evaluated once per row into a temp column (its own
+    ArrowEvalPython node — Catalyst forbids a Python UDF expression inside a
+    higher-order-function lambda), then zipped back element-by-element inside
+    whole-stage codegen and the temp dropped.
     """
     top = cp.names[0]
+    drop_tmp = None
+    if cp.suffix:
+        tmp = "__cdcrypt_leaf_tmp"
+        df = df.withColumn(tmp, new_value)
+        leaf = F.col(tmp)
+        drop_tmp = tmp
+        arr = _nav(cp.names)
+        sub = ".".join(f"`{n}`" for n in cp.suffix)
+        if cp.array_wildcard:
+            # leaf: array of rewritten leaves, index-aligned with arr
+            new_value = F.transform(
+                arr,
+                lambda x, i: x.withField(sub, F.element_at(leaf, i + 1)),
+            )
+        else:
+            n_idx = cp.array_index
+            # leaf: the single rewritten leaf for element [n]
+            new_value = F.transform(
+                arr,
+                lambda x, i: F.when(i == F.lit(n_idx),
+                                    x.withField(sub, leaf)).otherwise(x),
+            )
     if len(cp.names) == 1:
-        return df.withColumn(top, new_value)
+        out = df.withColumn(top, new_value)
+        return out.drop(drop_tmp) if drop_tmp else out
     # nested: rebuild the top-level struct column with withField at the
     # dotted sub-path (Spark resolves a.b.c inside withField natively)
     sub = ".".join(f"`{n}`" for n in cp.names[1:])
-    return df.withColumn(top, F.col(top).withField(sub, new_value))
+    out = df.withColumn(top, F.col(top).withField(sub, new_value))
+    return out.drop(drop_tmp) if drop_tmp else out

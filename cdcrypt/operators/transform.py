@@ -196,16 +196,20 @@ class FieldTransform:
                     )
                 df = rewrite(df, cp, new)
                 continue
-            if cp.is_array:
+            if cp.vector_crypto:
+                # terminal [*]/[n] pass the raw array (UDF applies the
+                # index); [*].field passes the extracted leaf array, so the
+                # UDF sees index=None and encrypts every leaf
+                idx = cp.array_index if not cp.suffix else None
                 if cfg.mode == "encrypt":
                     udf = make_encrypt_array_udf(
                         cfg.key_id, kms=cfg.kms, context=cfg.context,
-                        index=cp.array_index, use_gate=use_gate,
+                        index=idx, use_gate=use_gate,
                     )
                 else:
                     udf = make_decrypt_array_udf(
                         kms=cfg.kms, context=cfg.context,
-                        index=cp.array_index, use_gate=use_gate,
+                        index=idx, use_gate=use_gate,
                     )
                 new = udf(cur, gate) if use_gate else udf(cur)
             else:

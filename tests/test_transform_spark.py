@@ -131,7 +131,9 @@ def test_invalid_path_is_config_error(spark):
     with pytest.raises(ConfigError):
         encrypt_fields(fixture_df(spark), ["$..["])
     with pytest.raises(ConfigError):
-        encrypt_fields(fixture_df(spark), ["$.a[*].b"])  # unsupported shape
+        # nested array segments remain out of scope ($.a[*].b is supported
+        # since r4 — see the mid-path array tests below)
+        encrypt_fields(fixture_df(spark), ["$.a[*].b[*]"])
 
 
 def test_config_validation():
@@ -316,3 +318,100 @@ def test_schemaless_strict_fields_guards_unknown_keys(spark):
         strict_fields=True)
     with _pytest.raises(Exception, match="discount"):
         strict.collect()
+
+
+# ---------------------------------------------------------------------------
+# mid-path array segments ($.arr[*].field / $.arr[n].field) — the reference
+# syntax table permits positional operators anywhere (README.md:142-148) and
+# arrays-of-structs are a legal Connect shape (nested fixture
+# TransformTest.java:43-49). VERDICT r3 item 3.
+# ---------------------------------------------------------------------------
+
+ARR_STRUCT_SCHEMA = (
+    "doc_id string, arr array<struct<f:string, keep:string>>"
+)
+
+
+def arr_struct_df(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", [("hello", "k1"), ("world", "k2")]),
+            ("d2", [("x", None), None]),  # null element passthrough
+            ("d3", None),  # null array passthrough
+            ("d4", []),  # empty array passthrough
+        ],
+        ARR_STRUCT_SCHEMA,
+    )
+
+
+def _sorted_dicts(df):
+    return sorted((r.asDict(recursive=True) for r in df.collect()), key=str)
+
+
+def test_array_struct_wildcard_roundtrip(spark):
+    df = arr_struct_df(spark)
+    enc = encrypt_fields(df, ["$.arr[*].f"], key_id="cdcrypt/docs")
+    assert enc.schema == df.schema  # transform-preserving, no temp leak
+    rows = {r.doc_id: r for r in enc.collect()}
+    assert rows["d1"].arr[0].f != "hello" and len(rows["d1"].arr[0].f) > 40
+    assert rows["d1"].arr[0].keep == "k1"  # sibling field untouched
+    assert rows["d2"].arr[1] is None  # null struct element survives
+    assert rows["d3"].arr is None and rows["d4"].arr == []
+    dec = decrypt_fields(enc, ["$.arr[*].f"], key_id="cdcrypt/docs")
+    assert _sorted_dicts(dec) == _sorted_dicts(df)
+
+
+def test_array_struct_index_roundtrip(spark):
+    df = arr_struct_df(spark)
+    enc = encrypt_fields(df, ["$.arr[1].f"], key_id="cdcrypt/docs")
+    rows = {r.doc_id: r for r in enc.collect()}
+    assert rows["d1"].arr[0].f == "hello"  # element 0 untouched
+    assert rows["d1"].arr[1].f != "world"
+    assert rows["d2"].arr[1] is None  # null struct at the index stays null
+    dec = decrypt_fields(enc, ["$.arr[1].f"], key_id="cdcrypt/docs")
+    assert _sorted_dicts(dec) == _sorted_dicts(df)
+
+
+def test_array_struct_deep_suffix_and_prefix(spark):
+    # struct-wrapped array with a two-level suffix: $.top.arr[*].inner.leaf
+    df = spark.createDataFrame(
+        [("d1", (1, [(("s1",), 10), (("s2",), 20)]))],
+        "id string, top struct<n:int, "
+        "arr:array<struct<inner:struct<leaf:string>, v:int>>>",
+    )
+    enc = encrypt_fields(df, ["$.top.arr[*].inner.leaf"], key_id="k")
+    assert enc.schema == df.schema
+    e = enc.collect()[0]
+    assert e.top.arr[0].inner.leaf != "s1"
+    assert e.top.arr[0].v == 10 and e.top.n == 1  # siblings untouched
+    dec = decrypt_fields(enc, ["$.top.arr[*].inner.leaf"], key_id="k")
+    assert _sorted_dicts(dec) == _sorted_dicts(df)
+
+
+def test_array_struct_missing_suffix_skips(spark):
+    # missing optional target -> silent skip (Transform.java:99-101)
+    df = spark.createDataFrame([("d1", ["a", "b"])],
+                               "id string, arr array<string>")
+    assert encrypt_fields(df, ["$.arr[*].missing"], key_id="k").collect() \
+        == df.collect()
+
+
+def test_array_struct_gated(spark):
+    df = spark.createDataFrame(
+        [("web", [("t1", None)]), ("pdf", [("t2", None)])],
+        "src string, arr array<struct<f:string, keep:string>>",
+    )
+    enc = encrypt_fields(df, ["$.arr[*].f"], key_id="k",
+                         condition_field="$.src", condition_equals="web")
+    r = {x.src: x.arr[0].f for x in enc.collect()}
+    assert r["pdf"] == "t2" and r["web"] != "t1"
+    dec = decrypt_fields(enc, ["$.arr[*].f"], key_id="k",
+                         condition_field="$.src", condition_equals="web")
+    assert _sorted_dicts(dec) == _sorted_dicts(df)
+
+
+def test_nested_array_segments_rejected():
+    # scope boundary: one array segment per path, config-time error
+    # (Config.java:161-163 analogue)
+    with pytest.raises(ConfigError, match="array segment"):
+        FieldTransform(TransformConfig(mode="encrypt", fields=["$.a[*].b[0]"]))
