@@ -26,6 +26,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content fingerprint of a source table for the /tmp gate-artifact
+    caches: path + (file, size, mtime_ns) of every data file. Regenerating a
+    dataset at the same path changes the fingerprint, so a stale index can
+    never be silently reused (ADVICE r3 item 4). Pure os.stat — no Spark job."""
+    import hashlib
+    import os
+
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    parts = [path]
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _tp(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """Read + spread across cores. The test tables are single small parquet
     files (one row group -> ONE input partition), which would serialize the
@@ -389,7 +410,8 @@ def _q_minhash_incremental(spark, sf_dir):
         minhash_candidates_incremental)
     docs = _tp(spark, sf_dir, "documents", "doc_id")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:mh:{sorted(_MINHASH.items())}".encode()
+        f"{os.path.abspath(sf_dir)}:mh:{sorted(_MINHASH.items())}:"
+        f"{_table_fingerprint(sf_dir, 'documents')}".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"cdcrypt_mhidx_{key}")
     try:
@@ -506,8 +528,9 @@ def _emb_index_for(spark, sf_dir):
         EmbeddingLSHIndex, EmbeddingLSHIndexError, build_embedding_lsh_index)
     emb = _tp(spark, sf_dir, "embeddings", "vec_id")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:emb:{sorted(_NEARDUP_LSH.items())}"
-        .encode()).hexdigest()[:12]
+        f"{os.path.abspath(sf_dir)}:emb:{sorted(_NEARDUP_LSH.items())}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"cdcrypt_embidx_{key}")
     try:
         idx = EmbeddingLSHIndex(root)
@@ -573,7 +596,10 @@ def _q_ann_ivf_indexed(spark, sf_dir):
     # deterministic per-sf cache dir: build once, reuse across gate/bench
     # invocations (a fresh mkdtemp per call leaked a full parquet copy of
     # the embeddings table into /tmp on every run)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"cdcrypt_ivfidx_{key}")
     try:
         idx = IvfIndex(root)
@@ -598,7 +624,8 @@ def _q_ann_ivf_append(spark, sf_dir):
         ann_ivf_topk_indexed, append_to_ivf_index, build_ivf_index)
     emb = _t(spark, sf_dir, "embeddings")
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":append").encode()).hexdigest()[:12]
+        (os.path.abspath(sf_dir) + ":append:"
+         + _table_fingerprint(sf_dir, "embeddings")).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"cdcrypt_ivfapp_{key}")
     build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), root, n_centroids=8)
     idx = append_to_ivf_index(root, emb.where(F.col("vec_id") % 2 == 1))

@@ -49,9 +49,26 @@ def _sq(s: str) -> str:
 def unit_hash(col: Column | str, salt: str) -> Column:
     """Deterministic uniform [0, 1) from a column + salt: the 60-bit
     md5 hash of ``CAST(col AS STRING) || ':' || salt`` divided by 2^60.
-    NON-NULL inputs only (hash64.py's concat_ws/|| null caveat)."""
+    NON-NULL inputs only: ``concat_ws`` SKIPS nulls, so every null input
+    silently hashes to ``h60(':salt')`` and the whole null population lands
+    in ONE split/sample bucket. The split/sample operators below enforce
+    this with :func:`checked_id`; callers composing ``unit_hash`` directly
+    must guarantee non-null themselves (the oracles hash literal non-null
+    keys)."""
     c = F.col(col) if isinstance(col, str) else col
     return h60(F.concat_ws(":", c.cast("string"), F.lit(salt))) / F.lit(_SCALE)
+
+
+def checked_id(col: Column | str, what: str) -> Column:
+    """The id column cast to string, raising at EXECUTION on any NULL —
+    a null id must error loudly, not quietly collapse into one bucket
+    (``concat_ws`` null-skip). CaseWhen is lazy, so non-null rows never
+    evaluate the error branch."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), c.cast("string")).otherwise(
+        F.raise_error(F.lit(
+            f"{what}: NULL id — concat_ws would skip it and hash every "
+            "null row into one bucket; filter or fill ids first")))
 
 
 def unit_hash_sql(expr: str, salt: str) -> str:
@@ -120,8 +137,9 @@ def deterministic_split(df: DataFrame, weights: dict[str, float],
                         id_col: str = "doc_id", salt: str = "split-v1",
                         out_col: str = "split") -> DataFrame:
     """Append a reproducible split label keyed on ``id_col`` (one md5
-    per row via a hashed helper column)."""
-    return (df.withColumn("_u", unit_hash(id_col, salt))
+    per row via a hashed helper column). NULL ids raise at execution."""
+    u = unit_hash(checked_id(id_col, "deterministic_split"), salt)
+    return (df.withColumn("_u", u)
             .withColumn(out_col, split_case(F.col("_u"), weights))
             .drop("_u"))
 
@@ -136,7 +154,8 @@ def deterministic_sample(df: DataFrame, fraction: float,
     experiments want; use different salts for independent draws."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.where(unit_hash(id_col, salt) < F.lit(float(fraction)))
+    u = unit_hash(checked_id(id_col, "deterministic_sample"), salt)
+    return df.where(u < F.lit(float(fraction)))
 
 
 def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
@@ -147,7 +166,7 @@ def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
     keyed on the id ONLY, so changing one stratum's fraction never
     reshuffles another's sample (and nested-subset behavior holds
     per stratum)."""
-    u = unit_hash(id_col, salt)
+    u = unit_hash(checked_id(id_col, "stratified_sample"), salt)
     keep = F.lit(0.0)
     for value, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
@@ -178,7 +197,8 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
         docs.join(comps, id_col, "left")
         .withColumn("component",
                     F.coalesce("component", F.col(id_col)))
-        .withColumn("_u", unit_hash("component", salt))
+        .withColumn("_u", unit_hash(
+            checked_id("component", "leakage_safe_split"), salt))
         .withColumn(out_col, split_case(F.col("_u"), weights))
         .drop("_u")
     )

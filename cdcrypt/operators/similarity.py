@@ -126,12 +126,18 @@ def signature_bits(vec_col, planes: list[list[float]], cast: bool = True):
     return sig
 
 
+class BroadcastContractError(ValueError):
+    """A driver-collected broadcast side exceeds its row budget — the operator
+    would OOM the driver/executors at this scale; use the LSH variant."""
+
+
 def embedding_neardup_exact(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
@@ -144,11 +150,24 @@ def embedding_neardup_exact(
     at local[32]; this runs in well under a second.
 
     The broadcast side must fit in executor memory (same contract as any
-    broadcast join: ~1.5 GB for 3M x 128-dim float32). Beyond that, use
-    :func:`embedding_neardup_lsh` — banded LSH with no broadcast."""
+    broadcast join: ~1.5 GB for 2M x 128-dim float64 + ids). The contract is
+    ENFORCED: a corpus over ``max_rows`` raises :class:`BroadcastContractError`
+    before any collect instead of silently OOMing the driver at scale —
+    switch to :func:`embedding_neardup_lsh` (banded LSH, no broadcast), or
+    pass ``max_rows=None``/a bigger budget if the executors genuinely have
+    the memory (dim and heap known to the caller, not to this function)."""
     import numpy as np
     import pandas as pd
 
+    if max_rows is not None:
+        n = df.count()  # cheap: parquet row-count metadata / one scan of ids
+        if n > max_rows:
+            raise BroadcastContractError(
+                f"embedding_neardup_exact would collect {n} vectors to the "
+                f"driver (max_rows={max_rows}); this all-pairs variant is a "
+                "small-corpus baseline. Use embedding_neardup_lsh for "
+                "corpus-scale near-dup, or raise max_rows explicitly."
+            )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -943,6 +962,7 @@ def embedding_candidates_incremental(
     threshold: float = 0.95,
     max_bucket_size: int | None = None,
     round_digits: int = 4,
+    broadcast_max_candidates: int | None = 10_000_000,
 ) -> DataFrame:
     """Verified near-dup pairs (id_a < id_b, sim >= threshold) where AT
     LEAST ONE side is in ``new_rows`` — exactly
@@ -969,26 +989,61 @@ def embedding_candidates_incremental(
       is proportional to candidates, never the corpus. With
       ``max_bucket_size=None`` a degenerate batch colliding with a dense
       corpus cluster can make that candidate set large — cap in
-      production, as in the one-shot operator.
+      production, as in the one-shot operator. The broadcast hints are
+      CONDITIONAL: above ``broadcast_max_candidates`` estimated candidate
+      pairs (one cheap aggregate over the pruned banded longs) the vector
+      lookups fall back to shuffle joins — slow-but-finishing instead of
+      a broadcast OOM on a degenerate bucket.
     """
     idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
     new_tagged = idx._tagged_for(new_rows).localCheckpoint()
     new_vecs = new_rows.select(
         idx.meta["id_col"], idx.meta["vec_col"]).localCheckpoint()
     return _candidates_from_emblsh(spark, idx, new_tagged, new_vecs,
-                                   threshold, max_bucket_size, round_digits)
+                                   threshold, max_bucket_size, round_digits,
+                                   broadcast_max_candidates)
+
+
+def _estimate_candidates(matched: DataFrame, new_tagged: DataFrame) -> int:
+    """Exact upper bound on candidate pairs BEFORE running the verify
+    pipeline: sum over touched buckets of batch_n * (matched_n + batch_n).
+    One aggregate job over banded longs (the index side is already
+    broadcast-probe-pruned) — no vectors move. Used to decide whether the
+    candidate-proportional vector lookups can keep their broadcast hints
+    (ADVICE r3: a degenerate hot bucket makes the candidate set
+    corpus-sized, turning a slow-but-finishing job into a broadcast OOM)."""
+    bc = new_tagged.groupBy("band", "bucket").agg(F.count("*").alias("nb"))
+    mc = matched.groupBy("band", "bucket").agg(F.count("*").alias("nm"))
+    row = (bc.join(mc, ["band", "bucket"], "left")
+           .select(F.sum(F.col("nb")
+                         * (F.coalesce(F.col("nm"), F.lit(0)) + F.col("nb")))
+                   .alias("est")).first())
+    return int(row["est"] or 0)
 
 
 def _candidates_from_emblsh(spark, idx: EmbeddingLSHIndex,
                             new_tagged: DataFrame, new_vecs: DataFrame,
                             threshold: float, max_bucket_size: int | None,
-                            round_digits: int) -> DataFrame:
+                            round_digits: int,
+                            broadcast_max_candidates: int | None
+                            = 10_000_000) -> DataFrame:
     """Incremental candidate join + exact cosine verify over ALREADY-
-    MATERIALIZED batch rows (callers localCheckpoint them)."""
+    MATERIALIZED batch rows (callers localCheckpoint them).
+
+    ``broadcast_max_candidates``: above this estimated candidate count the
+    vector lookups fall back to shuffle joins instead of forced broadcasts
+    — a degenerate bucket then costs time, not an executor/driver OOM.
+    ``None`` skips the estimate job and always broadcasts (callers who
+    know their cap bounds the candidates)."""
     id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
     probe = new_tagged.select("bpart", "band", "bucket").distinct()
     matched = idx.read_tagged(spark).join(
         F.broadcast(probe), ["bpart", "band", "bucket"])
+    bcast = F.broadcast
+    if broadcast_max_candidates is not None:
+        if _estimate_candidates(matched, new_tagged) \
+                > broadcast_max_candidates:
+            bcast = lambda d: d  # noqa: E731 - AQE/SMJ path, no hint
     unioned = (
         matched.select(id_col, "band", "bucket",
                        F.lit(False).alias("is_new"))
@@ -1023,17 +1078,17 @@ def _candidates_from_emblsh(spark, idx: EmbeddingLSHIndex,
                              .alias(id_col)).distinct()
                 .select(id_col, _vpart(id_col, idx.meta["n_partitions"])))
     corpus_vecs = (idx.read_vectors(spark)
-                   .join(F.broadcast(cand_ids), ["vpart", id_col])
+                   .join(bcast(cand_ids), ["vpart", id_col])
                    .select(id_col, vec_col))
     lookup = corpus_vecs.unionByName(
         new_vecs.select(id_col, vec_col)
-        .join(F.broadcast(cand_ids.select(id_col)), id_col))
+        .join(bcast(cand_ids.select(id_col)), id_col))
     return (
         pairs
-        .join(F.broadcast(lookup.select(F.col(id_col).alias("id_a"),
-                                        F.col(vec_col).alias("va"))), "id_a")
-        .join(F.broadcast(lookup.select(F.col(id_col).alias("id_b"),
-                                        F.col(vec_col).alias("vb"))), "id_b")
+        .join(bcast(lookup.select(F.col(id_col).alias("id_a"),
+                                  F.col(vec_col).alias("va"))), "id_a")
+        .join(bcast(lookup.select(F.col(id_col).alias("id_b"),
+                                  F.col(vec_col).alias("vb"))), "id_b")
         .select("id_a", "id_b",
                 F.round(cosine_sim(_dvec(F.col("va")), _dvec(F.col("vb"))),
                         round_digits).alias("sim"))
@@ -1050,6 +1105,7 @@ def embedding_dedup_tick(
     round_digits: int = 4,
     meta_extra: dict | None = None,
     on_pairs=None,
+    broadcast_max_candidates: int | None = 10_000_000,
 ) -> DataFrame:
     """One ingest tick of streaming embedding near-dup detection:
     verified pairs for ``batch`` against everything ingested so far
@@ -1073,7 +1129,7 @@ def embedding_dedup_tick(
         idx.meta["id_col"], idx.meta["vec_col"]).localCheckpoint()
     pairs = _candidates_from_emblsh(
         spark, idx, new_tagged, new_vecs, threshold, max_bucket_size,
-        round_digits).localCheckpoint()
+        round_digits, broadcast_max_candidates).localCheckpoint()
     if on_pairs is not None:
         on_pairs(pairs)
     _append_emblsh(idx, new_tagged, idx._vectors_for(new_vecs), meta_extra)
@@ -1086,6 +1142,7 @@ def ann_lsh_topk_indexed(
     queries: DataFrame,
     k: int = 5,
     round_digits: int = 4,
+    broadcast_max_candidates: int | None = 10_000_000,
 ) -> DataFrame:
     """ANN top-k served from the persisted :class:`EmbeddingLSHIndex` —
     one artifact answers BOTH query types (near-dup ticks and similarity
@@ -1107,7 +1164,10 @@ def ann_lsh_topk_indexed(
     top-k semantics (it removes true neighbors), unlike near-dup where
     over-capped docs are collapsed upstream anyway. A degenerate bucket
     costs candidates, not correctness — same exposure as
-    :func:`ann_lsh_topk`.
+    :func:`ann_lsh_topk`. The vector-lookup broadcast hints are therefore
+    CONDITIONAL (``broadcast_max_candidates``, same estimate as the
+    incremental near-dup path): a hot bucket degrades to shuffle joins
+    instead of a broadcast OOM.
     """
     idx = (EmbeddingLSHIndex(index) if isinstance(index, str) else index)
     id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
@@ -1117,6 +1177,10 @@ def ann_lsh_topk_indexed(
     probe = qt.select("bpart", "band", "bucket").distinct()
     matched = idx.read_tagged(spark).join(
         F.broadcast(probe), ["bpart", "band", "bucket"])
+    bcast = F.broadcast
+    if broadcast_max_candidates is not None:
+        if _estimate_candidates(matched, qt) > broadcast_max_candidates:
+            bcast = lambda d: d  # noqa: E731 - AQE/SMJ path, no hint
     cands = (
         qt.select(F.col(id_col).alias("query_id"), "band", "bucket")
         .join(matched.select(F.col(id_col).alias("neighbor_id"),
@@ -1129,7 +1193,7 @@ def ann_lsh_topk_indexed(
     cand_ids = (cands.select(F.col("neighbor_id").alias(id_col)).distinct()
                 .select(id_col, _vpart(id_col, idx.meta["n_partitions"])))
     nvec = (idx.read_vectors(spark)
-            .join(F.broadcast(cand_ids), ["vpart", id_col])
+            .join(bcast(cand_ids), ["vpart", id_col])
             .select(F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("bv")))
     # the query side of the lookup is candidate-filtered too: broadcasting
@@ -1138,11 +1202,11 @@ def ann_lsh_topk_indexed(
     # near-dup incremental path guards against)
     qvec = (queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("qv"))
-            .join(F.broadcast(cands.select("query_id").distinct()),
+            .join(bcast(cands.select("query_id").distinct()),
                   "query_id"))
     sims = (
-        cands.join(F.broadcast(qvec), "query_id")
-        .join(F.broadcast(nvec), "neighbor_id")
+        cands.join(bcast(qvec), "query_id")
+        .join(bcast(nvec), "neighbor_id")
         .select("query_id", "neighbor_id",
                 F.round(cosine_sim(_dvec(F.col("qv")), _dvec(F.col("bv"))),
                         round_digits).alias("sim"))

@@ -31,9 +31,12 @@ growth. The remaining window is a crash BETWEEN the append job's commit
 and the meta write (or mid-append before the writer's job-commit rename):
 the index then holds banded rows with no watermark covering them, and the
 redelivered batch would append a second copy. That window is the price of
-a manifest-less artifact; it is single-writer-narrow, detectable
-(``appends`` > ticks covered by ``last_batch_id``), and recovery is an
-index rebuild — the same contract as the build step itself. The CDC lake
+a manifest-less artifact; it is single-writer-narrow, AUTO-DETECTED at
+stream start (:func:`check_index_covered` — the data dir's ``_SUCCESS``
+marker strictly newer than the meta JSON means a commit without its
+watermark; construction raises :class:`IndexIntegrityError` instead of
+double-appending), and recovery is an index rebuild — the same contract
+as the build step itself. The CDC lake
 (table/lake.py) closes the analogous window with epoch-keyed atomic
 commits; the LSH artifacts deliberately stay plain parquet + one meta
 JSON because their contents are derivable (rebuild == re-running the
@@ -69,9 +72,43 @@ from cdcrypt.operators.similarity import (
 from cdcrypt.streaming.structured import run_file_stream
 
 _KINDS = {
-    "minhash": (MinHashIndex, minhash_dedup_tick),
-    "embedding": (EmbeddingLSHIndex, embedding_dedup_tick),
+    # (index class, tick fn, data subdirs written before the meta JSON)
+    "minhash": (MinHashIndex, minhash_dedup_tick, ("banded",)),
+    "embedding": (EmbeddingLSHIndex, embedding_dedup_tick,
+                  ("tagged", "vectors")),
 }
+
+
+class IndexIntegrityError(RuntimeError):
+    """The index holds an append not covered by its meta watermark — a
+    crash hit the window between the append job's commit and the meta
+    write. Rebuild the index (contents are derivable) or pass
+    ``integrity_check=False`` after manual verification."""
+
+
+def check_index_covered(index_root: str, kind: str) -> None:
+    """Fail fast on the one manifest-less crash window (ADVICE r3): every
+    append/build job rewrites the data dir's ``_SUCCESS`` marker FIRST and
+    the meta JSON SECOND (same-process, strictly ordered), so in a healthy
+    index the meta file is always at least as new as every marker. A
+    ``_SUCCESS`` strictly newer than the meta means committed banded rows
+    with no watermark covering them — the redelivered batch would
+    double-append (duplicate banded rows / a second vector copy, inflating
+    cap-over-union counts). Detection is an os.stat, no Spark job."""
+    meta_name = _KINDS[kind][0].META
+    subdirs = _KINDS[kind][2]
+    meta_path = os.path.join(index_root, meta_name)
+    meta_m = os.stat(meta_path).st_mtime_ns
+    for sub in subdirs:
+        marker = os.path.join(index_root, sub, "_SUCCESS")
+        if os.path.exists(marker) and os.stat(marker).st_mtime_ns > meta_m:
+            raise IndexIntegrityError(
+                f"{index_root}/{sub} has a commit newer than {meta_name}: "
+                "an append landed without its meta watermark (crash between "
+                "the append job's commit and the meta write). Rebuild the "
+                "index before streaming against it, or pass "
+                "integrity_check=False if the state was verified manually."
+            )
 
 
 class StreamingNearDup:
@@ -95,10 +132,11 @@ class StreamingNearDup:
 
     def __init__(self, index_root: str, source_dir: str, pairs_dir: str,
                  checkpoint_dir: str, kind: str = "minhash",
-                 tick_kwargs: dict | None = None):
+                 tick_kwargs: dict | None = None,
+                 integrity_check: bool = True):
         if kind not in _KINDS:
             raise ValueError(f"kind {kind!r} must be one of {set(_KINDS)}")
-        self.index_cls, self._tick = _KINDS[kind]
+        self.index_cls, self._tick, _ = _KINDS[kind]
         self.index_root = index_root
         self.source_dir = source_dir
         self.pairs_dir = pairs_dir
@@ -106,6 +144,10 @@ class StreamingNearDup:
         self.kind = kind
         self.tick_kwargs = dict(tick_kwargs or {})
         self.index_cls(index_root)  # fail fast: must be built already
+        if integrity_check:
+            # fail fast on an uncovered append instead of double-appending
+            # the redelivered batch (see check_index_covered)
+            check_index_covered(index_root, kind)
 
     def _epoch_dir(self, batch_id: int) -> str:
         return os.path.join(self.pairs_dir, f"epoch={int(batch_id)}")

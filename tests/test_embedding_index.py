@@ -245,3 +245,34 @@ def test_streamed_ticks_equal_one_shot_pipeline(spark, root):
     want = _pairs(embedding_neardup_lsh(emb, threshold=0.98))
     assert got == want
     assert EmbeddingLSHIndex(root).meta["appends"] == 3
+
+
+def test_conditional_broadcast_falls_back_above_candidate_budget(spark, root):
+    """ADVICE r3: the candidate-proportional vector lookups must not FORCE
+    broadcast when the estimated candidate count is huge — a degenerate hot
+    bucket then degrades to shuffle joins instead of a broadcast OOM. With
+    a zero budget the fallback engages and results are identical."""
+    from cdcrypt.operators.similarity import ann_lsh_topk_indexed
+    emb = _corpus(spark)
+    build_embedding_lsh_index(emb.where("vec_id % 2 = 0"), root)
+    batch = emb.where("vec_id % 2 = 1")
+
+    inc = embedding_candidates_incremental(spark, root, batch,
+                                           threshold=0.98)
+    fb = embedding_candidates_incremental(spark, root, batch,
+                                          threshold=0.98,
+                                          broadcast_max_candidates=0)
+    assert _pairs(fb) == _pairs(inc)
+    # and the ANN query type over the same artifact
+    q = emb.where("vec_id < 5")
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+         for r in ann_lsh_topk_indexed(spark, root, q, k=3).collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+         for r in ann_lsh_topk_indexed(spark, root, q, k=3,
+                                       broadcast_max_candidates=0).collect()}
+    assert a == b
+    # opting out of the estimate job entirely keeps the broadcast hints
+    off = embedding_candidates_incremental(spark, root, batch,
+                                           threshold=0.98,
+                                           broadcast_max_candidates=None)
+    assert _pairs(off) == _pairs(inc)

@@ -117,3 +117,28 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
                  if i % 30 in (0, 1, 2)}
     assert all(split == plain[i] for i, (comp, split) in rows.items()
                if i not in clustered)
+
+
+def test_null_id_raises_instead_of_single_bucket(spark):
+    # ADVICE r3: concat_ws SKIPS nulls, so a null id would silently hash to
+    # h60(':salt') and pile the whole null population into one bucket. The
+    # operators now raise at execution instead.
+    import pytest
+    from cdcrypt.functions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL id"):
+        deterministic_split(docs, WEIGHTS).collect()
+    with pytest.raises(Exception, match="NULL id"):
+        deterministic_sample(docs, 0.5).collect()
+    with pytest.raises(Exception, match="NULL id"):
+        stratified_sample(docs, {"b": 1.0}, "text").collect()
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(Exception, match="NULL id"):
+        leakage_safe_split(docs, pairs, WEIGHTS).collect()
+    # non-null inputs are untouched by the guard
+    clean = docs.where("doc_id IS NOT NULL")
+    assert deterministic_split(clean, WEIGHTS).count() == 2

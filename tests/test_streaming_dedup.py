@@ -172,3 +172,32 @@ def test_unbuilt_index_fails_fast(tmp_path):
     with pytest.raises(ValueError):
         StreamingNearDup(str(tmp_path / "nope"), "s", "p", "c",
                          kind="bogus")
+
+
+def test_uncovered_append_fails_fast(spark, dirs):
+    # ADVICE r3: a crash between the append job's commit and the meta write
+    # leaves banded rows with no watermark — stream start must detect it
+    # (data-dir _SUCCESS newer than the meta JSON) instead of relying on
+    # operators reading the docstring and then double-appending.
+    import time
+
+    from cdcrypt.operators.docdedup import build_minhash_index
+    from cdcrypt.streaming.dedup import IndexIntegrityError
+    rows = _docs(n=30)
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    _write_epochs(dirs["src"], rows, 2, ["doc_id", "text"], DOC_ARROW)
+    build_minhash_index(docs, dirs["idx"])
+
+    # healthy index: constructor passes (meta written after data)
+    StreamingNearDup(dirs["idx"], dirs["src"], dirs["pairs"], dirs["ckpt"],
+                     kind="minhash")
+
+    # simulate the torn append: data commit marker newer than the meta
+    time.sleep(0.01)
+    os.utime(os.path.join(dirs["idx"], "banded", "_SUCCESS"))
+    with pytest.raises(IndexIntegrityError, match="Rebuild"):
+        StreamingNearDup(dirs["idx"], dirs["src"], dirs["pairs"],
+                         dirs["ckpt"], kind="minhash")
+    # manual override for verified state
+    StreamingNearDup(dirs["idx"], dirs["src"], dirs["pairs"], dirs["ckpt"],
+                     kind="minhash", integrity_check=False)
