@@ -125,6 +125,76 @@ def _write_bucketed(
     return entries, total
 
 
+def _cow_merged(current: DataFrame, batch: DataFrame, key_cols: list[str],
+                tcols: list[str], use_broadcast: bool) -> DataFrame:
+    """The CoW MERGE dataflow: apply I/U/D from ``batch`` over ``current``
+    with the per-row ``op_seq`` stale-guard (a batch row at or below the
+    live row's op_seq is a late duplicate and is ignored).
+
+    ``use_broadcast=False``: one ``full_outer`` sort-merge join — both sides
+    shuffle+sort on the key. Correct at any batch size.
+
+    ``use_broadcast=True`` (small batch): Spark cannot broadcast a
+    ``full_outer`` join (the hint is silently ignored and falls back to
+    SMJ — verified on 4.1), so the same semantics are decomposed into
+    broadcast-able pieces, none of which shuffles ``current``:
+
+    - updates/deletes: ``current LEFT JOIN broadcast(batch)`` — one
+      BroadcastHashJoin pass over the full-width scan;
+    - inserts: batch keys that matched nothing. The matched-key set comes
+      from a key-column-only ``LEFT SEMI`` pass over ``current`` (column
+      pruning makes this scan a fraction of the data pass), output is at
+      most |batch| rows, and the final anti-join broadcasts it back
+      against the batch.
+
+    At 100 TB the SMJ form shuffles the dirty buckets TWICE (join hash +
+    write bucketing); the broadcast form shuffles only the merged output
+    for the bucketed write."""
+    data_cols = [c for c in tcols if c not in key_cols]
+    t_seq, b_seq = F.col("t.op_seq"), F.col("b.op_seq")
+    take_batch = F.col("b.op").isNotNull() & (t_seq.isNull() | (b_seq > t_seq))
+    is_delete = take_batch & (F.col("b.op") == "D")
+    merge_cols = [
+        F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in data_cols
+    ]
+    if not use_broadcast:
+        j = current.alias("t").join(batch.alias("b"), key_cols, "full_outer")
+        return j.where(~is_delete).select(*key_cols, *merge_cols)
+    upd = (
+        current.alias("t")
+        .join(F.broadcast(batch).alias("b"), key_cols, "left")
+        .where(~F.coalesce(is_delete, F.lit(False)))
+        .select(*key_cols, *merge_cols)
+    )
+    matched = (current.select(*key_cols)
+               .join(F.broadcast(batch.select(*key_cols)), key_cols,
+                     "left_semi"))
+    ins = (
+        batch.alias("b")
+        .join(F.broadcast(matched), key_cols, "left_anti")
+        .where(F.col("b.op") != "D")
+        .select(*key_cols, *[F.col(f"b.{c}").alias(c) for c in data_cols])
+    )
+    return upd.unionByName(ins)
+
+
+def _cached_bytes(df: DataFrame) -> int | None:
+    """Size of an already-persisted-and-materialized DataFrame from the
+    cached relation's statistics (accurate, no extra job)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - stats are an optimization only
+        return None
+
+
+# a resolved micro-batch under this many cached bytes joins via the
+# broadcast decomposition; above it, SMJ. Sized like a generous
+# autoBroadcastJoinThreshold: the batch ships once per executor.
+BROADCAST_BATCH_BYTES = 64 << 20
+
+
 def merge_upsert(
     spark: SparkSession,
     table: LakeTable,
@@ -134,6 +204,7 @@ def merge_upsert(
     mode: str = "cow",
     compact_threshold: int = 8,
     assume_bucketed: bool = False,
+    broadcast_threshold_bytes: int = BROADCAST_BATCH_BYTES,
 ) -> dict:
     """Apply one resolved micro-batch; returns lineage metrics.
 
@@ -143,6 +214,12 @@ def merge_upsert(
     ``assume_bucketed``: caller guarantees ``resolved`` is already
     repartition(B, conv_id)-clustered — the MoR delta write then adds no
     shuffle.
+    ``broadcast``: CoW join strategy — ``True`` forces the broadcast
+    decomposition, ``False`` forces the full_outer SMJ, ``None`` (default)
+    AUTO-selects by the persisted batch size vs
+    ``broadcast_threshold_bytes`` (the ingest path runs with AQE off, so
+    nothing else converts the join at runtime; VERDICT r3 item 7). The
+    chosen strategy is recorded in lineage ``join``.
     """
     if epoch <= table.committed_epoch:
         return {"epoch": epoch, "skipped": True,
@@ -164,19 +241,14 @@ def merge_upsert(
     current = table.read(spark, buckets=dirty)
     current = current.select(*_cast_to(current.columns, target))
 
-    b = F.broadcast(batch) if broadcast else batch
-    j = current.alias("t").join(b.alias("b"), key_cols, "full_outer")
-
-    t_seq, b_seq = F.col("t.op_seq"), F.col("b.op_seq")
-    take_batch = F.col("b.op").isNotNull() & (t_seq.isNull() | (b_seq > t_seq))
-    is_delete = take_batch & (F.col("b.op") == "D")
-
-    data_cols = [c for c in tcols if c not in key_cols]
-    merged = j.where(~is_delete).select(
-        *key_cols,
-        *[F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-          for c in data_cols],
-    )
+    if broadcast is None:
+        # the dirty-bucket collect above materialized the persisted batch,
+        # so cached stats are exact
+        sz = _cached_bytes(batch)
+        use_broadcast = sz is not None and sz <= broadcast_threshold_bytes
+    else:
+        use_broadcast = bool(broadcast)
+    merged = _cow_merged(current, batch, key_cols, tcols, use_broadcast)
 
     next_version = table.version + 1
     staging = os.path.join(table.root, "data", f"v{next_version}")
@@ -190,6 +262,7 @@ def merge_upsert(
     lineage = {
         "epoch": epoch,
         "mode": "cow",
+        "join": "broadcast" if use_broadcast else "smj",
         "batch_rows": batch_rows,
         "dirty_buckets": sorted(int(x) for x in dirty),
         "rows_written": int(new_rows),
