@@ -375,17 +375,9 @@ def _kmeanspp_seed(X: "np.ndarray", n_centroids: int, rng) -> "np.ndarray":
     return cents
 
 
-def _train_centroids(train: DataFrame, n_centroids: int, vec_col: str,
-                     seed: int, max_train: int = 262144,
-                     n_iter: int = 20) -> list[list[float]]:
-    """Coarse-quantizer k-means trained DRIVER-SIDE on a bounded sample —
-    the standard IVF recipe (Faiss trains its quantizer on ~256k sampled
-    vectors regardless of corpus size). ``limit(max_train)`` bounds the
-    collect at ~128 MB for 128-dim float64, so this is NOT a
-    whole-table-to-driver collect; only centroid *assignment* touches the
-    full table, distributed (:func:`_assign_cells`). Seeded kmeans++ init +
-    vectorized Lloyd's — deterministic, no pyspark.ml dependency (whose
-    per-iteration jobs cost ~2s of fixed driver latency at bench scale)."""
+def _train_sample(train: DataFrame, vec_col: str,
+                  max_train: int = 262144) -> "np.ndarray":
+    """Driver-side bounded training sample (~128 MB for 128-dim float64)."""
     import numpy as np
 
     rows = train.select(vec_col).limit(max_train).collect()
@@ -394,7 +386,14 @@ def _train_centroids(train: DataFrame, n_centroids: int, vec_col: str,
         raise ClientErrorException(
             "IVF quantizer training sample is empty (empty base table or "
             "sample_fraction too small)")
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _kmeans_fit(X: "np.ndarray", n_centroids: int, seed: int,
+                n_iter: int = 20) -> list[list[float]]:
+    """Seeded kmeans++ init + vectorized Lloyd's over a driver-side matrix."""
+    import numpy as np
+
     rng = np.random.default_rng(seed)
     C = _kmeanspp_seed(X, n_centroids, rng)
     for _ in range(n_iter):
@@ -409,6 +408,33 @@ def _train_centroids(train: DataFrame, n_centroids: int, vec_col: str,
             break
         C = newC
     return [list(map(float, c)) for c in C]
+
+
+def _quantization_error(X: "np.ndarray", cents: list[list[float]]) -> float:
+    """Mean nearest-centroid squared L2 distance — the quantizer-health
+    number the IVF drift probe compares across time."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    d2 = np.maximum(
+        (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :],
+        0.0)
+    return float(d2.min(axis=1).mean())
+
+
+def _train_centroids(train: DataFrame, n_centroids: int, vec_col: str,
+                     seed: int, max_train: int = 262144,
+                     n_iter: int = 20) -> list[list[float]]:
+    """Coarse-quantizer k-means trained DRIVER-SIDE on a bounded sample —
+    the standard IVF recipe (Faiss trains its quantizer on ~256k sampled
+    vectors regardless of corpus size). ``limit(max_train)`` bounds the
+    collect at ~128 MB for 128-dim float64, so this is NOT a
+    whole-table-to-driver collect; only centroid *assignment* touches the
+    full table, distributed (:func:`_assign_cells`). Seeded kmeans++ init +
+    vectorized Lloyd's — deterministic, no pyspark.ml dependency (whose
+    per-iteration jobs cost ~2s of fixed driver latency at bench scale)."""
+    return _kmeans_fit(_train_sample(train, vec_col, max_train),
+                       n_centroids, seed, n_iter)
 
 
 def _assign_cells(df: DataFrame, cents: list[list[float]], n: int,
@@ -573,7 +599,8 @@ def build_ivf_index(
 
     train = base if sample_fraction >= 1.0 else base.sample(
         fraction=sample_fraction, seed=seed)
-    cents = _train_centroids(train, n_centroids, vec_col, seed)
+    X = _train_sample(train, vec_col)
+    cents = _kmeans_fit(X, n_centroids, seed)
     assigned = (
         _assign_cells(base.select(id_col, vec_col), cents, 1, vec_col)
         .withColumn("cell", F.col("cells")[0]).drop("cells")
@@ -589,6 +616,9 @@ def build_ivf_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "centroids": cents,
+        # quantizer-health baseline for the drift probe (ivf_drift):
+        # mean nearest-centroid squared distance over the training sample
+        "train_err": _quantization_error(X, cents),
     }
     tmp = os.path.join(root, f".{IvfIndex.META}.tmp")
     with open(tmp, "w") as f:
@@ -632,6 +662,104 @@ def append_to_ivf_index(index: "IvfIndex | str",
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(idx.root, IvfIndex.META))
+    return IvfIndex(idx.root)
+
+
+def ivf_drift(spark, index: "IvfIndex | str", max_sample: int = 65536,
+              seed: int = 0) -> dict:
+    """Measured quantizer-drift probe (VERDICT r3 item 5): how well do the
+    STORED centroids still describe the CURRENT contents?
+
+    Compares the mean nearest-centroid squared distance of a bounded
+    uniform sample of the cells layout against the ``train_err`` baseline
+    recorded at build/rebuild time. Appended data drawn from the training
+    distribution keeps ``drift_ratio`` ~1; drifted appends sit far from
+    every centroid, push the ratio up, and (because they pile into few
+    cells) hurt pruned-probe recall. Returns::
+
+        {appends, train_err, current_err, drift_ratio, sampled_rows}
+
+    Policy lever, not policy: callers compare ``drift_ratio`` (and
+    ``appends``) against their own thresholds to schedule
+    :func:`rebuild_ivf_index` — the same shape as compaction thresholds.
+    Cost: one count (parquet metadata) + one bounded sample collect."""
+    idx = IvfIndex(index) if isinstance(index, str) else index
+    vec_col = idx.meta["vec_col"]
+    cells = idx.read_cells(spark).select(vec_col)
+    n = cells.count()
+    if n == 0:
+        raise IvfIndexError(f"IVF index {idx.root} has no cells content")
+    # uniform sample (limit alone would bias toward low cell ids — exactly
+    # where drifted appends are NOT)
+    frac = min(1.0, (max_sample * 1.2) / n)
+    sampled = cells if frac >= 1.0 else cells.sample(fraction=frac, seed=seed)
+    X = _train_sample(sampled, vec_col, max_train=max_sample)
+    cur = _quantization_error(X, idx.centroids)
+    base = idx.meta.get("train_err")
+    return {
+        "appends": int(idx.meta.get("appends", 0)),
+        "train_err": base,
+        "current_err": cur,
+        "drift_ratio": (cur / base) if base else None,
+        "sampled_rows": int(len(X)),
+    }
+
+
+def rebuild_ivf_index(spark, index: "IvfIndex | str",
+                      n_centroids: int | None = None,
+                      seed: int | None = None,
+                      sample_fraction: float = 1.0) -> IvfIndex:
+    """Retrain the quantizer on the index's CURRENT contents and rewrite
+    the inverted lists in place — the recovery action when
+    :func:`ivf_drift` reports degraded centroids after heavy appends.
+
+    The new cells layout is written to a staging dir while the old one is
+    still being read (Spark cannot overwrite its own input), then swapped
+    in with two directory renames; the meta (new centroids, fresh
+    ``train_err`` baseline, ``appends`` reset, ``rebuilds`` bumped) is
+    replaced last. Crash windows leave either the old intact layout or
+    the staging dir — same manifest-less single-writer contract as build.
+    Cost: one training-sample collect + ONE assignment pass over the
+    contents, O(corpus) — which is why drift is measured and rebuilds
+    scheduled, not done per tick."""
+    import json
+    import os
+    import shutil
+
+    idx = IvfIndex(index) if isinstance(index, str) else index
+    id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
+    k = n_centroids or idx.meta["n_centroids"]
+    sd = idx.meta["seed"] if seed is None else seed
+    base = idx.read_cells(spark).select(id_col, vec_col)
+    train = base if sample_fraction >= 1.0 else base.sample(
+        fraction=sample_fraction, seed=sd)
+    X = _train_sample(train, vec_col)
+    cents = _kmeans_fit(X, k, sd)
+    assigned = (
+        _assign_cells(base, cents, 1, vec_col)
+        .withColumn("cell", F.col("cells")[0]).drop("cells")
+    )
+    staging = os.path.join(idx.root, "cells_rebuild")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    live = os.path.join(idx.root, "cells")
+    old = os.path.join(idx.root, ".cells_replaced")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(staging, live)
+    meta = dict(idx.meta)
+    meta.update({
+        "n_centroids": len(cents),
+        "seed": sd,
+        "centroids": cents,
+        "train_err": _quantization_error(X, cents),
+        "appends": 0,
+        "rebuilds": int(idx.meta.get("rebuilds", 0)) + 1,
+    })
+    tmp = os.path.join(idx.root, f".{IvfIndex.META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(idx.root, IvfIndex.META))
+    shutil.rmtree(old, ignore_errors=True)
     return IvfIndex(idx.root)
 
 

@@ -700,3 +700,98 @@ def test_ivf_index_append_grows_without_retrain(spark, tmp_path):
     qn = emb.where("vec_id = 41")
     assert key(ann_ivf_topk_indexed(spark, idx2, qn, k=3, n_probe=4)) == \
         key(cosine_topk(emb, qn, k=3))
+
+
+def test_ivf_drift_detected_and_rebuild_restores_recall(spark, tmp_path):
+    """VERDICT r3 item 5: meta['appends'] counted growth but nothing acted
+    on it. ivf_drift must DETECT quantizer staleness after heavy drifted
+    appends (quantization error vs the recorded train_err baseline), and
+    rebuild_ivf_index must restore pruned-probe recall in place.
+
+    Planted geometry (fully deterministic, no tie-break flakiness): the
+    original corpus clusters on the 4 axis directions, so the stale
+    centroids are ~the axes and cell assignment is ~argmax coordinate.
+    Each appended region i lives far away (offset 120*e_{4+i}) and holds
+    two coordinate-PERMUTATION lumps: pattern (63,61,59,57) lands in
+    stale cell 0 and probes cells {0,1}; its reversed twin (57,59,61,63)
+    lands in cell 3 — cosine between the lumps is ~0.9986, so a query's
+    exact top-5 includes 3 twin-lump members that n_probe=2 structurally
+    can never reach before a rebuild. After retraining, every region's
+    cells are its own nearest centroids, so the same probes cover them
+    even if kmeans incidentally splits a region."""
+    import numpy as np
+    from cdcrypt.operators.similarity import (
+        IvfIndex,
+        ann_ivf_topk_indexed,
+        append_to_ivf_index,
+        build_ivf_index,
+        cosine_topk,
+        ivf_drift,
+        rebuild_ivf_index,
+    )
+    rng = np.random.default_rng(5)
+    dim = 8
+
+    orig = []
+    for c in range(4):
+        e = np.zeros(dim)
+        e[c] = 1.0
+        for j in range(12):
+            v = e + rng.standard_normal(dim) * 0.05
+            orig.append((1000 * c + j, [float(x) for x in v]))
+
+    pat = np.array([130.0, 110.0, 90.0, 70.0])
+    drifted = []
+    for i in range(4):
+        u = np.zeros(dim)
+        u[4 + i] = 240.0  # separates region i from the other regions
+        for side, p4 in ((0, pat), (1, pat[::-1])):
+            center = u.copy()
+            center[:4] = p4
+            for j in range(3):
+                # sigma 0.3 never flips the coordinate ordering (gaps = 20)
+                v = center + rng.standard_normal(dim) * 0.3
+                drifted.append((10000 + 1000 * i + 100 * side + j,
+                                [float(x) for x in v]))
+
+    schema = "vec_id long, embedding array<double>"
+    root = str(tmp_path / "ivf")
+    idx = build_ivf_index(spark.createDataFrame(orig, schema), root,
+                          n_centroids=4, seed=42)
+    assert idx.meta["train_err"] > 0
+
+    idx = append_to_ivf_index(idx, spark.createDataFrame(drifted, schema))
+    d = ivf_drift(spark, idx)
+    assert d["appends"] == 1
+    assert d["drift_ratio"] > 10  # drifted mass sits far from every centroid
+
+    # queries: one v-side member per region
+    q_ids = [10000 + 1000 * i for i in range(4)]
+    q = spark.createDataFrame([r for r in drifted if r[0] in q_ids], schema)
+    union = spark.createDataFrame(orig + drifted, schema)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(union, q, k=5).collect()}
+
+    def recall(index):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ann_ivf_topk_indexed(spark, index, q, k=5,
+                                             n_probe=2).collect()}
+        return len(got & exact) / len(exact)
+
+    r_before = recall(idx)
+    idx2 = rebuild_ivf_index(spark, idx, n_centroids=8)
+    r_after = recall(idx2)
+    assert r_before <= 0.5   # 3 of 5 true neighbors sit in an unprobed cell
+    assert r_after > 0.95    # retrained centroids restore pruned recall
+    d2 = ivf_drift(spark, idx2)
+    assert d2["appends"] == 0 and d2["drift_ratio"] < 2
+    assert idx2.meta["rebuilds"] == 1
+    # contents identical: full probe over the rebuilt index == exact
+    full = {(r.query_id, r.neighbor_id, r.sim)
+            for r in ann_ivf_topk_indexed(spark, idx2, q, k=5,
+                                          n_probe=8).collect()}
+    want = {(r.query_id, r.neighbor_id, r.sim)
+            for r in cosine_topk(union, q, k=5).collect()}
+    assert full == want
+    # reopen from disk: meta swap was atomic and complete
+    assert IvfIndex(root).meta["train_err"] == idx2.meta["train_err"]
