@@ -758,6 +758,53 @@ def _q_corpus_curation(spark, sf_dir):
         salt=_SPLIT_SALT)
 
 
+def _q_curation_incremental(spark, sf_dir):
+    # streaming incremental curation (VERDICT r3 item 4): the same capstone
+    # composition maintained PER INGEST TICK as CDC upserts into a curated
+    # lake table — two ticks over halves of the corpus, then one read.
+    # Components update via star-edge union-find over the minhash index's
+    # O(batch) pair queries; per-doc stats are computed once on arrival.
+    # Uncapped (tick-time caps are as-of caps), so the oracle is the
+    # cap-free one-shot curation SQL — incremental == one-shot == DuckDB.
+    import hashlib
+    import os
+    import tempfile
+
+    from cdcrypt.operators.docdedup import build_minhash_index
+    from cdcrypt.streaming.curation import StreamingCuration
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":scur:"
+         + _table_fingerprint(sf_dir, "documents")).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"cdcrypt_scur_{key}")
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    try:
+        out = LakeTable(os.path.join(base, "out"))
+        if out.committed_epoch < 1:  # torn build from a crashed run
+            raise LakeTableNotFound(base)
+    except LakeTableNotFound:
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        build_minhash_index(
+            docs.where("doc_id < 0"), os.path.join(base, "idx"),
+            num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+            shingle_k=_MINHASH["shingle_k"])
+        sc = StreamingCuration(
+            os.path.join(base, "idx"), os.path.join(base, "state"),
+            os.path.join(base, "out"), _SPLIT_WEIGHTS,
+            min_quality=_CURATE["min_quality"], langs=_CURATE["langs"],
+            salt=_SPLIT_SALT, max_bucket_size=None)
+        for e in range(2):
+            sc.apply_batch(docs.where(F.col("doc_id") % 2 == e), e)
+    sc = StreamingCuration(
+        os.path.join(base, "idx"), os.path.join(base, "state"),
+        os.path.join(base, "out"), _SPLIT_WEIGHTS,
+        min_quality=_CURATE["min_quality"], langs=_CURATE["langs"],
+        salt=_SPLIT_SALT, max_bucket_size=None)
+    return sc.read_curated(spark)
+
+
 def _q_multimodal_features(spark, sf_dir):
     # real struct-parsed header probes (PNG IHDR, WAV RIFF/fmt/data, MP4 box
     # walk) over synthesized-but-valid container bytes; the oracle derives
@@ -812,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "split_leakage_safe": _q_split_leakage_safe,
         "corpus_curation": _q_corpus_curation,
+        "curation_incremental": _q_curation_incremental,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -830,14 +878,19 @@ _WORDS_SQL = ("regexp_split_to_array(regexp_replace(trim(lower(text)), "
               "'\\s+', ' ', 'g'), ' ')")
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(cap: "int | None" = -1) -> str:
     """CTEs shared by minhash_lsh_pairs / ngram_jaccard: words -> distinct
-    shingle hashes -> 32 minhashes -> 16 band hashes -> hot-bucket cap."""
+    shingle hashes -> 32 minhashes -> 16 band hashes -> hot-bucket cap.
+    ``cap=None`` emits the uncapped pipeline (banded = banded_all) for the
+    gates whose Spark side runs uncapped (tick-time caps are as-of caps,
+    so the incremental-curation gate compares cap-free)."""
     from cdcrypt.functions.hash64 import h60_combine_sql, h60_sql
     from cdcrypt.operators.docdedup import mh_member_consts
 
     nh, bands = _MINHASH["num_hashes"], _MINHASH["bands"]
-    k, cap = _MINHASH["shingle_k"], _MINHASH["max_bucket_size"]
+    k = _MINHASH["shingle_k"]
+    if cap == -1:
+        cap = _MINHASH["max_bucket_size"]
     rpb = nh // bands
     sh_expr = h60_sql(f"array_to_string(ws[i:i+{k - 1}], ' ')")
     single = h60_sql("array_to_string(ws, ' ')")
@@ -871,14 +924,20 @@ def _minhash_cte() -> str:
              {mins}
              FROM ex GROUP BY doc_id),
         banded_all AS ({band_selects}),
-        hot AS (SELECT band, bhash FROM banded_all
+        {_cap_ctes(cap)}
+    """
+
+
+def _cap_ctes(cap: "int | None") -> str:
+    if cap is None:
+        return "banded AS (SELECT * FROM banded_all)"
+    return f"""hot AS (SELECT band, bhash FROM banded_all
                 GROUP BY band, bhash HAVING count(*) > {cap}),
         banded AS (
           SELECT ba.* FROM banded_all ba
           LEFT JOIN hot h ON h.band = ba.band AND h.bhash = ba.bhash
           WHERE h.band IS NULL
-        )
-    """
+        )"""
 
 
 def _minhash_pairs_sql() -> str:
@@ -1004,9 +1063,9 @@ def _split_leakage_safe_sql() -> str:
     """
 
 
-def _corpus_curation_sql() -> str:
+def _corpus_curation_sql(cap: "int | None" = -1) -> str:
     from cdcrypt.functions.sampling import split_case_sql, unit_hash_sql
-    cte = _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    cte = _minhash_cte(cap).replace("WITH ", "WITH RECURSIVE ", 1)
     mq, lang = _CURATE["min_quality"], _CURATE["langs"][0]
     return cte + _survivors_cte() + f"""
         , scored AS (
@@ -1455,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dataset_split_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "corpus_curation": _corpus_curation_sql(),
+        "curation_incremental": _corpus_curation_sql(cap=None),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),
         "dedup_near": _dedup_near_sql(),

@@ -197,7 +197,8 @@ def main() -> None:
         # path a production deployment pays per batch — the one-time build
         # cost is reported by the artifact tests, not the query bench
         for name in ("ann_ivf_indexed", "minhash_incremental",
-                     "embedding_incremental"):
+                     "embedding_incremental", "curation_incremental",
+                     "cdc_merge_mor_read"):
             try:
                 qdict[name](spark, sf_dir).count()
             except Exception:  # noqa: BLE001 - warmup is best-effort

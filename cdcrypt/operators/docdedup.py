@@ -767,7 +767,8 @@ def _append_banded(idx: MinHashIndex, banded: DataFrame,
 
 
 def append_to_minhash_index(index: "MinHashIndex | str",
-                            new_docs: DataFrame) -> MinHashIndex:
+                            new_docs: DataFrame,
+                            meta_extra: dict | None = None) -> MinHashIndex:
     """Grow the index by one ingest batch: signature pass over the NEW
     docs only, files appended into the bpart layout — existing banded
     files untouched. O(batch) per tick; single-writer, like build.
@@ -779,9 +780,12 @@ def append_to_minhash_index(index: "MinHashIndex | str",
     docs should be collapsed upstream (exact dedup / LWW resolution
     gives exactly this) or handled by rebuilding; the index itself has
     no dedup-on-read, by design (it would cost a corpus-wide distinct
-    per query)."""
+    per query).
+
+    ``meta_extra`` merges into the meta JSON atomically with the append
+    counter (the streaming-watermark contract — see ``_append_banded``)."""
     idx = MinHashIndex(index) if isinstance(index, str) else index
-    return _append_banded(idx, idx._banded_for(new_docs))
+    return _append_banded(idx, idx._banded_for(new_docs), meta_extra)
 
 
 def minhash_candidates_incremental(
