@@ -42,6 +42,11 @@ SPECS = {
     "sf0.001": GenSpec(n_convs=200, avg_turns=6, n_epochs=4),
     "sf0.01": GenSpec(n_convs=2000, avg_turns=12, n_epochs=6),
     "sf0.1": GenSpec(n_convs=60000, avg_turns=35, n_epochs=3, text_repeat=6),
+    # 10x the bench stream (~33M events), same adversarial properties and
+    # epoch count — per-epoch micro-batches grow 10x, which is the scale
+    # validation point (VERDICT r3 item 1); generate the tables with
+    # tools/gen_sf.py --sf 1.0 --out <dir>/sf1
+    "sf1": GenSpec(n_convs=600000, avg_turns=35, n_epochs=3, text_repeat=6),
 }
 
 

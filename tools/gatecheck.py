@@ -99,11 +99,14 @@ def main() -> None:
             results[name] = {"err": f"spark error: {e}"}
             print(f"{name}: SPARK ERROR {e}")
             continue
+        t_spark = round(time.monotonic() - t0, 2)
         sql = oracles.get(name)
         if sql is None:
-            results[name] = {"spark_rows": len(sdf), "err": "no_oracle"}
+            results[name] = {"spark_rows": len(sdf), "err": "no_oracle",
+                             "spark_sec": t_spark}
             print(f"{name}: NO ORACLE ({len(sdf)} rows, {time.monotonic()-t0:.1f}s)")
             continue
+        t1 = time.monotonic()
         try:
             odf = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
@@ -111,6 +114,8 @@ def main() -> None:
             print(f"{name}: ORACLE ERROR {e}")
             continue
         r = compare(sdf, odf)
+        r["spark_sec"] = t_spark
+        r["oracle_sec"] = round(time.monotonic() - t1, 2)
         results[name] = r
         ok = r["rows_match"] and r["schema_match"] and r["hash_match"]
         print(f"{name}: {'OK' if ok else 'FAIL'} "
@@ -120,7 +125,7 @@ def main() -> None:
     n_ok = sum(1 for r in results.values()
                if r.get("hash_match") and r.get("rows_match"))
     print(f"\n{n_ok}/{len(results)} fully green")
-    with open("/tmp/gatecheck.json", "w") as f:
+    with open(os.environ.get("GATECHECK_OUT", "/tmp/gatecheck.json"), "w") as f:
         json.dump({k: {kk: vv for kk, vv in v.items() if kk != "err"}
                    for k, v in results.items()}, f, indent=1, default=str)
 
