@@ -230,22 +230,25 @@ def write_epoch_files(cols: dict, out_dir: str, shuffle_seed: int = 7,
         idx = np.flatnonzero(m)
         rng.shuffle(idx)  # out-of-order op_seq within the epoch
         fields = base_fields + (["model"] if e >= evolve_epoch else [])
-        arrays = []
-        for f in fields:
-            v = cols[f][idx]
-            if f == "ts":
-                arrays.append(pa.array(v, type=pa.timestamp("us")))
-            elif f == "turn_idx":
-                arrays.append(pa.array(v, type=pa.int32()))
-            elif f in ("op_seq", "epoch"):
-                arrays.append(pa.array(v, type=pa.int64()))
-            else:
-                arrays.append(pa.array(v, type=pa.string()))
-        tbl = pa.table(dict(zip(fields, arrays)))
-        chunks = np.array_split(np.arange(len(idx)), files_per_epoch)
+        # build arrays PER FILE CHUNK, not per epoch: a 10x-scale epoch's
+        # text column exceeds pyarrow's int32 string offsets (~2 GB) as one
+        # array ("offset overflow while concatenating arrays"); chunked
+        # construction also skips the epoch-wide take()
+        chunks = np.array_split(idx, files_per_epoch)
         for fi, ch in enumerate(chunks):
+            arrays = []
+            for f in fields:
+                v = cols[f][ch]
+                if f == "ts":
+                    arrays.append(pa.array(v, type=pa.timestamp("us")))
+                elif f == "turn_idx":
+                    arrays.append(pa.array(v, type=pa.int32()))
+                elif f in ("op_seq", "epoch"):
+                    arrays.append(pa.array(v, type=pa.int64()))
+                else:
+                    arrays.append(pa.array(v, type=pa.string()))
+            part = pa.table(dict(zip(fields, arrays)))
             stem = os.path.join(out_dir, f"epoch={int(e):06d}.part{fi:03d}")
-            part = tbl.take(pa.array(ch))
             if fmt == "parquet":
                 p = stem + ".parquet"
                 pq.write_table(part, p, compression="snappy")
