@@ -135,13 +135,18 @@ def ensure_stream() -> tuple[str, int]:
     sys.path.insert(0, REPO)
     from cdcrypt.sources.changegen import GenSpec, generate_to_dir
     n_epochs = int(os.environ.get("CDCRYPT_SCALING_EPOCHS", "6"))
-    stream = os.path.join(BENCH_DIR, f"stream_sf0.2_e{n_epochs}")
+    # stream size knob: bigger per-epoch batches amortize the serial driver
+    # fraction (plan + commit + checkpoint) that otherwise caps measurable
+    # efficiency — the 10^10-event design point has batches 100x larger
+    # still, so bigger is MORE scale-faithful, not a bench trick
+    n_convs = int(os.environ.get("CDCRYPT_SCALING_CONVS", "120000"))
+    stream = os.path.join(BENCH_DIR, f"stream_c{n_convs}_e{n_epochs}")
     marker = os.path.join(stream, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(BENCH_DIR, exist_ok=True)
         stats = generate_to_dir(
             stream,
-            GenSpec(n_convs=120000, avg_turns=35, n_epochs=n_epochs,
+            GenSpec(n_convs=n_convs, avg_turns=35, n_epochs=n_epochs,
                     text_repeat=6),
             files_per_epoch=16,
         )
