@@ -288,15 +288,15 @@ def _q_cdc_merge_full_outer(spark, sf_dir):
     )
 
 
-def _q_cdc_merge_mor_read(spark, sf_dir):
-    # P5 merge-on-read, gated end-to-end through the REAL lake artifact
-    # (VERDICT r3 item 6): three event epochs land as MoR delta appends
-    # (compact_threshold high, so every file stays an uncompacted delta),
-    # then table.read() resolves base+delta last-writer-wins per
-    # (user_id, event_type) — the oracle is the same LWW over the raw
-    # events, so a wrong delta union/resolve/delete path hash-mismatches.
-    # The built table is cached per source fingerprint; the gated work is
-    # the MoR READ path.
+def _mor_table_for(spark, sf_dir, tag="mor", compact_threshold=999,
+                   require_delta=True):
+    """The shared MoR lake artifact for the cdc_* lake-read gates: three
+    event epochs (op_seq % 3) applied as MoR delta appends. The default
+    variant keeps every file an uncompacted delta (compact_threshold
+    high); tag='morc' builds the compacting variant (threshold 2) whose
+    snapshots mix deltas with compaction-produced base rewrites. Cached
+    per source fingerprint with a torn-build guard; versions are
+    create=v1 then one snapshot per committed epoch 0/1/2."""
     import hashlib
     import os
     import tempfile
@@ -311,9 +311,9 @@ def _q_cdc_merge_mor_read(spark, sf_dir):
     from cdcrypt.table.lake import LakeTable, LakeTableNotFound
 
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":mor:"
+        (os.path.abspath(sf_dir) + f":{tag}:"
          + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_mor_{key}")
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_{tag}_{key}")
     schema = StructType([
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
@@ -345,13 +345,148 @@ def _q_cdc_merge_mor_read(spark, sf_dir):
                 spark, table,
                 resolve_latest_agg(batch,
                                    key_cols=["user_id", "event_type"]),
-                epoch=e, mode="mor", compact_threshold=999)
-        assert any(f.get("kind") == "delta"
-                   for f in table.snapshot["files"]), "MoR gate needs deltas"
+                epoch=e, mode="mor", compact_threshold=compact_threshold)
+        if require_delta:
+            assert any(f.get("kind") == "delta"
+                       for f in table.snapshot["files"]), \
+                "MoR gate needs deltas"
+        else:
+            assert any(f.get("kind", "base") == "base"
+                       for f in table.snapshot["files"]), \
+                "compacting gate needs compaction-produced base files"
+    return table
+
+
+def _mor_version_at_epoch(table, epoch):
+    """Snapshot version whose committed_epoch == epoch (P8 lineage walk)."""
+    for v in range(1, table.version + 1):
+        if table.snapshot_at(v)["committed_epoch"] == epoch:
+            return v
+    raise AssertionError(f"no snapshot committed epoch {epoch}")
+
+
+def _q_cdc_merge_mor_read(spark, sf_dir):
+    # P5 merge-on-read, gated end-to-end through the REAL lake artifact
+    # (VERDICT r3 item 6): table.read() resolves base+delta
+    # last-writer-wins per (user_id, event_type) — the oracle is the same
+    # LWW over the raw events, so a wrong delta union/resolve/delete path
+    # hash-mismatches. The gated work is the MoR READ path.
+    table = _mor_table_for(spark, sf_dir)
     return table.read(spark).select(
         "user_id", "event_type",
         F.col("op_seq").alias("event_id"),
         F.round("value", 6).alias("value"))
+
+
+def _q_cdc_time_travel(spark, sf_dir):
+    # P7/P8 time travel, gated through the same artifact: read the table AS
+    # OF the snapshot that committed epoch 1 (version resolved by walking
+    # the snapshot lineage, the engine's own metadata — not a hardcoded
+    # number). Oracle: LWW over only the epoch-0/1 raw events — a reader
+    # that leaks epoch-2 files into an old snapshot, or loses epoch-0 base
+    # rows, hash-mismatches.
+    table = _mor_table_for(spark, sf_dir)
+    v = _mor_version_at_epoch(table, 1)
+    return table.read(spark, version=v).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
+def _q_cdc_compacted_read(spark, sf_dir):
+    # P5 compaction equivalence: the same three epochs applied with
+    # compact_threshold=2, so commits rewrite deep buckets into base files
+    # mid-stream. read() over the mixed base+delta layout must equal the
+    # delta-only table's LWW — same oracle as cdc_merge_mor_read; a
+    # compaction that loses rows, resurrects deletes, or double-counts a
+    # rewritten delta hash-mismatches.
+    table = _mor_table_for(spark, sf_dir, tag="morc", compact_threshold=2,
+                           require_delta=False)
+    return table.read(spark).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
+def _q_cdc_incremental_read(spark, sf_dir):
+    # P1-out (CDC change feed): read_incremental over (v@epoch0, v@epoch1]
+    # returns exactly the delta rows snapshot-committed in that range —
+    # epoch 1's resolved batch with its (op, epoch) change metadata.
+    # Runs against the COMPACTING variant: epoch 1's delta files are
+    # compacted away in later snapshots, so the walk must find them via
+    # the intermediate snapshot JSONs (the Iceberg incremental-scan
+    # contract). Oracle: LWW per key over only the epoch-1 raw events plus
+    # the constant change columns. Wrong file selection (compaction
+    # rewrites, deltas outside the range, base files) hash-mismatches.
+    table = _mor_table_for(spark, sf_dir, tag="morc", compact_threshold=2,
+                           require_delta=False)
+    v0 = _mor_version_at_epoch(table, 0)
+    v1 = _mor_version_at_epoch(table, 1)
+    return table.read_incremental(spark, v0, v1).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"),
+        "op", "epoch")
+
+
+def _q_debezium_parse(spark, sf_dir):
+    # P1 breadth: Debezium envelope adapter (sources/debezium.py). The
+    # events table is re-encoded as Debezium change envelopes (to_json:
+    # before-image for deletes, after-image otherwise, op c/u/d/r, lsn,
+    # ts_ms), then parse_debezium maps them back onto the engine's
+    # change-event contract — one vectorized from_json, no UDF. Oracle
+    # computes the mapping directly from the raw columns, so any parse or
+    # op/image/op_seq mapping error hash-mismatches.
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cdcrypt.sources.debezium import parse_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    opr = (
+        F.when(F.pmod(F.col("event_id"), F.lit(4)) == 0, F.lit("c"))
+        .when(F.pmod(F.col("event_id"), F.lit(4)) == 1, F.lit("u"))
+        .when(F.pmod(F.col("event_id"), F.lit(4)) == 2, F.lit("d"))
+        .otherwise(F.lit("r"))
+    )
+    row = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    env = F.to_json(F.struct(F.struct(
+        F.when(opr == "d", row).alias("before"),
+        F.when(opr != "d", row).alias("after"),
+        opr.alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.struct(F.col("event_id").cast("long").alias("lsn"))
+        .alias("source"),
+    ).alias("payload")))
+    lines = ev.select(env.alias("value"))
+    row_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    out = parse_debezium(lines, "value", row_schema)
+    return out.select(
+        "user_id", "event_type", "op",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+def _q_session_windows(spark, sf_dir):
+    # gap-based sessionization, batch form (streaming/windowed.py): lag ->
+    # boundary flag -> running sum -> group summary, integer-microsecond
+    # time arithmetic, one shuffle (window exchange reused by the agg)
+    from cdcrypt.streaming.windowed import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return session_windows(ev, gap_seconds=3600, key_cols=("user_id",),
+                           ts_col="ts", tiebreak_cols=("event_id",))
 
 
 def _q_windowed_counts(spark, sf_dir):
@@ -835,7 +970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_compacted_read": _q_cdc_compacted_read,
+        "cdc_incremental_read": _q_cdc_incremental_read,
         "windowed_counts": _q_windowed_counts,
+        "session_windows": _q_session_windows,
+        "debezium_parse": _q_debezium_parse,
         "tpch_q1_agg": _q_tpch_q1_agg,
         "tpch_join_revenue": _q_tpch_join_revenue,
         "dedup_exact": _q_dedup_exact,
@@ -1380,6 +1520,59 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY user_id, event_type
                              ORDER BY event_id DESC) rn
                   FROM events) WHERE rn = 1
+        """,
+        "cdc_time_travel": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events WHERE event_id % 3 <= 1) WHERE rn = 1
+        """,
+        "cdc_compacted_read": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
+        "cdc_incremental_read": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value,
+                   'U' AS op, CAST(1 AS BIGINT) AS epoch
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events WHERE event_id % 3 = 1) WHERE rn = 1
+        """,
+        "debezium_parse": """
+            SELECT user_id, event_type,
+                   CASE CAST(event_id % 4 AS INTEGER)
+                        WHEN 2 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+                   event_id, round(value, 6) AS value,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+            FROM events
+        """,
+        "session_windows": """
+            SELECT user_id, CAST(_sess AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us
+            FROM (
+              SELECT user_id, event_id, us,
+                     sum(CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > 3600000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS _sess
+              FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_us
+                    FROM events WHERE ts IS NOT NULL)
+            )
+            GROUP BY user_id, _sess
         """,
         "windowed_counts": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,

@@ -312,10 +312,12 @@ def _merge_mor(
 
     keep = list(table.snapshot["files"])
 
-    # --- compaction decision: delta FILE depth per bucket after this append
+    # --- compaction decision: delta FILE depth per bucket after this
+    # append. Log-only deltas (compacted=True, below) are already folded
+    # into a base file and don't count toward depth.
     depth: dict[int, int] = {}
     for f in keep + new_delta:
-        if f.get("kind", "base") == "delta":
+        if f.get("kind", "base") == "delta" and not f.get("compacted"):
             depth[f["bucket"]] = depth.get(f["bucket"], 0) + 1
     compact = {b for b, d in depth.items() if d >= compact_threshold}
 
@@ -331,7 +333,8 @@ def _merge_mor(
         base_paths = [os.path.join(table.root, f["path"])
                       for f in in_scope if f.get("kind", "base") == "base"]
         delta_paths = [os.path.join(table.root, f["path"])
-                       for f in in_scope if f.get("kind") == "delta"]
+                       for f in in_scope
+                       if f.get("kind") == "delta" and not f.get("compacted")]
         parts = []
         if base_paths:
             parts.append(
@@ -360,7 +363,16 @@ def _merge_mor(
             live, staging_compact, table.root, table.bucket_count, "base",
             assume_bucketed=True, timings=timings)
         keep = [f for f in keep if f["bucket"] not in compact]
-        new_delta = [f for f in new_delta if f["bucket"] not in compact]
+        # the epoch's own delta rows are folded into the compacted base,
+        # but the FILE stays referenced as a LOG-ONLY delta
+        # (compacted=True): read() skips it (rows live in the base),
+        # read_incremental() still serves it — a fused append+compact
+        # commit must not erase the epoch's change log from the CDC-out
+        # feed (Iceberg gets this for free by separating append and
+        # rewrite commits; r4 fix — previously these changes silently
+        # vanished from the incremental feed)
+        new_delta = [dict(f, compacted=True) if f["bucket"] in compact else f
+                     for f in new_delta]
 
     lineage = {
         "epoch": epoch,

@@ -32,6 +32,7 @@ from collections import defaultdict
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -112,6 +113,12 @@ class IngestPipeline:
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     bucket_by: str | None = None
     table_schema: StructType | None = None
+    # source-format adapter (P1 breadth): maps a raw epoch read onto the
+    # change-event contract (op, op_seq, payload cols). When set, .jsonl
+    # epochs are read as plain text lines (the adapter owns parsing — e.g.
+    # sources/debezium.parse_debezium over topic-dump envelopes) and a
+    # missing epoch column is stamped from the file epoch.
+    source_adapter: object | None = None
 
     @property
     def _bucket_by(self) -> str:
@@ -244,11 +251,20 @@ class IngestPipeline:
         t0 = time.monotonic()
         if self.crypto_backend == "jvm":
             self._check_iv_budget(files)
-        reader = spark.read.schema(self._epoch_schema(spark, files))
-        if files[0].endswith(".jsonl"):
-            df = reader.json(*files)
+        if self.source_adapter is not None:
+            if files[0].endswith(".jsonl"):
+                raw = spark.read.text(*files)
+                df = self.source_adapter(raw)
+            else:
+                df = self.source_adapter(spark.read.parquet(*files))
+            if "epoch" not in df.columns:
+                df = df.withColumn("epoch", F.lit(epoch).cast("long"))
         else:
-            df = reader.parquet(*files)
+            reader = spark.read.schema(self._epoch_schema(spark, files))
+            if files[0].endswith(".jsonl"):
+                df = reader.json(*files)
+            else:
+                df = reader.parquet(*files)
         if self.cluster_strategy == "fused":
             resolved = self._resolve(
                 repartition_by_bucket(df, self.bucket_count, self._bucket_by))

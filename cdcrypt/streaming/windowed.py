@@ -54,6 +54,68 @@ def windowed_turn_counts(
     )
 
 
+def session_windows(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_cols: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    tiebreak_cols: tuple[str, ...] = ("op_seq",),
+) -> DataFrame:
+    """Gap-based session windows, batch form (pure Column, no UDF).
+
+    Classic sessionization: within each key, an event more than
+    ``gap_seconds`` after its predecessor opens a new session. Expressed as
+    lag -> boundary flag -> running sum (the session ordinal) -> group
+    summary; time arithmetic is integer epoch-MICROseconds end-to-end so a
+    sub-second timestamp can never straddle a truncation boundary
+    differently across engines (the DuckDB oracle uses epoch_us identically).
+
+    Scale: ONE shuffle. Both window functions and the final groupBy key on
+    ``key_cols`` (+ the derived ordinal) — hash clustering by ``key_cols``
+    from the window exchange co-locates every group of the aggregate, which
+    Catalyst recognizes (subset satisfaction), so no second exchange. Rows
+    with a NULL ``ts_col`` are excluded up front: their session membership
+    is undefined, and engines disagree on NULL ordering defaults.
+
+    Determinism contract: (ts, *tiebreak_cols) must be unique per key —
+    the running sum is order-sensitive, so ties would make the ordinal
+    engine/partition-dependent.
+
+    The streaming analogue (running per-conversation summaries with
+    explicit state) is :func:`conversation_sessions`; this is the backfill/
+    batch definition of the same analysis, gated against a DuckDB oracle
+    (``session_windows``)."""
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col("_us").asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # two window passes over ONE spec (same partitioning + ordering: one
+    # exchange, one sort): lag must be materialized before the running sum
+    # — window functions don't nest
+    lagged = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .withColumn("_prev_us", F.lag("_us").over(w))
+    )
+    boundary = F.when(
+        F.col("_prev_us").isNull()
+        | ((F.col("_us") - F.col("_prev_us"))
+           > F.lit(int(gap_seconds) * 1_000_000)), 1
+    ).otherwise(0)
+    tagged = lagged.withColumn("_sess", F.sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return tagged.groupBy(*key_cols, "_sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+    ).select(
+        *key_cols,
+        F.col("_sess").alias("session_idx"),
+        "n_events", "start_us", "end_us",
+    )
+
+
 SESSION_OUTPUT = StructType([
     StructField("conv_id", StringType(), False),
     StructField("n_turns", LongType(), False),

@@ -351,7 +351,12 @@ class LakeTable:
         )
         fs = self.files(buckets, version)
         base_fs = [f for f in fs if f.get("kind", "base") == "base"]
-        delta_fs = [f for f in fs if f.get("kind", "base") == "delta"]
+        # log-only deltas (compacted=True) were folded into a base file by
+        # the commit that references them — they exist for the incremental
+        # change feed only, and reading them here would double-apply rows
+        delta_fs = [f for f in fs
+                    if f.get("kind", "base") == "delta"
+                    and not f.get("compacted")]
 
         def _scan(files: list[dict], schema: StructType) -> DataFrame:
             if not files:
@@ -404,10 +409,13 @@ class LakeTable:
         change rows plus (op, epoch), so the incremental scan is simply
         "delta files first referenced by a snapshot in range", walked
         per-step so deltas later compacted away are still found via the
-        intermediate snapshot JSONs. Compaction-produced base files are
-        rewrites, not changes, and are excluded by kind. Copy-on-write
-        commits carry no change log — raise rather than silently return a
-        wrong feed."""
+        intermediate snapshot JSONs. A delta folded into a base by its OWN
+        commit (fused append+compact) is referenced log-only
+        (``compacted=True``) and is served here all the same — the feed is
+        complete even for epochs that triggered compaction.
+        Compaction-produced base files are rewrites, not changes, and are
+        excluded by kind. Copy-on-write commits carry no change log —
+        raise rather than silently return a wrong feed."""
         to_version = self.version if to_version is None else to_version
         if not 0 <= from_version <= to_version <= self.version:
             raise LakeTableError(

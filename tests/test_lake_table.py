@@ -122,6 +122,38 @@ def test_incremental_read_is_the_change_feed(spark, tmp_path):
         t.read_incremental(spark, -1)
 
 
+def test_incremental_feed_complete_under_fused_compaction(spark, tmp_path):
+    """An epoch that TRIGGERS compaction keeps its change log: its delta is
+    referenced log-only (compacted=True) — read() skips it (rows live in
+    the compacted base), read_incremental() serves it. Previously those
+    rows silently vanished from the CDC-out feed (r4 fix)."""
+    from cdcrypt.sources.changegen import GenSpec, generate_to_dir
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    src = str(tmp_path / "stream")
+    generate_to_dir(src, GenSpec(n_convs=30, avg_turns=5, n_epochs=4, seed=3))
+    pipe = IngestPipeline(src, str(tmp_path / "t"), str(tmp_path / "c"),
+                          bucket_count=4, compact_threshold=2)
+    lineages = pipe.run(spark)
+    t = pipe.table()
+    # the scenario is real: at least one commit folded its own delta
+    marked = [f for v in range(1, t.version + 1)
+              for f in t.snapshot_at(v)["files"]
+              if f.get("kind") == "delta" and f.get("compacted")]
+    assert marked, "expected a fused append+compact commit"
+    # completeness: the full feed carries EVERY resolved change row of
+    # every epoch, including the compaction-triggering ones
+    feed = t.read_incremental(spark, 0, t.version)
+    assert feed.count() == sum(ln["batch_rows"] for ln in lineages)
+    per_epoch = {r["epoch"]: r["count"]
+                 for r in feed.groupBy("epoch").count().collect()}
+    assert per_epoch == {ln["epoch"]: ln["batch_rows"] for ln in lineages}
+    # no double-apply: the log-only delta's rows are not read twice (the
+    # live row count per key is one)
+    live = t.read(spark)
+    assert live.count() == live.select("conv_id", "turn_idx").distinct().count()
+
+
 def test_expire_snapshots_keeps_current_reads_working(spark, tmp_path):
     from cdcrypt.sources.changegen import GenSpec, generate_to_dir
     from cdcrypt.streaming.pipeline import IngestPipeline

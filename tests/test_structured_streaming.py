@@ -173,3 +173,46 @@ def test_track_session_tolerates_null_ts_and_op_seq():
     out2 = next(_track_session(("c2",), iter([pdf2]), st2))
     assert pd.isna(out2.loc[0, "first_ts"])
     assert st2.value == (2, None, None, 7)
+
+
+def test_session_windows_batch_gap_semantics(spark):
+    """Batch sessionization (streaming/windowed.py session_windows): gap
+    boundary is STRICTLY greater-than (diff == gap stays in-session), null
+    ts rows are excluded, ordinals are 1-based per key, and the whole op
+    costs ONE exchange (the agg reuses the window's hash clustering)."""
+    from datetime import datetime, timedelta, timezone
+
+    from cdcrypt.streaming.windowed import session_windows
+
+    def dt(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    rows = [
+        ("u1", 1, dt(0)),
+        ("u1", 2, dt(10)),
+        ("u1", 3, dt(40)),   # 30s after prev == gap -> same session
+        ("u1", 4, dt(71)),   # 31s after prev  > gap -> new session
+        ("u2", 5, dt(0)),
+        ("u2", 6, None),     # null ts: excluded, not a session of its own
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp")
+    out = session_windows(df, gap_seconds=30, key_cols=("user_id",),
+                          ts_col="ts", tiebreak_cols=("event_id",))
+
+    def us(s):
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=s)
+        return int(base.timestamp()) * 1_000_000
+
+    got = {(r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us)
+           for r in out.collect()}
+    assert got == {
+        ("u1", 1): (3, us(0), us(40)),
+        ("u1", 2): (1, us(71), us(71)),
+        ("u2", 1): (1, us(0), us(0)),
+    }
+    # AQE's toString appends the initial plan after the final one — count
+    # exchanges in the final-plan section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan
