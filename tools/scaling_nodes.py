@@ -111,18 +111,38 @@ def ensure_node_streams() -> list[tuple[str, int]]:
 
 
 def _spawn(cpus: int, stream: str, work: str, pin: str) -> subprocess.Popen:
+    # fresh work dir per run: a crashed or CONCURRENT runner must never
+    # leave table/checkpoint state (or a stale commit lock) for the next
+    # one — the one observed cross-contamination produced a silent runner
+    # death diagnosed only as empty stdout
+    if os.path.isdir(work):
+        import shutil
+        shutil.rmtree(work)
     os.makedirs(work, exist_ok=True)
-    return subprocess.Popen(
+    # stderr to a FILE, not a pipe: Spark logs enough to fill a 64 KB pipe
+    # buffer, and the parent reaps runners sequentially — an undrained
+    # pipe would deadlock the concurrent node runners
+    errpath = os.path.join(work, "runner.stderr")
+    p = subprocess.Popen(
         ["taskset", "-c", pin, sys.executable, RUNNER,
          str(cpus), stream, work, str(BUCKETS)],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        stdout=subprocess.PIPE, stderr=open(errpath, "w"), text=True,
         env={**os.environ, "PYTHONPATH": REPO},
     )
+    p._errpath = errpath
+    return p
 
 
 def _result(p: subprocess.Popen) -> dict:
     out, _ = p.communicate(timeout=1800)
-    return json.loads(out.strip().splitlines()[-1])
+    lines = out.strip().splitlines()
+    if not lines:
+        with open(p._errpath) as f:
+            err = f.read()
+        raise RuntimeError(
+            f"runner produced no output (exit {p.returncode}); stderr tail:\n"
+            + "\n".join(err.strip().splitlines()[-15:]))
+    return json.loads(lines[-1])
 
 
 def run_coord(stream: str) -> dict:
