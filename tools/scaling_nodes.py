@@ -111,13 +111,10 @@ def ensure_node_streams() -> list[tuple[str, int]]:
 
 
 def _spawn(cpus: int, stream: str, work: str, pin: str) -> subprocess.Popen:
-    # fresh work dir per run: a crashed or CONCURRENT runner must never
-    # leave table/checkpoint state (or a stale commit lock) for the next
-    # one — the one observed cross-contamination produced a silent runner
-    # death diagnosed only as empty stdout
-    if os.path.isdir(work):
-        import shutil
-        shutil.rmtree(work)
+    # NOTE: do NOT wipe `work` here — coord/burn4 pass BENCH_DIR itself
+    # (streams live inside). The runner wipes its own t_{cpus}* subdirs,
+    # which is the actual per-run state; node isolation comes from the
+    # four distinct node{i} work dirs.
     os.makedirs(work, exist_ok=True)
     # stderr to a FILE, not a pipe: Spark logs enough to fill a 64 KB pipe
     # buffer, and the parent reaps runners sequentially — an undrained
