@@ -54,18 +54,39 @@ def run_file_stream(
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
     disable_aqe_when_available_now: bool = False,
+    source_format: str = "parquet",
+    source_adapter=None,
 ):
     """The one file-source -> foreachBatch wiring every streaming driver in
     this package shares (CDC ingest, near-dup dedup): schema'd parquet
     tail, optional per-trigger file cap, checkpointed offset log, and the
     availableNow-await vs processingTime trigger split. Returns the
-    started (and for ``available_now`` terminated) streaming query."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger",
-                               str(max_files_per_trigger))
-    # glob keeps non-parquet bookkeeping files (_DONE markers) out
-    src = reader.parquet(os.path.join(source_dir, "*.parquet"))
+    started (and for ``available_now`` terminated) streaming query.
+
+    ``source_format="text"`` tails ``*.jsonl`` files as raw lines instead
+    (``schema`` is ignored — a text source is always one string column)
+    for envelope feeds that own their parsing via ``source_adapter``, e.g.
+    a Debezium topic dump through :func:`cdcrypt.sources.debezium.
+    parse_debezium`. The adapter is a plain DataFrame->DataFrame Column
+    transform, so it composes with the streaming reader unchanged, and
+    batch-misalignment safety carries over: resolution is a pure function
+    of (key, op_seq), so ANY split of the envelope lines into micro-batches
+    converges to the same table."""
+    if source_format == "text":
+        reader = spark.readStream
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(max_files_per_trigger))
+        src = reader.text(os.path.join(source_dir, "*.jsonl"))
+    else:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(max_files_per_trigger))
+        # glob keeps non-parquet bookkeeping files (_DONE markers) out
+        src = reader.parquet(os.path.join(source_dir, "*.parquet"))
+    if source_adapter is not None:
+        src = source_adapter(src)
     writer = (
         src.writeStream
         .foreachBatch(apply_batch)
@@ -119,6 +140,13 @@ class StructuredIngest(IngestPipeline):
         table = self.table()
         if batch_id <= table.committed_epoch:
             return  # SS redelivery after restart -> idempotent skip
+        if "epoch" not in batch_df.columns:
+            # adapter sources (Debezium lines) carry no epoch column; the
+            # resolvers tie-break on (op_seq, epoch), so stamp the SS
+            # batch id — constant within a micro-batch, monotone across
+            from pyspark.sql import functions as F
+            batch_df = batch_df.withColumn(
+                "epoch", F.lit(batch_id).cast("long"))
         if self.cluster_strategy == "fused":
             resolved = self._resolve(repartition_by_bucket(
                 batch_df, self.bucket_count, self._bucket_by))
@@ -135,18 +163,25 @@ class StructuredIngest(IngestPipeline):
     def run_stream(
         self,
         spark: SparkSession,
-        schema: StructType,
+        schema: StructType | None = None,
         *,
         available_now: bool = True,
         processing_time: str | None = None,
         max_files_per_trigger: int | None = None,
     ):
-        """Start (and for ``available_now`` await) the streaming query."""
+        """Start (and for ``available_now`` await) the streaming query.
+
+        With ``source_adapter`` set (e.g. Debezium envelopes), the source
+        is tailed as JSON text lines and the adapter owns parsing —
+        ``schema`` is then optional; otherwise it is the post-evolution
+        parquet read schema."""
         self.table()  # create on first run
+        fmt = "text" if self.source_adapter is not None else "parquet"
         return run_file_stream(
             spark, self.source_dir, schema, self.apply_batch,
             self.checkpoint_dir, available_now=available_now,
             processing_time=processing_time,
             max_files_per_trigger=max_files_per_trigger,
             disable_aqe_when_available_now=True,
+            source_format=fmt, source_adapter=self.source_adapter,
         )

@@ -76,25 +76,9 @@ def test_malformed_envelopes_fail_loud(spark):
         parse_debezium(_lines_df(spark, no_image), "value", ROW).collect()
 
 
-def test_debezium_stream_replays_to_identical_table(spark, tmp_path):
-    """Full-pipeline equivalence: the generator stream re-encoded as
-    Debezium envelopes (mixed wrapped/flat lines), fed through
-    IngestPipeline(source_adapter=parse_debezium), lands the IDENTICAL
-    final decrypted state as the parquet epochs."""
-    from cdcrypt.operators.transform import decrypt_fields
-    from cdcrypt.sources.changegen import (
-        GenSpec, generate_change_events, write_epoch_files,
-    )
-    from cdcrypt.streaming.pipeline import IngestPipeline
-
-    key = "cdcrypt/transcripts"
-    spec = GenSpec(n_convs=40, avg_turns=6, n_epochs=4, seed=13)
-    cols = generate_change_events(spec)
-    pq_dir = str(tmp_path / "pq_stream")
-    write_epoch_files(cols, pq_dir, fmt="parquet")
-
-    # re-encode as a Debezium topic dump: one envelope per change line
-    dbz_dir = str(tmp_path / "dbz_stream")
+def _write_debezium_dump(cols, dbz_dir):
+    """Re-encode generator change events as a Debezium topic dump: one
+    envelope per line, alternating wrapped/flat wire shapes."""
     os.makedirs(dbz_dir)
     import numpy as np
     op_map = {"I": "c", "U": "u", "D": "d"}
@@ -129,8 +113,11 @@ def test_debezium_stream_replays_to_identical_table(spark, tmp_path):
                 }
                 wrapped = {"payload": payload} if j % 2 == 0 else payload
                 f.write(json.dumps(wrapped) + "\n")
+    return has_model
 
-    row_schema = StructType(
+
+def _transcript_row_schema(has_model):
+    return StructType(
         [
             StructField("conv_id", StringType()),
             StructField("turn_idx", LongType()),
@@ -142,21 +129,82 @@ def test_debezium_stream_replays_to_identical_table(spark, tmp_path):
         + ([StructField("model", StringType())] if has_model else [])
     )
 
+
+def _decrypted_state(spark, table, key, has_model):
+    from cdcrypt.operators.transform import decrypt_fields
+
+    dec = decrypt_fields(table.read(spark), ["$.text", "$.tool"],
+                         key_id=key, aad_field="conv_id")
+    cols_out = ["role", "text", "tool", "ts", "op_seq"] + (
+        ["model"] if has_model else [])
+    return {(r.conv_id, r.turn_idx): tuple(r[c] for c in cols_out)
+            for r in dec.collect()}
+
+
+def test_debezium_stream_replays_to_identical_table(spark, tmp_path):
+    """Full-pipeline equivalence: the generator stream re-encoded as
+    Debezium envelopes (mixed wrapped/flat lines), fed through
+    IngestPipeline(source_adapter=parse_debezium), lands the IDENTICAL
+    final decrypted state as the parquet epochs."""
+    from cdcrypt.sources.changegen import (
+        GenSpec, generate_change_events, write_epoch_files,
+    )
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    key = "cdcrypt/transcripts"
+    spec = GenSpec(n_convs=40, avg_turns=6, n_epochs=4, seed=13)
+    cols = generate_change_events(spec)
+    pq_dir = str(tmp_path / "pq_stream")
+    write_epoch_files(cols, pq_dir, fmt="parquet")
+    has_model = _write_debezium_dump(cols, str(tmp_path / "dbz_stream"))
+    row_schema = _transcript_row_schema(has_model)
+
     def replay(src, name, adapter=None):
         p = IngestPipeline(src, str(tmp_path / f"t_{name}"),
                            str(tmp_path / f"c_{name}"), key_id=key,
                            bucket_count=4, source_adapter=adapter)
         p.run(spark)
-        dec = decrypt_fields(p.table().read(spark), ["$.text", "$.tool"],
-                             key_id=key, aad_field="conv_id")
-        cols_out = ["role", "text", "tool", "ts", "op_seq"] + (
-            ["model"] if has_model else [])
-        return {(r.conv_id, r.turn_idx): tuple(r[c] for c in cols_out)
-                for r in dec.collect()}
+        return _decrypted_state(spark, p.table(), key, has_model)
 
     got_pq = replay(pq_dir, "pq")
     got_dbz = replay(
-        dbz_dir, "dbz",
+        str(tmp_path / "dbz_stream"), "dbz",
         adapter=lambda raw: parse_debezium(raw, "value", row_schema))
     assert len(got_dbz) > 0
     assert got_dbz == got_pq
+
+
+def test_debezium_structured_stream_misaligned_batches(spark, tmp_path):
+    """The SAME Debezium dump driven through the native Structured
+    Streaming runtime (StructuredIngest.run_stream, text source +
+    adapter), with maxFilesPerTrigger=1 forcing micro-batches that do NOT
+    align with generator epochs — the final decrypted table still equals
+    the parquet replay, because resolution is a pure function of
+    (key, op_seq) and the lake's epoch-keyed commit absorbs redelivery."""
+    from cdcrypt.sources.changegen import (
+        GenSpec, generate_change_events, write_epoch_files,
+    )
+    from cdcrypt.streaming.pipeline import IngestPipeline
+    from cdcrypt.streaming.structured import StructuredIngest
+
+    key = "cdcrypt/transcripts"
+    spec = GenSpec(n_convs=30, avg_turns=5, n_epochs=3, seed=29)
+    cols = generate_change_events(spec)
+    pq_dir = str(tmp_path / "pq_stream")
+    write_epoch_files(cols, pq_dir, fmt="parquet")
+    has_model = _write_debezium_dump(cols, str(tmp_path / "dbz_stream"))
+    row_schema = _transcript_row_schema(has_model)
+
+    base = IngestPipeline(pq_dir, str(tmp_path / "t_pq"),
+                          str(tmp_path / "c_pq"), key_id=key, bucket_count=4)
+    base.run(spark)
+    want = _decrypted_state(spark, base.table(), key, has_model)
+
+    ss = StructuredIngest(
+        str(tmp_path / "dbz_stream"), str(tmp_path / "t_ss"),
+        str(tmp_path / "c_ss"), key_id=key, bucket_count=4,
+        source_adapter=lambda raw: parse_debezium(raw, "value", row_schema))
+    ss.run_stream(spark, max_files_per_trigger=1)
+    got = _decrypted_state(spark, ss.table(), key, has_model)
+    assert len(got) > 0
+    assert got == want
