@@ -173,6 +173,32 @@ def _q_smt_conditional_crypto(spark, sf_dir):
     return dec.select("doc_id", "text", "source")
 
 
+def _q_smt_mask_field(spark, sf_dir):
+    # MaskField-family SMT (operators/masking.py): regex-redact digits from
+    # gated rows only — pure Column (regexp_replace inside whole-stage
+    # codegen), zero Python, non-matching rows byte-identical
+    from cdcrypt.operators.masking import mask_fields
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mask_fields(docs, ["$.text"], regex="[0-9]+", replacement="#",
+                      condition_field="$.source", condition_equals="web")
+    return out.select("doc_id", "text", "source")
+
+
+def _q_smt_hash_field(spark, sf_dir):
+    # Hash pseudonymization SMT: salted sha256 is deterministic, so the
+    # hashed column still GROUPS — the query groups ON the pseudonym and the
+    # oracle reproduces the digest with DuckDB's sha256 over the identical
+    # salt|value preimage (cross-engine hex equality)
+    from cdcrypt.operators.masking import hash_fields
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash_fields(docs, ["$.source"], salt="gate")
+    return (h.groupBy(F.col("source").alias("source_h"))
+             .agg(F.count("*").alias("n"))
+             .select("source_h", "n"))
+
+
 def _q_smt_schemaless_roundtrip(spark, sf_dir):
     # O3 schemaless Map mode as an engine API (Transform.java:63-69):
     # JSON-string payload -> from_json promote -> FieldTransform -> to_json
@@ -962,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_array_wildcard": _q_smt_array_wildcard,
         "smt_array_struct_wildcard": _q_smt_array_struct_wildcard,
         "smt_conditional_crypto": _q_smt_conditional_crypto,
+        "smt_mask_field": _q_smt_mask_field,
+        "smt_hash_field": _q_smt_hash_field,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
         "smt_asym_roundtrip": _q_smt_asym_roundtrip,
         "det_key_groupby": _q_det_key_groupby,
@@ -1463,6 +1491,13 @@ def oracle_sql() -> dict[str, str]:
         "smt_array_struct_wildcard": (
             "SELECT doc_id, text, source, source AS source2 FROM documents"),
         "smt_conditional_crypto": "SELECT doc_id, text, source FROM documents",
+        "smt_mask_field": (
+            "SELECT doc_id, CASE WHEN source = 'web' THEN "
+            "regexp_replace(text, '[0-9]+', '#', 'g') ELSE text END AS text, "
+            "source FROM documents"),
+        "smt_hash_field": (
+            "SELECT sha256('gate|' || source) AS source_h, "
+            "COUNT(*)::BIGINT AS n FROM documents GROUP BY 1"),
         "smt_schemaless_roundtrip": "SELECT doc_id, text, source FROM documents",
         "smt_asym_roundtrip": "SELECT doc_id, text FROM documents",
         "det_key_groupby": """
