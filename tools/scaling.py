@@ -84,6 +84,10 @@ def tree_cpu():
 
 cpus = int(sys.argv[1]); stream = sys.argv[2]; work = sys.argv[3]
 buckets = int(sys.argv[4])
+# CDCRYPT_SCALING_BACKEND=jvm replays with the builtin-AES crypto path
+# (zero Python in the plan) — isolates the ArrowPythonRunner per-task tax
+# from the engine's scaling (BENCH/BASELINE.md round-2 Amdahl analysis)
+backend = os.environ.get("CDCRYPT_SCALING_BACKEND", "udf")
 spark = get_spark("scal", master=f"local[{{cpus}}]", shuffle_partitions=cpus*2)
 spark.sparkContext.setLogLevel("ERROR")
 root = f"{{work}}/t_{{cpus}}"
@@ -91,11 +95,12 @@ for d in (root, f"{{root}}_ck", f"{{root}}_warm", f"{{root}}_warmck"):
     shutil.rmtree(d, ignore_errors=True)
 # untimed warmup: replay epoch 0 once (JIT, python workers, writer init)
 warm = IngestPipeline(stream, f"{{root}}_warm", f"{{root}}_warmck",
-                      bucket_count=buckets)
+                      bucket_count=buckets, crypto_backend=backend)
 warm.run(spark, max_epochs=1)
 shutil.rmtree(f"{{root}}_warm", ignore_errors=True)
 shutil.rmtree(f"{{root}}_warmck", ignore_errors=True)
-pipe = IngestPipeline(stream, root, f"{{root}}_ck", bucket_count=buckets)
+pipe = IngestPipeline(stream, root, f"{{root}}_ck", bucket_count=buckets,
+                      crypto_backend=backend)
 cpu0 = tree_cpu()
 t0 = time.monotonic()
 res = pipe.run(spark)
@@ -241,6 +246,7 @@ def main() -> None:
         "events": n_events,
         "buckets": BUCKETS,
         "rounds": rounds,
+        "crypto_backend": os.environ.get("CDCRYPT_SCALING_BACKEND", "udf"),
         "sizes": summary_sizes,
         "efficiency_best_supply": round(eff_best, 3),
         "efficiency_median": round(eff_median, 3),
