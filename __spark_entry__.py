@@ -601,6 +601,24 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # sharded cumulative-sum sequence packing (operators/packing.py): pack
+    # assignment is a pure function of (id, salt, budget, shards) via the
+    # cross-engine h60 hash, so the oracle replays the identical window
+    from cdcrypt.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=256, n_shards=8)
+
+
+def _q_chunk_documents(spark, sf_dir):
+    # context-window chunking: sequence+posexplode+substring, zero shuffles
+    from cdcrypt.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, max_chars=500, overlap=100)
+
+
 # shared LSH/minhash gate parameters — the oracle SQL builders below must
 # use the exact same values (they replicate the full pipeline in DuckDB)
 _MINHASH = dict(num_hashes=32, bands=16, shingle_k=5, max_bucket_size=64)
@@ -1009,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_components": _q_dedup_components,
         "dedup_near": _q_dedup_near,
@@ -1672,6 +1692,33 @@ def oracle_sql() -> dict[str, str]:
                 + floor(length(regexp_replace(text, '\\s', '', 'g')) / 4) AS BIGINT)
                 AS n_subwords
             FROM documents
+        """,
+        "pack_sequences": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_tokens_sql('text')} AS n_tokens,
+                     ('0x' || substr(md5('pack' || ':' ||
+                          CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+                     COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY h % 8 ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cb
+              FROM base)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(cb // 256 AS BIGINT) AS pack,
+                   CAST(cb - (cb // 256) * 256 AS BIGINT) AS off_tokens
+            FROM cum
+        """,
+        "chunk_documents": """
+            SELECT doc_id, CAST(s // 400 AS BIGINT) AS chunk_idx,
+                   substring(text, s + 1, 500) AS chunk
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(0,
+                             greatest(length(text) - 1, 0), 400)) AS s
+                  FROM documents WHERE text IS NOT NULL)
         """,
         "cosine_topk": """
             SELECT query_id, neighbor_id, rank, sim FROM (
