@@ -105,6 +105,13 @@ class IngestPipeline:
     # 'udf' = pandas-UDF crypto, per-Arrow-batch DEKs (north-rule canonical);
     # 'jvm' = builtin aes_encrypt, per-epoch DEK recorded in commit lineage
     crypto_backend: str = "udf"
+    # ciphertext storage encoding. 'binary' stores raw envelope bytes —
+    # 25% smaller than base64 strings in shuffle/cache and ~that on disk
+    # (parquet stores both as BYTE_ARRAY; base64 inflates 4/3), which is
+    # pure win on a bandwidth-bound replay. The lake schema's encrypted
+    # columns become BinaryType; decrypt_batch auto-detects per item, so
+    # readers are unchanged. Requires plain top-level encrypt paths.
+    encrypt_encoding: str = "string"
     kms: MockKMS = dc_field(default_factory=MockKMS)
     # generalized record shape (VERDICT r2 missing #1): MERGE key columns,
     # partition column (default: first key col) and table schema — the
@@ -126,7 +133,34 @@ class IngestPipeline:
 
     @property
     def _schema(self) -> StructType:
-        return self.table_schema or BASE_TABLE_SCHEMA
+        base = self.table_schema or BASE_TABLE_SCHEMA
+        if self.encrypt_encoding == "string":
+            return base
+        if self.encrypt_encoding != "binary":
+            raise LakeTableError(
+                f"encrypt_encoding={self.encrypt_encoding!r} must be "
+                "'string' or 'binary'")
+        # binary ciphertext: the encrypted columns' lake type flips to
+        # BinaryType. Only plain top-level paths are supported (nested /
+        # array ciphertext stays base64-string — the in-place struct
+        # rewrite cannot change a nested field's type without rewriting
+        # the whole struct schema).
+        from pyspark.sql.types import BinaryType
+
+        from cdcrypt.functions.fieldpath import compile_path
+        tops = set()
+        for p in self.encrypt_paths:
+            cp = compile_path(p)
+            if len(cp.names) != 1 or cp.is_array:
+                raise LakeTableError(
+                    f"encrypt_encoding='binary' requires plain top-level "
+                    f"encrypt paths; got {p!r}")
+            tops.add(cp.names[0])
+        return StructType([
+            StructField(f.name, BinaryType(), f.nullable)
+            if f.name in tops and isinstance(f.dataType, StringType) else f
+            for f in base.fields
+        ])
 
     # ---------- setup ----------
     def table(self) -> LakeTable:
@@ -169,6 +203,7 @@ class IngestPipeline:
             aad_field=self.aad_field,
             kms=self.kms,
             backend=self.crypto_backend,
+            encoding=self.encrypt_encoding,
         ))
 
     def _resolve(self, df: DataFrame) -> DataFrame:

@@ -86,8 +86,10 @@ cpus = int(sys.argv[1]); stream = sys.argv[2]; work = sys.argv[3]
 buckets = int(sys.argv[4])
 # CDCRYPT_SCALING_BACKEND=jvm replays with the builtin-AES crypto path
 # (zero Python in the plan) — isolates the ArrowPythonRunner per-task tax
-# from the engine's scaling (BENCH/BASELINE.md round-2 Amdahl analysis)
+# from the engine's scaling (BENCH/BASELINE.md round-2 Amdahl analysis).
+# CDCRYPT_SCALING_ENCODING=binary stores raw envelope bytes (no base64).
 backend = os.environ.get("CDCRYPT_SCALING_BACKEND", "udf")
+encoding = os.environ.get("CDCRYPT_SCALING_ENCODING", "string")
 spark = get_spark("scal", master=f"local[{{cpus}}]", shuffle_partitions=cpus*2)
 spark.sparkContext.setLogLevel("ERROR")
 root = f"{{work}}/t_{{cpus}}"
@@ -95,12 +97,13 @@ for d in (root, f"{{root}}_ck", f"{{root}}_warm", f"{{root}}_warmck"):
     shutil.rmtree(d, ignore_errors=True)
 # untimed warmup: replay epoch 0 once (JIT, python workers, writer init)
 warm = IngestPipeline(stream, f"{{root}}_warm", f"{{root}}_warmck",
-                      bucket_count=buckets, crypto_backend=backend)
+                      bucket_count=buckets, crypto_backend=backend,
+                      encrypt_encoding=encoding)
 warm.run(spark, max_epochs=1)
 shutil.rmtree(f"{{root}}_warm", ignore_errors=True)
 shutil.rmtree(f"{{root}}_warmck", ignore_errors=True)
 pipe = IngestPipeline(stream, root, f"{{root}}_ck", bucket_count=buckets,
-                      crypto_backend=backend)
+                      crypto_backend=backend, encrypt_encoding=encoding)
 cpu0 = tree_cpu()
 t0 = time.monotonic()
 res = pipe.run(spark)
