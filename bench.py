@@ -125,6 +125,10 @@ def bench_cdc_replay(spark, sf_name: str, cpus: int, work_root: str,
             table_mode=os.environ.get("CDCRYPT_TABLE_MODE", "mor"),
             compact_threshold=int(os.environ.get("CDCRYPT_COMPACT_THRESHOLD", "8")),
             crypto_backend=os.environ.get("CDCRYPT_CRYPTO_BACKEND", "udf"),
+            # binary envelopes cut ~16% CPU work (b64 + byte volume) at
+            # matched supply; default stays 'string' so round-over-round
+            # replay records compare like-for-like (BENCH/BASELINE.md r4)
+            encrypt_encoding=os.environ.get("CDCRYPT_ENCODING", "string"),
         )
         t0 = time.monotonic()
         results = pipe.run(spark)

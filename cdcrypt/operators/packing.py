@@ -75,8 +75,10 @@ def pack_sequences(
     checked = F.when(idc.isNull(), F.raise_error(
         f"pack_sequences: NULL {id_col} cannot be packed deterministically"
     )).otherwise(idc)
-    toks = (F.col(tokens_col) if tokens_col is not None
-            else F.coalesce(token_count(F.col(text_col)), F.lit(0)))
+    toks = F.coalesce(
+        F.col(tokens_col) if tokens_col is not None
+        else token_count(F.col(text_col)),
+        F.lit(0))  # null text / null precomputed count packs as 0 tokens
     h = h60(F.concat_ws(":", F.lit(salt), checked.cast("string")))
     base = df.select(
         idc.alias(id_col),
