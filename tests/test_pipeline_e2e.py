@@ -161,6 +161,16 @@ def test_full_replay_binary_encoding_matches_oracle(spark, stream_dir,
     with pytest.raises(LakeTableError, match="top-level"):
         _ = bad._schema
 
+    # backend x encoding combination: jvm builtin-AES envelopes stored raw
+    jp = IngestPipeline(
+        stream_dir, str(tmp_path / "tjb"), str(tmp_path / "cjb"),
+        key_id=KEY, bucket_count=8, crypto_backend="jvm",
+        encrypt_encoding="binary",
+    )
+    jp.run(spark)
+    assert _final_state(spark, str(tmp_path / "tjb")) == _oracle_final_state(
+        stream_dir)
+
 
 def test_crash_resume(spark, stream_dir, tmp_path):
     troot, ckpt = str(tmp_path / "t2"), str(tmp_path / "c2")
