@@ -40,7 +40,7 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import StructField, StructType
 
 from cdcrypt.table.lake import LakeTable, bucket_col, repartition_by_bucket
 
@@ -324,26 +324,22 @@ def _merge_mor(
     compact_files: list[dict] = []
     compacted_rows = 0
     if compact:
-        delta_schema = StructType(
-            list(target.fields)
-            + [StructField("op", StringType(), True),
-               StructField("epoch", LongType(), True)]
-        )
         in_scope = [f for f in keep + new_delta if f["bucket"] in compact]
-        base_paths = [os.path.join(table.root, f["path"])
-                      for f in in_scope if f.get("kind", "base") == "base"]
-        delta_paths = [os.path.join(table.root, f["path"])
-                       for f in in_scope
-                       if f.get("kind") == "delta" and not f.get("compacted")]
+        base_fs = [f for f in in_scope if f.get("kind", "base") == "base"]
+        delta_fs = [f for f in in_scope
+                    if f.get("kind") == "delta" and not f.get("compacted")]
+        # id-projected scans: files written under since-renamed/widened
+        # schemas surface under the CURRENT (+batch extras) names/types
         parts = []
-        if base_paths:
+        if base_fs:
             parts.append(
-                spark.read.schema(target).parquet(*base_paths)
+                table.scan_projected(spark, base_fs, target_schema=target)
                 .withColumn("op", F.lit("I"))
                 .withColumn("epoch", F.lit(-1).cast("long"))
             )
-        if delta_paths:
-            parts.append(spark.read.schema(delta_schema).parquet(*delta_paths))
+        if delta_fs:
+            parts.append(table.scan_projected(
+                spark, delta_fs, target_schema=target, changelog=True))
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)

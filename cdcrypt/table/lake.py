@@ -19,10 +19,20 @@ Semantics ported from the Iceberg spec (public), not from any runtime:
 - idempotent epoch commit (exactly-once sink, SURVEY.md P3): every snapshot
   records ``committed_epoch``; the ingest driver skips any epoch <= that,
   so replayed micro-batches are no-ops;
-- add-column schema evolution (P7): each snapshot carries the full schema
-  list + the id each file was written with; the reader projects EVERY file
-  through the current schema (missing columns -> nulls) in one
-  ``spark.read.schema(current).parquet(*paths)`` call — no per-file pass;
+- field-id schema evolution (P7): every column carries a table-lifetime
+  unique field id (Iceberg spec §Schemas: ids, not names, are the column
+  identity). Add-column assigns fresh ids; ``evolve_schema`` additionally
+  supports rename (metadata-only — same id, new name), drop (id retired,
+  never reused), and safe type widening (int->long, float->double).
+  Readers resolve every file's columns BY ID against the current schema:
+  files whose (name, id, type) triples are a compatible subset of the
+  current schema — the entire history of an add-only table — are scanned
+  in ONE ``spark.read.schema(current).parquet(*paths)`` call exactly as
+  before; files written under since-renamed/dropped/widened schemas get
+  one scan per historical schema id (bounded by the number of evolutions,
+  not files) with an id-matched rename/cast projection. Dropping ``c``
+  and later adding a new ``c`` does NOT resurrect old values (different
+  ids — the Iceberg re-add test);
 - manifest-level partition pruning: ``read(buckets=...)`` selects files by
   the manifest's bucket entries — no directory listing, no Spark partition
   discovery, mirroring Iceberg's scan planning.
@@ -50,6 +60,17 @@ from pyspark.sql.types import StructType
 BUCKET_EXPR = "pmod(hash({col}), {b})"
 DEFAULT_BUCKET_BY = "conv_id"
 DEFAULT_KEY_COLS = ("conv_id", "turn_idx")
+
+# Safe type promotions (Iceberg spec §Schema Evolution: widening only —
+# every value representable in the old type is exactly representable in
+# the new one, so old files cast losslessly on read). Keys/values are
+# Spark typeName() strings.
+SAFE_WIDEN = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
 
 
 def bucket_col(bucket_count: int, col: str = DEFAULT_BUCKET_BY):
@@ -146,6 +167,44 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
             return json.load(f)
 
+    # ---------- field ids ----------
+    @staticmethod
+    def _schemas_with_ids(snap: dict) -> list[dict]:
+        """The snapshot's schema list with a per-field ``ids`` list on every
+        entry. New-format snapshots persist ids; legacy snapshots (written
+        before field-id evolution existed) could only ever evolve by
+        add-column, so name identity == id identity there and ids are
+        back-filled deterministically: walking schemas in id order, the
+        first appearance of a NAME gets the next sequential id."""
+        entries = sorted(snap["schemas"], key=lambda e: e["id"])
+        if all("ids" in e for e in entries):
+            return entries
+        assigned: dict[str, int] = {}
+        out = []
+        for e in entries:
+            names = [f["name"] for f in e["spark"]["fields"]]
+            for n in names:
+                if n not in assigned:
+                    assigned[n] = len(assigned)
+            out.append({**e, "ids": [assigned[n] for n in names]})
+        return out
+
+    @classmethod
+    def _current_name_to_id(cls, snap: dict) -> dict[str, int]:
+        """name -> field id for the snapshot's CURRENT schema."""
+        for e in cls._schemas_with_ids(snap):
+            if e["id"] == snap["schema_id"]:
+                return {f["name"]: fid
+                        for f, fid in zip(e["spark"]["fields"], e["ids"])}
+        raise LakeTableError(f"schema id {snap['schema_id']} missing")
+
+    @classmethod
+    def _next_field_id(cls, snap: dict) -> int:
+        if "next_field_id" in snap:
+            return snap["next_field_id"]
+        return 1 + max(fid for e in cls._schemas_with_ids(snap)
+                       for fid in e["ids"])
+
     # ---------- create ----------
     @classmethod
     def create(cls, root: str, schema: StructType, bucket_count: int = 64,
@@ -164,7 +223,9 @@ class LakeTable:
             "version": 0,
             "parent": None,
             "schema_id": 0,
-            "schemas": [{"id": 0, "spark": schema.jsonValue()}],
+            "schemas": [{"id": 0, "spark": schema.jsonValue(),
+                         "ids": list(range(len(schema.fields)))}],
+            "next_field_id": len(schema.fields),
             "partition_spec": f"bucket({bucket_by}, {bucket_count})",
             "bucket_by": bucket_by,
             "key_cols": list(key_cols),
@@ -237,22 +298,59 @@ class LakeTable:
         new_files: list[dict],
         lineage: dict,
         new_schema: StructType | None = None,
+        new_schema_ids: list[int] | None = None,
+        meta_updates: dict | None = None,
     ) -> int:
         """Write snapshot v{N+1} and atomically swap ``current``.
 
         ``keep_files``/``new_files``: manifest entries
         ``{path, bucket, schema_id, rows}`` (paths relative to root).
+
+        A changed ``new_schema`` without explicit ``new_schema_ids`` is the
+        ADD-COLUMN path (merge_upsert): fields keep their id by name-match
+        against the current schema (same type required — a type change here
+        would be a silent unsafe cast; use :meth:`evolve_schema`), unknown
+        names get fresh ids. ``new_schema_ids`` (from ``evolve_schema``,
+        which computes rename/drop/widen-aware ids) is trusted as-is.
         """
         prev = self.snapshot
         version = prev["version"] + 1
         schemas = list(prev["schemas"])
         schema_id = prev["schema_id"]
+        next_fid = self._next_field_id(prev)
         if new_schema is not None:
             cur_json = json.dumps(self.schema.jsonValue(), sort_keys=True)
             new_json = json.dumps(new_schema.jsonValue(), sort_keys=True)
             if cur_json != new_json:
+                # legacy parents: materialize back-filled ids so the new
+                # entry's ids share one consistent id space with history
+                schemas = [dict(e) for e in self._schemas_with_ids(prev)]
+                if new_schema_ids is not None:
+                    if len(new_schema_ids) != len(new_schema.fields):
+                        raise LakeTableError("new_schema_ids length mismatch")
+                    ids = list(new_schema_ids)
+                    next_fid = max(next_fid, max(ids, default=-1) + 1)
+                else:
+                    cur_fields = {f.name: f for f in self.schema.fields}
+                    n2i = self._current_name_to_id(prev)
+                    ids = []
+                    for f in new_schema.fields:
+                        if f.name in n2i:
+                            if f.dataType != cur_fields[f.name].dataType:
+                                raise LakeTableError(
+                                    f"column '{f.name}' changes type "
+                                    f"{cur_fields[f.name].dataType.simpleString()}"
+                                    f" -> {f.dataType.simpleString()} in "
+                                    "commit(new_schema=...); type changes "
+                                    "must go through evolve_schema()")
+                            ids.append(n2i[f.name])
+                        else:
+                            ids.append(next_fid)
+                            next_fid += 1
                 schema_id = max(s["id"] for s in schemas) + 1
-                schemas.append({"id": schema_id, "spark": new_schema.jsonValue()})
+                schemas.append({"id": schema_id,
+                                "spark": new_schema.jsonValue(),
+                                "ids": ids})
         # files written by this commit carry the commit's schema id
         new_files = [
             {**f, "schema_id": schema_id} if f.get("schema_id") is None else f
@@ -264,6 +362,7 @@ class LakeTable:
             "parent": prev["version"],
             "schema_id": schema_id,
             "schemas": schemas,
+            "next_field_id": next_fid,
             "partition_spec": prev["partition_spec"],
             "bucket_by": prev.get("bucket_by", DEFAULT_BUCKET_BY),
             "key_cols": list(prev.get("key_cols", DEFAULT_KEY_COLS)),
@@ -273,6 +372,13 @@ class LakeTable:
             "lineage": lineage,
             "created_ms": int(time.time() * 1000),
         }
+        if meta_updates:
+            allowed = {"bucket_by", "key_cols", "partition_spec"}
+            bad = set(meta_updates) - allowed
+            if bad:
+                raise LakeTableError(f"meta_updates may only set {allowed}, "
+                                     f"got {sorted(bad)}")
+            snap.update(meta_updates)
         path = os.path.join(self.meta_dir, f"v{version}.json")
         # Commit lock: the write-snapshot -> swap-pointer sequence is not
         # atomic, so the orphan-recovery path below must not mistake a
@@ -311,6 +417,111 @@ class LakeTable:
         self._snapshot = snap
         return version
 
+    # ---------- schema evolution ----------
+    def evolve_schema(
+        self,
+        renames: dict[str, str] | None = None,
+        drops: tuple[str, ...] | list[str] = (),
+        adds: list | None = None,
+        widens: dict | None = None,
+    ) -> int:
+        """Metadata-only schema evolution commit (Iceberg spec §Schema
+        Evolution): no data file is touched; readers project old files by
+        field id. Returns the new table version.
+
+        ``renames``: {old_name: new_name} — the field keeps its id, so old
+        files keep serving values under the new name. Renaming the bucket
+        or a key column updates the table's partition/key metadata too
+        (values are unchanged, so existing bucket assignments stay valid).
+        ``drops``: column names to remove. Their ids are retired and never
+        reused — re-adding the same NAME later creates a fresh id, and old
+        files' values do NOT resurrect. Bucket/key columns cannot drop.
+        ``adds``: new columns, ``StructField`` or ``(name, DataType)``;
+        always nullable (old files have no value for them).
+        ``widens``: {name: DataType} safe promotions per ``SAFE_WIDEN``
+        (int->long, float->double, ...); old files cast on read.
+
+        Order of application: widens -> renames -> drops (named by their
+        PRE-rename names is an error — use current names consistently;
+        drops/widens/renames all address the CURRENT schema) -> adds.
+        """
+        renames = dict(renames or {})
+        widens = dict(widens or {})
+        adds = list(adds or [])
+        drops = list(drops)
+        cur = self.schema
+        cur_names = [f.name for f in cur.fields]
+        n2i = self._current_name_to_id(self.snapshot)
+        for group, names in (("renames", renames), ("drops", drops),
+                             ("widens", widens)):
+            unknown = [n for n in names if n not in n2i]
+            if unknown:
+                raise LakeTableError(f"{group}: unknown columns {unknown}")
+        protected = {self.bucket_by, *self.key_cols}
+        bad_drop = [n for n in drops if n in protected]
+        if bad_drop:
+            raise LakeTableError(
+                f"cannot drop bucket/key columns {bad_drop}")
+        from pyspark.sql.types import StructField as SF
+
+        fields: list = []
+        ids: list[int] = []
+        taken: set[str] = set()
+        for f in cur.fields:
+            if f.name in drops:
+                continue
+            dt = f.dataType
+            if f.name in widens:
+                new_dt = widens[f.name]
+                pair = (dt.typeName(), new_dt.typeName())
+                if pair != (dt.typeName(), dt.typeName()) \
+                        and pair not in SAFE_WIDEN:
+                    raise LakeTableError(
+                        f"unsafe type change for '{f.name}': "
+                        f"{pair[0]} -> {pair[1]} (allowed: {sorted(SAFE_WIDEN)})")
+                dt = new_dt
+            name = renames.get(f.name, f.name)
+            if name in taken:
+                raise LakeTableError(f"rename collision on '{name}'")
+            taken.add(name)
+            fields.append(SF(name, dt, f.nullable))
+            ids.append(n2i[f.name])
+        next_fid = self._next_field_id(self.snapshot)
+        for a in adds:
+            f = a if isinstance(a, SF) else SF(a[0], a[1], True)
+            if f.name in taken:
+                raise LakeTableError(
+                    f"add collision: column '{f.name}' already exists")
+            taken.add(f.name)
+            fields.append(SF(f.name, f.dataType, True))
+            ids.append(next_fid)
+            next_fid += 1
+        # renaming the partition/key columns follows the schema
+        meta_updates: dict = {}
+        new_bucket_by = renames.get(self.bucket_by)
+        if new_bucket_by:
+            meta_updates["bucket_by"] = new_bucket_by
+            meta_updates["partition_spec"] = (
+                f"bucket({new_bucket_by}, {self.bucket_count})")
+        if any(k in renames for k in self.key_cols):
+            meta_updates["key_cols"] = [renames.get(k, k)
+                                        for k in self.key_cols]
+        return self.commit(
+            epoch=self.committed_epoch,
+            keep_files=list(self.snapshot["files"]),
+            new_files=[],
+            lineage={"mode": "schema_evolution",
+                     "renames": renames, "drops": drops,
+                     "adds": [f.name for f in fields[len(cur.fields)
+                                                     - len(drops):]],
+                     "widens": {k: v.simpleString()
+                                for k, v in widens.items()},
+                     "prior_columns": cur_names},
+            new_schema=StructType(fields),
+            new_schema_ids=ids,
+            meta_updates=meta_updates or None,
+        )
+
     # ---------- read ----------
     def files(self, buckets: set[int] | None = None, version: int | None = None) -> list[dict]:
         snap = self.snapshot if version is None else self.snapshot_at(version)
@@ -318,6 +529,99 @@ class LakeTable:
         if buckets is not None:
             out = [f for f in out if f["bucket"] in buckets]
         return out
+
+    def scan_projected(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        snap: dict | None = None,
+        target_schema: StructType | None = None,
+        changelog: bool = False,
+    ) -> DataFrame:
+        """Scan manifest entries, resolving columns BY FIELD ID against
+        ``target_schema`` (default: ``snap``'s current schema).
+
+        Files are grouped by the schema id they were written with. A group
+        whose (name, id, type) triples all appear identically in the target
+        — every file of an add-only history — joins one pooled
+        ``spark.read.schema(target)`` scan, the exact pre-field-id plan
+        (missing columns null-fill by name). Groups separated from the
+        target by a rename/drop/widen get one scan each with their own
+        write schema plus an id-matched rename/cast projection; the scan
+        count is bounded by the number of schema EVOLUTIONS in history,
+        never the file count, and per-group pushdown/pruning is intact.
+
+        ``target_schema`` may extend the snapshot schema with not-yet-
+        committed columns (merge's add-column path): unknown names have no
+        id and read as null from every historical file. Entries with
+        ``schema_id`` None (files staged by an in-flight commit, written
+        with exactly the target schema) join the pooled scan.
+        ``changelog=True`` appends the physical (op, epoch) change-log
+        columns carried by delta files (fixed names, not id-tracked).
+        """
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        snap = self.snapshot if snap is None else snap
+        if target_schema is None:
+            sid = snap["schema_id"]
+            target_schema = StructType.fromJson(
+                next(e["spark"] for e in snap["schemas"] if e["id"] == sid))
+        cl_fields = [StructField("op", StringType(), True),
+                     StructField("epoch", LongType(), True)]
+        out_schema = StructType(
+            list(target_schema.fields) + (cl_fields if changelog else []))
+        if not files:
+            return spark.createDataFrame([], out_schema)
+
+        n2i = self._current_name_to_id(snap)
+        tgt = [(f.name, f.dataType, n2i.get(f.name))
+               for f in target_schema.fields]
+        schemas = {e["id"]: e for e in self._schemas_with_ids(snap)}
+
+        groups: dict[int | None, list[str]] = {}
+        for f in files:
+            groups.setdefault(f.get("schema_id"), []).append(
+                os.path.join(self.root, f["path"]))
+
+        pooled: list[str] = []
+        parts: list[DataFrame] = []
+        for sid, paths in groups.items():
+            if sid is None:  # staged this commit, written with the target
+                pooled.extend(paths)
+                continue
+            if sid not in schemas:
+                raise LakeTableError(f"file schema id {sid} not in snapshot")
+            ws = StructType.fromJson(schemas[sid]["spark"])
+            wids = schemas[sid]["ids"]
+            by_name = {wf.name: (wid, wf.dataType)
+                       for wf, wid in zip(ws.fields, wids)}
+            live_ids = set(wids)
+            compat = all(
+                (by_name.get(fname) == (fid, ftype))
+                if fname in by_name
+                else (fid is None or fid not in live_ids)
+                for fname, ftype, fid in tgt
+            )
+            if compat:
+                pooled.extend(paths)
+                continue
+            by_id = {wid: wf.name for wf, wid in zip(ws.fields, wids)}
+            proj = [
+                (F.col(by_id[fid]).cast(ftype) if fid in by_id
+                 else F.lit(None).cast(ftype)).alias(fname)
+                for fname, ftype, fid in tgt
+            ]
+            read_schema = StructType(
+                list(ws.fields) + (cl_fields if changelog else []))
+            sel = proj + ([F.col("op"), F.col("epoch")] if changelog else [])
+            parts.append(
+                spark.read.schema(read_schema).parquet(*paths).select(*sel))
+        if pooled:
+            parts.append(spark.read.schema(out_schema).parquet(*pooled))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def read(
         self,
@@ -338,17 +642,10 @@ class LakeTable:
         Iceberg MoR semantics. Tables maintained copy-on-write never have
         deltas and skip all of this (plain scan, no shuffle).
         """
-        snap_schema = (
-            self.schema
-            if version is None
-            else StructType.fromJson(
-                next(
-                    s["spark"]
-                    for s in self.snapshot_at(version)["schemas"]
-                    if s["id"] == self.snapshot_at(version)["schema_id"]
-                )
-            )
-        )
+        snap = self.snapshot if version is None else self.snapshot_at(version)
+        snap_schema = StructType.fromJson(
+            next(s["spark"] for s in snap["schemas"]
+                 if s["id"] == snap["schema_id"]))
         fs = self.files(buckets, version)
         base_fs = [f for f in fs if f.get("kind", "base") == "base"]
         # log-only deltas (compacted=True) were folded into a base file by
@@ -358,38 +655,30 @@ class LakeTable:
                     if f.get("kind", "base") == "delta"
                     and not f.get("compacted")]
 
-        def _scan(files: list[dict], schema: StructType) -> DataFrame:
-            if not files:
-                return spark.createDataFrame([], schema)
-            paths = [os.path.join(self.root, f["path"]) for f in files]
-            return spark.read.schema(schema).parquet(*paths)
-
         if not delta_fs:
-            df = _scan(base_fs, snap_schema)
+            df = self.scan_projected(spark, base_fs, snap)
         else:
-            from pyspark.sql.types import LongType, StringType, StructField
-
             from cdcrypt.operators.dedup import resolve_latest_agg
 
-            delta_schema = StructType(
-                list(snap_schema.fields)
-                + [StructField("op", StringType(), True),
-                   StructField("epoch", LongType(), True)]
-            )
             base = (
-                _scan(base_fs, snap_schema)
+                self.scan_projected(spark, base_fs, snap)
                 .withColumn("op", F.lit("I"))
                 .withColumn("epoch", F.lit(-1).cast("long"))
             )
-            delta = _scan(delta_fs, delta_schema)
+            delta = self.scan_projected(spark, delta_fs, snap,
+                                        changelog=True)
             resolved = resolve_latest_agg(base.unionByName(delta),
-                                          key_cols=self.key_cols)
+                                          key_cols=snap.get(
+                                              "key_cols",
+                                              list(DEFAULT_KEY_COLS)))
             df = resolved.where(
                 F.coalesce(F.col("op") != "D", F.lit(True))
             ).drop("op", "epoch").select(*[f.name for f in snap_schema.fields])
         if with_bucket:
             df = df.withColumn(
-                "bucket", bucket_col(self.bucket_count, self.bucket_by))
+                "bucket",
+                bucket_col(snap["bucket_count"],
+                           snap.get("bucket_by", DEFAULT_BUCKET_BY)))
         return df
 
     def total_rows(self) -> int:
@@ -432,16 +721,10 @@ class LakeTable:
             added = [f for f in snap["files"] if f["path"] not in prev_paths]
             picked.extend(f for f in added if f.get("kind") == "delta")
             prev_paths = {f["path"] for f in snap["files"]}
-        from pyspark.sql.types import LongType, StringType, StructField
-
-        delta_schema = StructType(
-            list(self.schema.fields)
-            + [StructField("op", StringType(), True),
-               StructField("epoch", LongType(), True)])
-        if not picked:
-            return spark.createDataFrame([], delta_schema)
-        paths = [os.path.join(self.root, f["path"]) for f in picked]
-        return spark.read.schema(delta_schema).parquet(*paths)
+        # change rows are served in the CURRENT schema (id-projected:
+        # deltas written before a rename surface under the new name)
+        return self.scan_projected(spark, picked, self.snapshot,
+                                   changelog=True)
 
     # ---------- maintenance ----------
     def expire_snapshots(self, keep_last: int = 2,
