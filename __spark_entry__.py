@@ -455,6 +455,105 @@ def _q_cdc_incremental_read(spark, sf_dir):
         "op", "epoch")
 
 
+def _evo_table_for(spark, sf_dir):
+    """Lake artifact for the cdc_schema_evolution gate: four event epochs
+    (op_seq % 4) applied as MoR merges with compact_threshold=2, with a
+    FIELD-ID SCHEMA EVOLUTION between epochs 1 and 2 — widen value
+    float->double, rename value->score, drop ts, add source. Epochs 2/3
+    write the post-evolution shape, and epoch 3's compaction folds
+    pre-evolution base/delta files together with post-evolution deltas
+    (the cross-generation id-projection path). Cached per source
+    fingerprint with a torn-build guard (table/lake.py evolve_schema)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, FloatType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    from cdcrypt.operators.dedup import resolve_latest_agg
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":evo:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_evo_{key}")
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("op_seq", LongType()),
+        StructField("value", FloatType()),
+        StructField("ts", TimestampType()),
+    ])
+    try:
+        table = LakeTable(root)
+        if table.committed_epoch < 3:  # torn build from a crashed run
+            raise LakeTableNotFound(root)
+    except LakeTableNotFound:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        table = LakeTable.create(root, schema, bucket_count=8,
+                                 bucket_by="user_id",
+                                 key_cols=["user_id", "event_type"])
+        ev = _t(spark, sf_dir, "events").select(
+            F.lit("U").alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("long").alias("op_seq"),
+            F.col("value").cast("double").alias("value"),
+            "ts")
+        for e in range(4):
+            batch = ev.where(F.pmod(F.col("op_seq"), F.lit(4)) == e)
+            if e < 2:  # pre-evolution shape: float value + ts
+                batch = batch.withColumn("value",
+                                         F.col("value").cast("float"))
+            else:      # post-evolution shape: score double, source, no ts
+                batch = (batch
+                         .withColumnRenamed("value", "score")
+                         .withColumn("source", F.lit("replay"))
+                         .drop("ts"))
+            merge_upsert(
+                spark, table,
+                resolve_latest_agg(
+                    batch.withColumn("epoch", F.lit(e).cast("long")),
+                    key_cols=["user_id", "event_type"]),
+                epoch=e, mode="mor", compact_threshold=2)
+            if e == 1:
+                table.evolve_schema(widens={"value": DoubleType()},
+                                    renames={"value": "score"},
+                                    drops=["ts"],
+                                    adds=[("source", StringType())])
+        # the scenario is real: a post-evolution commit compacted files
+        # from BOTH schema generations
+        assert any(
+            table.snapshot_at(v)["committed_epoch"] >= 2
+            and table.snapshot_at(v)["lineage"].get("buckets_compacted")
+            for v in range(1, table.version + 1)), \
+            "evolution gate needs a cross-generation compaction"
+    return table
+
+
+def _q_cdc_schema_evolution(spark, sf_dir):
+    # P7 field-id schema evolution gated end-to-end: pre-evolution epochs
+    # wrote (value float, ts); mid-stream the table widened value->double,
+    # renamed it to score, dropped ts, and added source — all
+    # metadata-only. The read must id-project BOTH file generations into
+    # the current schema (pre-evolution rows: float-precision score, null
+    # source) and resolve LWW across them, through a compaction that mixed
+    # the generations. Oracle replays the same float round-trip on the raw
+    # events; a reader that loses a generation, resurrects ts, or maps
+    # columns by name instead of id hash-mismatches.
+    table = _evo_table_for(spark, sf_dir)
+    return table.read(spark).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("score", 6).alias("score"),
+        "source")
+
+
 def _q_debezium_parse(spark, sf_dir):
     # P1 breadth: Debezium envelope adapter (sources/debezium.py). The
     # events table is re-encoded as Debezium change envelopes (to_json:
@@ -1017,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_compacted_read": _q_cdc_compacted_read,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "windowed_counts": _q_windowed_counts,
@@ -1586,6 +1686,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_compacted_read": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
+        "cdc_schema_evolution": """
+            SELECT user_id, event_type, event_id,
+                   round(CASE WHEN event_id % 4 >= 2 THEN value
+                         ELSE CAST(CAST(value AS FLOAT) AS DOUBLE) END,
+                         6) AS score,
+                   CASE WHEN event_id % 4 >= 2 THEN 'replay' END AS source
             FROM (SELECT user_id, event_type, event_id, value,
                          row_number() OVER (
                              PARTITION BY user_id, event_type
