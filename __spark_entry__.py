@@ -536,6 +536,97 @@ def _evo_table_for(spark, sf_dir):
     return table
 
 
+def _boot_table_for(spark, sf_dir):
+    """Lake artifact for the cdc_snapshot_bootstrap gate: a DBLog-style
+    CHUNKED snapshot (per-key watermarks at 4 different binlog positions,
+    keys assigned by hash — the snapshot was 'read while the stream
+    advanced') bootstrapped as epoch 0, then the FULL change stream
+    (including deletes: op_seq % 5 == 0) replayed over it in two epochs.
+    Convergence claim under LWW: final state == LWW over the raw stream
+    alone, independent of the chunking — events at or below a chunk's
+    watermark lose to the snapshot row, events above it supersede it
+    (operators/bootstrap.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cdcrypt.operators.bootstrap import bootstrap_snapshot
+    from cdcrypt.operators.dedup import resolve_latest_agg
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":boot:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_boot_{key}")
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("op_seq", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    try:
+        table = LakeTable(root)
+        if table.committed_epoch < 2:  # torn build from a crashed run
+            raise LakeTableNotFound(root)
+    except LakeTableNotFound:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        table = LakeTable.create(root, schema, bucket_count=8,
+                                 bucket_by="user_id",
+                                 key_cols=["user_id", "event_type"])
+        ev = _t(spark, sf_dir, "events").select(
+            F.when(F.col("event_id") % 5 == 0, "D").otherwise("U")
+            .alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("long").alias("op_seq"),
+            F.col("value").cast("double").alias("value"))
+        hi = ev.agg(F.max("op_seq")).first()[0]
+        wlo, wstep = hi // 3, max(1, hi // 8)
+        # chunked snapshot: each key's chunk was consistent as of its
+        # own watermark (4 distinct positions in the 33%..70% window)
+        wm = (F.lit(wlo)
+              + F.pmod(F.hash("user_id", "event_type"), F.lit(4))
+              * F.lit(wstep)).cast("long")
+        state = resolve_latest_agg(
+            ev.withColumn("_w", wm).where(F.col("op_seq") <= F.col("_w"))
+            .withColumn("epoch", F.lit(0).cast("long")),
+            key_cols=["user_id", "event_type"])
+        live = state.where(F.col("op") != "D").select(
+            "user_id", "event_type", "value", "_w")
+        ln = bootstrap_snapshot(spark, table, live, "_w", epoch=0,
+                                mode="mor")
+        assert ln["bootstrap"]["min_watermark"] == wlo
+        # full replay (overlap with the snapshot is the point): two epochs
+        for e in (1, 2):
+            batch = (ev.where(F.pmod(F.col("op_seq"), F.lit(2)) == e - 1)
+                     .withColumn("epoch", F.lit(e).cast("long")))
+            merge_upsert(
+                spark, table,
+                resolve_latest_agg(batch,
+                                   key_cols=["user_id", "event_type"]),
+                epoch=e, mode="mor")
+    return table
+
+
+def _q_cdc_snapshot_bootstrap(spark, sf_dir):
+    # P1 initial-load: chunked-snapshot bootstrap + full-stream replay
+    # must converge to LWW over the stream alone (deletes applied). The
+    # oracle never sees the snapshot or the watermarks — a cutover that
+    # loses in-flight events, double-applies the overlap, or resurrects
+    # snapshot rows past a delete hash-mismatches. op_seq is excluded
+    # from the projection by design: snapshot-won rows carry their chunk
+    # watermark, which is Spark-side hash state the oracle cannot know.
+    table = _boot_table_for(spark, sf_dir)
+    return table.read(spark).select(
+        "user_id", "event_type", F.round("value", 6).alias("value"))
+
+
 def _q_cdc_schema_evolution(spark, sf_dir):
     # P7 field-id schema evolution gated end-to-end: pre-evolution epochs
     # wrote (value float, ts); mid-stream the table widened value->double,
@@ -1117,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
         "cdc_compacted_read": _q_cdc_compacted_read,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "windowed_counts": _q_windowed_counts,
@@ -1691,6 +1783,16 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY user_id, event_type
                              ORDER BY event_id DESC) rn
                   FROM events) WHERE rn = 1
+        """,
+        "cdc_snapshot_bootstrap": """
+            SELECT user_id, event_type, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, value,
+                         CASE WHEN event_id % 5 = 0 THEN 'D'
+                              ELSE 'U' END AS op,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_schema_evolution": """
             SELECT user_id, event_type, event_id,
