@@ -614,6 +614,92 @@ def _boot_table_for(spark, sf_dir):
     return table
 
 
+def _pevo_table_for(spark, sf_dir):
+    """Lake artifact for the cdc_partition_evolution gate: four event
+    epochs applied as MoR merges (compact_threshold=2), with the bucket
+    count EVOLVED 4 -> 8 between epochs 1 and 2 (metadata-only,
+    table/lake.py evolve_partitioning). Post-evolution deltas bucket
+    under the new spec while pre-evolution base/delta files stay under
+    the old one; epoch 3's compaction pulls BOTH generations of a bucket
+    residue class (gcd rule) and rewrites them under the current spec —
+    the incremental-migration path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from cdcrypt.operators.dedup import resolve_latest_agg
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":pevo:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_pevo_{key}")
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("op_seq", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ts", TimestampType()),
+    ])
+    try:
+        table = LakeTable(root)
+        if table.committed_epoch < 3:  # torn build from a crashed run
+            raise LakeTableNotFound(root)
+    except LakeTableNotFound:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        table = LakeTable.create(root, schema, bucket_count=4,
+                                 bucket_by="user_id",
+                                 key_cols=["user_id", "event_type"])
+        ev = _t(spark, sf_dir, "events").select(
+            F.lit("U").alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("long").alias("op_seq"),
+            F.col("value").cast("double").alias("value"),
+            "ts")
+        for e in range(4):
+            batch = (ev.where(F.pmod(F.col("op_seq"), F.lit(4)) == e)
+                     .withColumn("epoch", F.lit(e).cast("long")))
+            merge_upsert(
+                spark, table,
+                resolve_latest_agg(batch,
+                                   key_cols=["user_id", "event_type"]),
+                epoch=e, mode="mor", compact_threshold=2)
+            if e == 1:
+                table.evolve_partitioning(8)
+        # the scenario is real: post-evolution files exist under the new
+        # spec AND a post-evolution compaction touched old-spec files
+        assert {f.get("spec_id") for f in table.snapshot["files"]} >= {1}
+        assert any(
+            table.snapshot_at(v)["committed_epoch"] >= 2
+            and table.snapshot_at(v)["lineage"].get("buckets_compacted")
+            for v in range(1, table.version + 1)), \
+            "partition-evolution gate needs a post-evolution compaction"
+    return table
+
+
+def _q_cdc_partition_evolution(spark, sf_dir):
+    # P6 partition evolution gated end-to-end: the table re-bucketed
+    # 4 -> 8 mid-stream without touching a data file; the read must
+    # resolve LWW across files living under BOTH partition specs and
+    # across the compaction that migrated part of the old generation to
+    # the new layout. Oracle = LWW over the raw events (it never sees
+    # buckets or specs); lost co-located rows, double-applied rewrites,
+    # or wrong spec-aware pruning in the merge path hash-mismatch.
+    table = _pevo_table_for(spark, sf_dir)
+    return table.read(spark).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
 def _q_cdc_snapshot_bootstrap(spark, sf_dir):
     # P1 initial-load: chunked-snapshot bootstrap + full-stream replay
     # must converge to LWW over the stream alone (deletes applied). The
@@ -1209,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
+        "cdc_partition_evolution": _q_cdc_partition_evolution,
         "cdc_compacted_read": _q_cdc_compacted_read,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "windowed_counts": _q_windowed_counts,
@@ -1777,6 +1864,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_id % 3 <= 1) WHERE rn = 1
         """,
         "cdc_compacted_read": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
+        "cdc_partition_evolution": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value
             FROM (SELECT user_id, event_type, event_id, value,
                          row_number() OVER (

@@ -238,7 +238,10 @@ def merge_upsert(
     ).persist()
     dirty = {r["bucket"] for r in batch.select("bucket").distinct().collect()}
 
-    current = table.read(spark, buckets=dirty)
+    # prune_only: old-partition-spec files in scope are rewritten WHOLE
+    # (their co-located rows of other current buckets move to the new
+    # layout with them), so no row-level bucket predicate here
+    current = table.read(spark, buckets=dirty, prune_only=True)
     current = current.select(*_cast_to(current.columns, target))
 
     if broadcast is None:
@@ -255,7 +258,13 @@ def merge_upsert(
     new_files, new_rows = _write_bucketed(
         merged, staging, table.root, table.bucket_count, "base",
         bucket_by=table.bucket_by)
-    keep_files = [f for f in table.snapshot["files"] if f["bucket"] not in dirty]
+    # keep = NOT the files read above — the same spec-aware selection, so
+    # an old-partition-spec file whose rows were just rewritten (its keys
+    # overlap the dirty buckets under the current spec) is dropped, never
+    # duplicated
+    rewritten = {f["path"] for f in table.files(buckets=dirty)}
+    keep_files = [f for f in table.snapshot["files"]
+                  if f["path"] not in rewritten]
 
     batch_rows = batch.count()
     batch.unpersist()
@@ -312,19 +321,35 @@ def _merge_mor(
 
     keep = list(table.snapshot["files"])
 
-    # --- compaction decision: delta FILE depth per bucket after this
-    # append. Log-only deltas (compacted=True, below) are already folded
-    # into a base file and don't count toward depth.
+    # --- compaction decision: delta FILE depth per CURRENT-spec bucket
+    # after this append. Log-only deltas (compacted=True, below) are
+    # already folded into a base file and don't count toward depth. A
+    # delta written under an older partition spec contributes to every
+    # current bucket its residue class can hold (gcd rule, table/lake.py
+    # _file_bucket_filter) — so post-evolution writes naturally trigger
+    # the compaction that migrates old-spec files to the current layout.
+    import math
+
+    specs, default_spec = table._partition_specs(table.snapshot)
+    counts = {s["id"]: s["bucket_count"] for s in specs}
+    cur_b = table.bucket_count
     depth: dict[int, int] = {}
     for f in keep + new_delta:
         if f.get("kind", "base") == "delta" and not f.get("compacted"):
-            depth[f["bucket"]] = depth.get(f["bucket"], 0) + 1
+            fb = counts.get(f.get("spec_id", default_spec), cur_b)
+            if fb == cur_b:
+                depth[f["bucket"]] = depth.get(f["bucket"], 0) + 1
+            else:
+                g = math.gcd(cur_b, fb)
+                for b in range(f["bucket"] % g, cur_b, g):
+                    depth[b] = depth.get(b, 0) + 1
     compact = {b for b, d in depth.items() if d >= compact_threshold}
 
     compact_files: list[dict] = []
     compacted_rows = 0
     if compact:
-        in_scope = [f for f in keep + new_delta if f["bucket"] in compact]
+        in_compact = table._file_bucket_filter(table.snapshot, compact)
+        in_scope = [f for f in keep + new_delta if in_compact(f)]
         base_fs = [f for f in in_scope if f.get("kind", "base") == "base"]
         delta_fs = [f for f in in_scope
                     if f.get("kind") == "delta" and not f.get("compacted")]
@@ -358,7 +383,8 @@ def _merge_mor(
         compact_files, compacted_rows = _write_bucketed(
             live, staging_compact, table.root, table.bucket_count, "base",
             assume_bucketed=True, timings=timings)
-        keep = [f for f in keep if f["bucket"] not in compact]
+        compacted_away = {f["path"] for f in in_scope}
+        keep = [f for f in keep if f["path"] not in compacted_away]
         # the epoch's own delta rows are folded into the compacted base,
         # but the FILE stays referenced as a LOG-ONLY delta
         # (compacted=True): read() skips it (rows live in the base),

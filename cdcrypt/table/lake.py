@@ -149,6 +149,94 @@ class LakeTable:
         """Partition column (pre-r3 snapshots default to conv_id)."""
         return self.snapshot.get("bucket_by", DEFAULT_BUCKET_BY)
 
+    # ---------- partition specs ----------
+    @staticmethod
+    def _partition_specs(snap: dict) -> tuple[list[dict], int]:
+        """(spec list, default spec id). Legacy snapshots (written before
+        partition evolution existed) have exactly one implicit spec."""
+        if "partition_specs" in snap:
+            return snap["partition_specs"], snap["default_spec_id"]
+        return [{"id": 0,
+                 "bucket_by": snap.get("bucket_by", DEFAULT_BUCKET_BY),
+                 "bucket_count": snap["bucket_count"]}], 0
+
+    @classmethod
+    def _file_bucket_filter(cls, snap: dict, buckets: set[int]):
+        """Predicate: could this manifest file contain a key whose bucket
+        under the snapshot's DEFAULT spec is in ``buckets``?
+
+        A key k has bucket h(k) % B under a B-bucket spec. A file written
+        under an older spec with count Bo and bucket bo can contain a key
+        of current bucket bc iff an integer hashes to both residues, i.e.
+        iff bo ≡ bc (mod gcd(B, Bo)) — exact pruning when Bo divides B,
+        graceful no-pruning (g=1, everything matches) for unrelated
+        counts, and plain equality for same-spec files. Spec-id-aware
+        manifest pruning is the Iceberg partition-evolution scan contract."""
+        import math
+
+        specs, default_id = cls._partition_specs(snap)
+        cur_count = next(s["bucket_count"] for s in specs
+                         if s["id"] == default_id)
+        allowed: dict[int, set[int]] = {}
+        for s in specs:
+            g = math.gcd(cur_count, s["bucket_count"])
+            allowed[s["id"]] = {b % g for b in buckets}
+
+        def match(f: dict) -> bool:
+            sid = f.get("spec_id", default_id)
+            res = allowed.get(sid)
+            if res is None:
+                raise LakeTableError(f"file spec id {sid} not in snapshot")
+            g = math.gcd(cur_count,
+                         next(s["bucket_count"] for s in specs
+                              if s["id"] == sid))
+            return f["bucket"] % g in res
+        return match
+
+    def evolve_partitioning(self, bucket_count: int) -> int:
+        """Metadata-only partition evolution (Iceberg spec §Partition
+        Evolution): new files bucket under the NEW count, existing files
+        stay under the spec they were written with, and readers prune
+        per spec. No data moves; compaction migrates buckets to the
+        current spec incrementally as they are rewritten. Returns the
+        new table version.
+
+        Pruning sharpness follows gcd(new, old): growing by an integer
+        factor (4 -> 8) keeps exact pruning on old files; unrelated
+        counts degrade old-file pruning toward full scans of the old
+        generation (never wrong results) until compaction migrates them."""
+        if bucket_count < 1:
+            raise LakeTableError("bucket_count must be >= 1")
+        specs, default_id = self._partition_specs(self.snapshot)
+        cur = next(s for s in specs if s["id"] == default_id)
+        if bucket_count == cur["bucket_count"]:
+            raise LakeTableError(
+                f"table already buckets by {bucket_count}")
+        new_spec = {"id": max(s["id"] for s in specs) + 1,
+                    "bucket_by": cur["bucket_by"],
+                    "bucket_count": bucket_count}
+        # files from the legacy-keyed era need their implicit spec pinned
+        # before the default moves
+        pinned = [dict(f, spec_id=f.get("spec_id", default_id))
+                  for f in self.snapshot["files"]]
+        return self.commit(
+            epoch=self.committed_epoch,
+            keep_files=pinned,
+            new_files=[],
+            lineage={"mode": "partition_evolution",
+                     "from": {"spec_id": default_id,
+                              "bucket_count": cur["bucket_count"]},
+                     "to": {"spec_id": new_spec["id"],
+                            "bucket_count": bucket_count}},
+            meta_updates={
+                "partition_specs": specs + [new_spec],
+                "default_spec_id": new_spec["id"],
+                "bucket_count": bucket_count,
+                "partition_spec":
+                    f"bucket({cur['bucket_by']}, {bucket_count})",
+            },
+        )
+
     @property
     def key_cols(self) -> list[str]:
         """MERGE/resolution key columns (pre-r3 snapshots default to the
@@ -351,9 +439,15 @@ class LakeTable:
                 schemas.append({"id": schema_id,
                                 "spark": new_schema.jsonValue(),
                                 "ids": ids})
-        # files written by this commit carry the commit's schema id
+        # files written by this commit carry the commit's schema id and
+        # the default partition spec id
+        _, default_spec = self._partition_specs(prev)
         new_files = [
             {**f, "schema_id": schema_id} if f.get("schema_id") is None else f
+            for f in new_files
+        ]
+        new_files = [
+            {**f, "spec_id": default_spec} if f.get("spec_id") is None else f
             for f in new_files
         ]
         snap = {
@@ -367,13 +461,17 @@ class LakeTable:
             "bucket_by": prev.get("bucket_by", DEFAULT_BUCKET_BY),
             "key_cols": list(prev.get("key_cols", DEFAULT_KEY_COLS)),
             "bucket_count": prev["bucket_count"],
+            **({"partition_specs": prev["partition_specs"],
+                "default_spec_id": prev["default_spec_id"]}
+               if "partition_specs" in prev else {}),
             "files": keep_files + new_files,
             "committed_epoch": epoch,
             "lineage": lineage,
             "created_ms": int(time.time() * 1000),
         }
         if meta_updates:
-            allowed = {"bucket_by", "key_cols", "partition_spec"}
+            allowed = {"bucket_by", "key_cols", "partition_spec",
+                       "partition_specs", "default_spec_id", "bucket_count"}
             bad = set(meta_updates) - allowed
             if bad:
                 raise LakeTableError(f"meta_updates may only set {allowed}, "
@@ -503,6 +601,10 @@ class LakeTable:
             meta_updates["bucket_by"] = new_bucket_by
             meta_updates["partition_spec"] = (
                 f"bucket({new_bucket_by}, {self.bucket_count})")
+            if "partition_specs" in self.snapshot:
+                meta_updates["partition_specs"] = [
+                    {**s, "bucket_by": new_bucket_by}
+                    for s in self.snapshot["partition_specs"]]
         if any(k in renames for k in self.key_cols):
             meta_updates["key_cols"] = [renames.get(k, k)
                                         for k in self.key_cols]
@@ -524,10 +626,13 @@ class LakeTable:
 
     # ---------- read ----------
     def files(self, buckets: set[int] | None = None, version: int | None = None) -> list[dict]:
+        """Manifest entries, optionally pruned to the files that could
+        contain keys bucketing into ``buckets`` under the snapshot's
+        default spec (spec-id-aware across partition evolutions)."""
         snap = self.snapshot if version is None else self.snapshot_at(version)
         out = snap["files"]
         if buckets is not None:
-            out = [f for f in out if f["bucket"] in buckets]
+            out = list(filter(self._file_bucket_filter(snap, buckets), out))
         return out
 
     def scan_projected(
@@ -629,8 +734,19 @@ class LakeTable:
         buckets: set[int] | None = None,
         version: int | None = None,
         with_bucket: bool = False,
+        prune_only: bool = False,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-traveled).
+
+        ``buckets`` selects rows whose key buckets into the given ids
+        under the snapshot's DEFAULT spec. Manifest pruning is file-level
+        and spec-aware (gcd residue rule); when the selection includes
+        files written under an OLDER partition spec, those files can
+        carry co-located rows of other current buckets, so a row-level
+        bucket predicate is applied on top — unless ``prune_only=True``
+        (merge wants whole files: it rewrites every row of the files it
+        selects). Single-spec tables never need the predicate and keep
+        the pure-metadata pruning plan.
 
         One parquet read for ALL files of a kind regardless of schema id:
         the current schema is pushed as the read schema, so old files yield
@@ -674,6 +790,14 @@ class LakeTable:
             df = resolved.where(
                 F.coalesce(F.col("op") != "D", F.lit(True))
             ).drop("op", "epoch").select(*[f.name for f in snap_schema.fields])
+        if buckets is not None and not prune_only:
+            _, default_spec = self._partition_specs(snap)
+            if any(f.get("spec_id", default_spec) != default_spec
+                   for f in fs):
+                df = df.where(
+                    bucket_col(snap["bucket_count"],
+                               snap.get("bucket_by", DEFAULT_BUCKET_BY))
+                    .isin(*buckets))
         if with_bucket:
             df = df.withColumn(
                 "bucket",
