@@ -713,6 +713,22 @@ def _q_cdc_snapshot_bootstrap(spark, sf_dir):
         "user_id", "event_type", F.round("value", 6).alias("value"))
 
 
+def _q_cdc_point_lookup(spark, sf_dir):
+    # P6 manifest scan planning: point lookup of ONE hot key's resolved
+    # state through bucket pruning + the manifest's recorded per-file
+    # column bounds (no footers opened at plan time), then MoR LWW over
+    # just the surviving files. Key = min(user_id) (engine-independent).
+    # Oracle = LWW over the raw events for that key; a pruning rule that
+    # drops a delta holding a newer version of the key hash-mismatches.
+    table = _mor_table_for(spark, sf_dir)
+    k = _t(spark, sf_dir, "events").agg(
+        F.min(F.col("user_id").cast("long"))).first()[0]
+    return table.read(spark, key_range={"user_id": (k, k)}).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
 def _q_cdc_schema_evolution(spark, sf_dir):
     # P7 field-id schema evolution gated end-to-end: pre-evolution epochs
     # wrote (value float, ts); mid-stream the table widened value->double,
@@ -1296,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
         "cdc_partition_evolution": _q_cdc_partition_evolution,
+        "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_compacted_read": _q_cdc_compacted_read,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "windowed_counts": _q_windowed_counts,
@@ -1870,6 +1887,16 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY user_id, event_type
                              ORDER BY event_id DESC) rn
                   FROM events) WHERE rn = 1
+        """,
+        "cdc_point_lookup": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events
+                  WHERE user_id = (SELECT min(user_id) FROM events))
+            WHERE rn = 1
         """,
         "cdc_partition_evolution": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value

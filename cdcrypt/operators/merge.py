@@ -85,6 +85,35 @@ def _cast_to(df_cols: list[str], target: StructType) -> list:
 NO_DICT_COLS = ("text", "tool", "ts", "op_seq")
 
 
+def _footer_bounds(md, stats_cols: tuple[str, ...]) -> dict:
+    """Per-file [min, max] for ``stats_cols`` from the parquet footer's
+    row-group statistics (already in hand — the footer is read for
+    num_rows anyway, so manifest bounds cost nothing extra). A column is
+    recorded only when EVERY row group has min/max of a JSON-stable type;
+    anything else is silently unbounded (pruning stays conservative)."""
+    ok_types = (str, int, float, bool)
+    idx = {md.row_group(0).column(j).path_in_schema: j
+           for j in range(md.num_columns)} if md.num_row_groups else {}
+    out = {}
+    for c in stats_cols:
+        j = idx.get(c)
+        if j is None:
+            continue
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(j).statistics
+            if st is None or not st.has_min_max \
+                    or not isinstance(st.min, ok_types) \
+                    or not isinstance(st.max, ok_types):
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
 def _write_bucketed(
     df: DataFrame,
     staging: str,
@@ -96,6 +125,7 @@ def _write_bucketed(
     timings: dict | None = None,
     no_dict_cols: tuple[str, ...] = NO_DICT_COLS,
     bucket_by: str = "conv_id",
+    stats_cols: tuple[str, ...] = (),
 ) -> tuple[list[dict], int]:
     """Write ``df`` as one plain parquet file per bucket; return manifest
     entries. partition_id == bucket (see table/lake.py bucket_col), so the
@@ -112,17 +142,32 @@ def _write_bucketed(
     t1 = time.monotonic()
     entries, total = [], 0
     for p in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        nrows = pq.ParquetFile(p).metadata.num_rows
+        md = pq.ParquetFile(p).metadata
+        nrows = md.num_rows
         if nrows == 0:
             continue
         bkt = int(os.path.basename(p).split("-")[1])
-        entries.append({"path": os.path.relpath(p, root), "bucket": bkt,
-                        "schema_id": None, "rows": nrows, "kind": kind})
+        entry = {"path": os.path.relpath(p, root), "bucket": bkt,
+                 "schema_id": None, "rows": nrows, "kind": kind}
+        bounds = _footer_bounds(md, stats_cols)
+        if bounds:
+            entry["bounds"] = bounds
+        entries.append(entry)
         total += nrows
     if timings is not None:
         timings[f"{kind}_write_sec"] = round(t1 - t0, 3)
         timings[f"{kind}_manifest_sec"] = round(time.monotonic() - t1, 3)
     return entries, total
+
+
+def _stats_cols(table: LakeTable, df: DataFrame) -> tuple[str, ...]:
+    """Manifest-bounds columns: the MERGE keys plus the monotone change
+    metadata (op_seq, epoch). Keys give point/range lookup pruning;
+    op_seq/epoch bounds are TIGHT per delta file (each holds one epoch),
+    so time/position-range scans skip old deltas from the manifest alone."""
+    want = [*table.key_cols, "op_seq", "epoch"]
+    have = set(df.columns)
+    return tuple(c for c in dict.fromkeys(want) if c in have)
 
 
 def _cow_merged(current: DataFrame, batch: DataFrame, key_cols: list[str],
@@ -257,7 +302,7 @@ def merge_upsert(
     staging = os.path.join(table.root, "data", f"v{next_version}")
     new_files, new_rows = _write_bucketed(
         merged, staging, table.root, table.bucket_count, "base",
-        bucket_by=table.bucket_by)
+        bucket_by=table.bucket_by, stats_cols=_stats_cols(table, merged))
     # keep = NOT the files read above — the same spec-aware selection, so
     # an old-partition-spec file whose rows were just rewritten (its keys
     # overlap the dirty buckets under the current spec) is dropped, never
@@ -317,7 +362,7 @@ def _merge_mor(
     new_delta, appended_rows = _write_bucketed(
         delta_df, staging_delta, table.root, table.bucket_count, "delta",
         assume_bucketed=assume_bucketed, timings=timings,
-        bucket_by=table.bucket_by)
+        bucket_by=table.bucket_by, stats_cols=_stats_cols(table, delta_df))
 
     keep = list(table.snapshot["files"])
 
@@ -382,7 +427,8 @@ def _merge_mor(
             table.root, "data", f"v{next_version}", "compact")
         compact_files, compacted_rows = _write_bucketed(
             live, staging_compact, table.root, table.bucket_count, "base",
-            assume_bucketed=True, timings=timings)
+            assume_bucketed=True, timings=timings,
+            stats_cols=_stats_cols(table, live))
         compacted_away = {f["path"] for f in in_scope}
         keep = [f for f in keep if f["path"] not in compacted_away]
         # the epoch's own delta rows are folded into the compacted base,

@@ -625,14 +625,31 @@ class LakeTable:
         )
 
     # ---------- read ----------
-    def files(self, buckets: set[int] | None = None, version: int | None = None) -> list[dict]:
+    def files(self, buckets: set[int] | None = None, version: int | None = None,
+              key_range: dict | None = None) -> list[dict]:
         """Manifest entries, optionally pruned to the files that could
         contain keys bucketing into ``buckets`` under the snapshot's
-        default spec (spec-id-aware across partition evolutions)."""
+        default spec (spec-id-aware across partition evolutions) and/or
+        intersecting ``key_range`` ({col: (lo, hi)}, inclusive; lo or hi
+        may be None for half-open) against the per-file column bounds the
+        writer recorded from parquet footer stats — Iceberg-style scan
+        planning from the manifest alone, no file footers opened. A file
+        without bounds for a requested column is never pruned."""
         snap = self.snapshot if version is None else self.snapshot_at(version)
         out = snap["files"]
         if buckets is not None:
             out = list(filter(self._file_bucket_filter(snap, buckets), out))
+        if key_range:
+            def hit(f: dict) -> bool:
+                for c, (lo, hi) in key_range.items():
+                    b = f.get("bounds", {}).get(c)
+                    if b is None:
+                        continue
+                    if (hi is not None and b[0] > hi) or \
+                            (lo is not None and b[1] < lo):
+                        return False
+                return True
+            out = [f for f in out if hit(f)]
         return out
 
     def scan_projected(
@@ -735,8 +752,17 @@ class LakeTable:
         version: int | None = None,
         with_bucket: bool = False,
         prune_only: bool = False,
+        key_range: dict | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-traveled).
+
+        ``key_range``: {key_col: (lo, hi)} point/range lookup — files are
+        pruned from the manifest's recorded column bounds (no footers
+        opened) and a row predicate narrows the survivors. KEY columns
+        only: a key's rows all live in files whose bounds contain it, so
+        pre-resolution filtering is complete per key; range-scanning a
+        non-key column under MoR would resolve against a subset of a
+        key's versions (use read_incremental for change-position ranges).
 
         ``buckets`` selects rows whose key buckets into the given ids
         under the snapshot's DEFAULT spec. Manifest pruning is file-level
@@ -762,7 +788,15 @@ class LakeTable:
         snap_schema = StructType.fromJson(
             next(s["spark"] for s in snap["schemas"]
                  if s["id"] == snap["schema_id"]))
-        fs = self.files(buckets, version)
+        if key_range:
+            keyset = set(snap.get("key_cols", DEFAULT_KEY_COLS))
+            bad = set(key_range) - keyset
+            if bad:
+                raise LakeTableError(
+                    f"key_range supports key columns only, got {sorted(bad)}"
+                    " (non-key ranges under merge-on-read would resolve "
+                    "against partial version history)")
+        fs = self.files(buckets, version, key_range=key_range)
         base_fs = [f for f in fs if f.get("kind", "base") == "base"]
         # log-only deltas (compacted=True) were folded into a base file by
         # the commit that references them — they exist for the incremental
@@ -798,6 +832,12 @@ class LakeTable:
                     bucket_col(snap["bucket_count"],
                                snap.get("bucket_by", DEFAULT_BUCKET_BY))
                     .isin(*buckets))
+        if key_range:
+            for c, (lo, hi) in key_range.items():
+                if lo is not None:
+                    df = df.where(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(c) <= F.lit(hi))
         if with_bucket:
             df = df.withColumn(
                 "bucket",
