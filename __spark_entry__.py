@@ -159,6 +159,26 @@ def _q_smt_array_struct_wildcard(spark, sf_dir):
     )
 
 
+def _q_smt_key_rotation(spark, sf_dir):
+    # C12 key rotation as the AWS Encryption SDK models it: rotating the
+    # MASTER key only re-wraps each envelope's data key (header splice,
+    # payload AES-GCM untouched, O(distinct DEKs) KMS work —
+    # envelope.rewrap_batch). encrypt(k1) -> rewrap(k2) -> decrypt
+    # verifying k2 must be the identity; a rewrap that corrupts the
+    # payload, loses the AAD binding, or skips rows hash-mismatches.
+    from cdcrypt.operators.transform import (
+        decrypt_fields, encrypt_fields, rewrap_fields,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encrypt_fields(docs, ["$.text"], key_id="cdcrypt/old",
+                         aad_field="source")
+    rot = rewrap_fields(enc, ["$.text"], "cdcrypt/new")
+    dec = decrypt_fields(rot, ["$.text"], key_id="cdcrypt/new",
+                         aad_field="source")
+    return dec.select("doc_id", "text")
+
+
 def _q_smt_conditional_crypto(spark, sf_dir):
     # O6 through the crypto path: only source='web' rows are encrypted
     # (then decrypted back); others pass through untouched — round-trip
@@ -1294,6 +1314,7 @@ def _q_multimodal_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
+        "smt_key_rotation": _q_smt_key_rotation,
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "smt_array_wildcard": _q_smt_array_wildcard,
         "smt_array_struct_wildcard": _q_smt_array_struct_wildcard,
@@ -1802,6 +1823,7 @@ def _neardup_lsh_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "smt_encrypt_roundtrip": "SELECT doc_id, text FROM documents",
+        "smt_key_rotation": "SELECT doc_id, text FROM documents",
         "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
         "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",
         "smt_array_struct_wildcard": (

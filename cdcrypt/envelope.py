@@ -277,3 +277,90 @@ def decrypt_batch(
             raise indexed from e
         out[i] = pt.decode("utf-8") if as_string else pt
     return out
+
+
+def rewrap_batch(
+    values: Sequence[object],
+    new_key_id: str,
+    kms: MockKMS | None = None,
+    rewrap_cache: dict[bytes, bytes] | None = None,
+    context: dict[str, str] | None = None,
+    new_context: dict[str, str] | None = None,
+    expect_key_id: str | None = None,
+) -> list[object]:
+    """Rotate a batch of envelopes to ``new_key_id`` WITHOUT touching the
+    payload: parse the header, unwrap the DEK under the old master key,
+    wrap it under the new one, splice the new header onto the unchanged
+    ``nonce | ciphertext`` tail. The AES-GCM payload is never decrypted,
+    so rotation CPU is O(distinct DEKs) KMS work per batch (one DEK per
+    writing epoch by construction) plus a byte splice per row — the
+    KMS-key-rotation model of the AWS Encryption SDK / Iceberg envelope
+    encryption, where re-encrypting data for a master-key rotation is
+    explicitly NOT required, only rewrapping.
+
+    ``rewrap_cache`` memoizes old-header -> new-header across batches
+    (executor-local, like the decrypt DEK cache). Symmetric (v1) and
+    asymmetric (v2) envelopes rewrap to a symmetric wrap under
+    ``new_key_id``; CONVERGENT envelopes (v3) derive their DEK from the
+    key id itself — rotating them changes every ciphertext byte, so they
+    require a full decrypt/re-encrypt pass and this raises a client
+    error pointing there. Output encoding mirrors each input value
+    (base64 str in -> str out, bytes in -> bytes out); nulls pass
+    through. Errors carry the failing row index like decrypt_batch.
+    """
+    kms = kms or DEFAULT_KMS
+    cache = rewrap_cache if rewrap_cache is not None else {}
+    n = len(values)
+    out: list[object] = [None] * n
+    for i in range(n):
+        v = values[i]
+        if v is None:
+            continue
+        key_id: str | None = None
+        try:
+            if isinstance(v, str):
+                try:
+                    blob = base64.b64decode(
+                        v.replace("\r", "").replace("\n", ""), validate=True)
+                except Exception as e:  # noqa: BLE001 - data error
+                    raise ClientErrorException(
+                        f"invalid base64 envelope: {e}") from e
+                as_string = True
+            else:
+                blob = bytes(v)
+                as_string = False
+            version, key_id, wrapped, nonce, ct = parse_envelope_full(blob)
+            if expect_key_id is not None and key_id != expect_key_id:
+                raise ClientErrorException(
+                    f"envelope key id {key_id!r} != expected "
+                    f"{expect_key_id!r}")
+            if version == _VERSION_DET:
+                raise ClientErrorException(
+                    "convergent envelope cannot be header-rewrapped (its "
+                    "DEK is derived from the key id); re-encrypt via "
+                    "decrypt_batch + encrypt_batch(deterministic=True)")
+            header_len = len(blob) - _NONCE_LEN - len(ct)
+            old_header = bytes(blob[:header_len])
+            new_header = cache.get(old_header)
+            if new_header is None:
+                if version == _VERSION_ASYM:
+                    dek = kms.asym_unwrap(wrapped, key_id)
+                else:
+                    dek = kms.unwrap(wrapped, key_id, context)
+                new_header = _build_header(
+                    new_key_id, kms.wrap(dek, new_key_id, new_context))
+                cache[old_header] = new_header
+            nb = new_header + nonce + ct
+            out[i] = (base64.b64encode(nb).decode("ascii")
+                      if as_string else nb)
+        except ClientErrorException as e:
+            if getattr(e, "batch_index", None) is not None:
+                raise
+            where = f"batch item {i}"
+            if key_id is not None:
+                where += f" (key id {key_id!r})"
+            indexed = ClientErrorException(f"{where}: {e}")
+            indexed.batch_index = i
+            indexed.key_id = key_id
+            raise indexed from e
+    return out

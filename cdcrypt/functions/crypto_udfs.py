@@ -54,6 +54,17 @@ def _cache() -> dict[bytes, object]:
     return _DEK_CACHE
 
 
+# old envelope header -> new header, for key-rotation rewrap (same
+# executor-locality and bound rationale as the DEK cache)
+_REWRAP_CACHE: dict[bytes, bytes] = {}
+
+
+def _rewrap_cache() -> dict[bytes, bytes]:
+    if len(_REWRAP_CACHE) > _DEK_CACHE_MAX:
+        _REWRAP_CACHE.clear()
+    return _REWRAP_CACHE
+
+
 def _clean(values: Sequence[object]) -> list[object]:
     return [None if v is None or v is pd.NA else v for v in values]
 
@@ -175,6 +186,39 @@ def make_decrypt_udf(
         )
 
     return _build_udf(core, ret, use_aad, use_gate)
+
+
+def make_rewrap_udf(
+    new_key_id: str,
+    *,
+    encoding: str = "string",
+    kms: MockKMS | None = None,
+    context: dict[str, str] | None = None,
+    new_context: dict[str, str] | None = None,
+    expect_key_id: str | None = None,
+    use_gate: bool = False,
+) -> Callable:
+    """Pandas UDF: (envelope[, gate]) -> envelope rewrapped under
+    ``new_key_id`` (C12 key rotation). Header-only: the AES-GCM payload
+    is never decrypted — O(distinct DEKs) KMS work per executor via the
+    rewrap cache, a byte splice per row (envelope.rewrap_batch)."""
+    from cdcrypt.envelope import rewrap_batch
+
+    ret = StringType() if encoding == "string" else BinaryType()
+    kms_inst = kms or MockKMS()
+
+    def core(vals, aad, gate):
+        return _gated_apply(
+            vals, gate, aad,
+            lambda v, a: rewrap_batch(v, new_key_id, kms_inst,
+                                      rewrap_cache=_rewrap_cache(),
+                                      context=context,
+                                      new_context=new_context,
+                                      expect_key_id=expect_key_id),
+            lambda v: v,
+        )
+
+    return _build_udf(core, ret, False, use_gate)
 
 
 def _flatten_arrays(lists, index: int | None):

@@ -298,6 +298,7 @@ class MockKMS:
 
     def wrap(self, dek: bytes, key_id: str,
              context: dict[str, str] | None = None) -> bytes:
+        self.wrap_calls += 1
         return self._call(self.transport.wrap, dek, key_id, context)
 
     def unwrap(

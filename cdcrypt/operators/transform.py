@@ -245,3 +245,50 @@ def encrypt_fields(df: DataFrame, fields: list[str], **kw) -> DataFrame:
 def decrypt_fields(df: DataFrame, fields: list[str], **kw) -> DataFrame:
     """Convenience: one-shot decrypt transform."""
     return FieldTransform(TransformConfig(mode="decrypt", fields=fields, **kw)).apply(df)
+
+
+def rewrap_fields(
+    df: DataFrame,
+    fields: list[str],
+    new_key_id: str,
+    *,
+    kms: MockKMS | None = None,
+    encoding: str = "string",
+    context: dict[str, str] | None = None,
+    new_context: dict[str, str] | None = None,
+    expect_key_id: str | None = None,
+    condition_field: str | None = None,
+    condition_equals: str | None = None,
+) -> DataFrame:
+    """KEY ROTATION rewrap (C12): re-wrap each envelope's data key under
+    ``new_key_id`` without decrypting the payload — the master-key
+    rotation model of the AWS Encryption SDK, where data re-encryption
+    is explicitly not required (envelope.rewrap_batch). Same field-path
+    compiler, condition gate, and null/missing passthrough as the crypto
+    transform; decrypt afterwards with ``key_id=new_key_id`` (or
+    ``verify_key_id=False`` while a rotation is mid-flight). Scalar
+    paths only — array-element rotation would rewrap per element and is
+    better done as a full re-encrypt."""
+    from cdcrypt.functions.crypto_udfs import make_rewrap_udf
+
+    if (condition_field is None) != (condition_equals is None):
+        raise ConfigError(
+            "condition.field and condition.equals must be set together")
+    use_gate = condition_field is not None
+    gate = (compile_condition(df, condition_field, condition_equals)
+            if use_gate else None)
+    udf = make_rewrap_udf(
+        new_key_id, encoding=encoding, kms=kms or MockKMS(),
+        context=context, new_context=new_context,
+        expect_key_id=expect_key_id, use_gate=use_gate)
+    for p in fields:
+        cp = compile_path(p)
+        if cp.is_array:
+            raise ConfigError(
+                f"rewrap does not support array paths ({p!r}); "
+                "re-encrypt instead")
+        if not path_exists(df, cp):
+            continue  # missing optional target -> skip
+        cur = select_column(cp)
+        df = rewrite(df, cp, udf(cur, gate) if use_gate else udf(cur))
+    return df
