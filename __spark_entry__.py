@@ -179,17 +179,43 @@ def _q_smt_key_rotation(spark, sf_dir):
     return dec.select("doc_id", "text")
 
 
+def _q_smt_crypto_shred(spark, sf_dir):
+    # Crypto-shredding (r4): a shreddable column gets one data key per
+    # (batch x distinct aad identity), wrapped under KMS context
+    # {'shred': <identity>} — so revoking ONE identity's key material
+    # erases its rows from an immutable lake (GDPR) while the ciphertext
+    # bytes stay put. Here the 'src3' identity is revoked between write
+    # and read (two KMS instances: the write-side KMS never saw the
+    # revocation — plans are lazy, and a real revocation happens after
+    # the data is at rest); the revoked_to_null read surfaces its rows
+    # as NULLs and decrypts every other identity intact, which is
+    # exactly the CASE expression the oracle predicts from plaintext.
+    from cdcrypt.kms import MockKMS
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encrypt_fields(docs, ["$.text"], key_id="cdcrypt/docs",
+                         kms=MockKMS(), aad_field="source",
+                         shreddable=True)
+    kms_read = MockKMS()
+    kms_read.revoke("cdcrypt/docs", {"shred": "src3"})
+    dec = decrypt_fields(enc, ["$.text"], key_id="cdcrypt/docs",
+                         kms=kms_read, aad_field="source",
+                         shreddable=True, revoked_to_null=True)
+    return dec.select("doc_id", "text", "source")
+
+
 def _q_smt_conditional_crypto(spark, sf_dir):
-    # O6 through the crypto path: only source='web' rows are encrypted
+    # O6 through the crypto path: only source='src3' rows are encrypted
     # (then decrypted back); others pass through untouched — round-trip
     # identity either way, which is exactly what the oracle checks
     from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
 
     docs = _t(spark, sf_dir, "documents")
     enc = encrypt_fields(docs, ["$.text"], key_id="cdcrypt/docs",
-                         condition_field="$.source", condition_equals="web")
+                         condition_field="$.source", condition_equals="src3")
     dec = decrypt_fields(enc, ["$.text"], key_id="cdcrypt/docs",
-                         condition_field="$.source", condition_equals="web")
+                         condition_field="$.source", condition_equals="src3")
     return dec.select("doc_id", "text", "source")
 
 
@@ -201,7 +227,7 @@ def _q_smt_mask_field(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     out = mask_fields(docs, ["$.text"], regex="[0-9]+", replacement="#",
-                      condition_field="$.source", condition_equals="web")
+                      condition_field="$.source", condition_equals="src3")
     return out.select("doc_id", "text", "source")
 
 
@@ -1315,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
         "smt_key_rotation": _q_smt_key_rotation,
+        "smt_crypto_shred": _q_smt_crypto_shred,
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "smt_array_wildcard": _q_smt_array_wildcard,
         "smt_array_struct_wildcard": _q_smt_array_struct_wildcard,
@@ -1824,13 +1851,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "smt_encrypt_roundtrip": "SELECT doc_id, text FROM documents",
         "smt_key_rotation": "SELECT doc_id, text FROM documents",
+        "smt_crypto_shred": (
+            "SELECT doc_id, CASE WHEN source = 'src3' THEN NULL "
+            "ELSE text END AS text, source FROM documents"),
         "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
         "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",
         "smt_array_struct_wildcard": (
             "SELECT doc_id, text, source, source AS source2 FROM documents"),
         "smt_conditional_crypto": "SELECT doc_id, text, source FROM documents",
         "smt_mask_field": (
-            "SELECT doc_id, CASE WHEN source = 'web' THEN "
+            "SELECT doc_id, CASE WHEN source = 'src3' THEN "
             "regexp_replace(text, '[0-9]+', '#', 'g') ELSE text END AS text, "
             "source FROM documents"),
         "smt_hash_field": (

@@ -271,7 +271,10 @@ def decrypt_batch(
             where = f"batch item {i}"
             if key_id is not None:
                 where += f" (key id {key_id!r})"
-            indexed = ClientErrorException(f"{where}: {e}")
+            # type(e), not ClientErrorException: subclasses (e.g.
+            # KeyRevokedException) must survive the row-index wrap so
+            # revocation-aware readers can catch them specifically
+            indexed = type(e)(f"{where}: {e}")
             indexed.batch_index = i
             indexed.key_id = key_id
             raise indexed from e

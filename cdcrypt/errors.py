@@ -25,6 +25,15 @@ class ClientErrorException(ServiceException):
     """
 
 
+class KeyRevokedException(ClientErrorException):
+    """The key material for this (key id, context) was revoked —
+    crypto-shredding (GDPR-style erasure on immutable storage): the
+    ciphertext still exists but is permanently unreadable. A subclass of
+    the fatal client error so retry routing is unchanged, while readers
+    that EXPECT shredded rows (decrypt with ``revoked_to_null``) can
+    catch it specifically and surface nulls instead of failing."""
+
+
 class ServerErrorException(ServiceException):
     """Transient service-side error. Retriable via epoch replay
     (reference: RetriableException, Transform.java:124-125)."""

@@ -93,6 +93,37 @@ def _gated_apply(
     return out
 
 
+def _per_aad_groups(values, aad, group_fn):
+    """Apply ``group_fn(sub_values, sub_aad, aad_value)`` once per
+    DISTINCT aad value in the batch, reassembling in order.
+
+    The crypto-shredding granularity trade (SURVEY C4/C12): one data key
+    per (batch x distinct identity) instead of one per batch, so the KMS
+    can later revoke a single identity's material. Rows with a NULL aad
+    form their own group bound to the base context (no identity — not
+    shreddable, by construction)."""
+    if aad is None:
+        raise ValueError("per-identity crypto requires an aad column")
+    out = [None] * len(values)
+    groups: dict[object, list[int]] = {}
+    for i, a in enumerate(aad):
+        groups.setdefault(a, []).append(i)
+    for a, idxs in groups.items():
+        sub = group_fn([values[i] for i in idxs],
+                       [aad[i] for i in idxs], a)
+        for j, i in enumerate(idxs):
+            out[i] = sub[j]
+    return out
+
+
+def _shred_context(base: dict[str, str] | None, aad_value) -> dict[str, str] | None:
+    if aad_value is None:
+        return base
+    v = (aad_value.decode("utf-8", "replace")
+         if isinstance(aad_value, (bytes, bytearray)) else str(aad_value))
+    return {**(base or {}), "shred": v}
+
+
 def _build_udf(core, ret, use_aad: bool, use_gate: bool):
     """Assemble a pandas UDF with the right positional signature:
     (value[, aad][, gate])."""
@@ -136,8 +167,15 @@ def make_encrypt_udf(
     use_gate: bool = False,
     asymmetric: bool = False,
     deterministic: bool = False,
+    per_aad_context: bool = False,
 ) -> Callable:
     """Pandas UDF: (value[, aad][, gate]) -> envelope (base64 str or bytes).
+
+    ``per_aad_context=True`` (requires ``use_aad``) makes the column
+    CRYPTO-SHREDDABLE: rows are grouped by aad value and each group gets
+    its own data key wrapped under context ``{'shred': <aad>}`` — one
+    wrap per (batch x distinct identity) instead of one per batch, the
+    price of per-identity erasure (``MockKMS.revoke``).
 
     ``asymmetric=True`` fetches the RSA public key ONCE here (driver-side,
     plan-compile time — the reference's ``init()`` fetch-once pattern,
@@ -149,16 +187,23 @@ def make_encrypt_udf(
     kms_inst = kms or MockKMS()
     passthrough = _str_passthrough_for(encoding)
     pub_pem = kms_inst.asym_public_pem(key_id) if asymmetric else None
+    if per_aad_context and not use_aad:
+        raise ValueError("per_aad_context requires use_aad")
+
+    def _enc(v, a, ctx):
+        return encrypt_batch(v, key_id, kms_inst, aad=a,
+                             encoding=encoding, context=ctx,
+                             public_key_pem=pub_pem,
+                             deterministic=deterministic)
 
     def core(vals, aad, gate):
-        return _gated_apply(
-            vals, gate, aad,
-            lambda v, a: encrypt_batch(v, key_id, kms_inst, aad=a,
-                                       encoding=encoding, context=context,
-                                       public_key_pem=pub_pem,
-                                       deterministic=deterministic),
-            passthrough,
-        )
+        if per_aad_context:
+            fn = lambda v, a: _per_aad_groups(  # noqa: E731
+                v, a, lambda sv, sa, av: _enc(sv, sa,
+                                              _shred_context(context, av)))
+        else:
+            fn = lambda v, a: _enc(v, a, context)  # noqa: E731
+        return _gated_apply(vals, gate, aad, fn, passthrough)
 
     return _build_udf(core, ret, use_aad, use_gate)
 
@@ -171,19 +216,43 @@ def make_decrypt_udf(
     use_aad: bool = False,
     use_gate: bool = False,
     expect_key_id: str | None = None,
+    per_aad_context: bool = False,
+    revoked_to_null: bool = False,
 ) -> Callable:
-    """Pandas UDF: (envelope[, aad][, gate]) -> plaintext."""
+    """Pandas UDF: (envelope[, aad][, gate]) -> plaintext.
+
+    ``per_aad_context=True`` decrypts a crypto-shreddable column (see
+    make_encrypt_udf): rows group by aad value, each group unwraps under
+    context ``{'shred': <aad>}``. ``revoked_to_null=True`` turns a
+    revoked identity's rows into NULLs instead of failing the job — the
+    read-side contract of crypto-shredding (the ciphertext is still on
+    disk; the data is gone). Leave False to surface KeyRevokedException
+    loudly (an audit read that does not expect shredded rows)."""
     ret = StringType() if output == "string" else BinaryType()
     kms_inst = kms or MockKMS()
+    if per_aad_context and not use_aad:
+        raise ValueError("per_aad_context requires use_aad")
+
+    def _dec(v, a, ctx):
+        return decrypt_batch(v, kms_inst, aad=a, output=output,
+                             dek_cache=_cache(), context=ctx,
+                             expect_key_id=expect_key_id)
 
     def core(vals, aad, gate):
-        return _gated_apply(
-            vals, gate, aad,
-            lambda v, a: decrypt_batch(v, kms_inst, aad=a, output=output,
-                                       dek_cache=_cache(), context=context,
-                                       expect_key_id=expect_key_id),
-            lambda v: v,
-        )
+        if per_aad_context:
+            from cdcrypt.errors import KeyRevokedException
+
+            def per_group(sv, sa, av):
+                try:
+                    return _dec(sv, sa, _shred_context(context, av))
+                except KeyRevokedException:
+                    if revoked_to_null:
+                        return [None] * len(sv)
+                    raise
+            fn = lambda v, a: _per_aad_groups(v, a, per_group)  # noqa: E731
+        else:
+            fn = lambda v, a: _dec(v, a, context)  # noqa: E731
+        return _gated_apply(vals, gate, aad, fn, lambda v: v)
 
     return _build_udf(core, ret, use_aad, use_gate)
 

@@ -92,7 +92,7 @@ class KmsTransportError(Exception):
 
 @runtime_checkable
 class KmsTransport(Protocol):
-    """The five primitive key operations a real KMS client implements.
+    """The primitive key operations a real KMS client implements.
 
     Implementations may raise :class:`KmsTransportError` for transport
     faults (mapped by the service layer) or the engine's typed
@@ -114,6 +114,12 @@ class KmsTransport(Protocol):
 
     def asym_unwrap(self, wrapped: bytes, key_id: str) -> bytes: ...
 
+    def wrap(self, dek: bytes, key_id: str,
+             context: dict[str, str] | None) -> bytes: ...
+
+    def revoke(self, key_id: str,
+               context: dict[str, str] | None) -> None: ...
+
 
 class InProcessKmsTransport:
     """Default transport: the mock KMS crypto, in-process (no network in
@@ -124,6 +130,30 @@ class InProcessKmsTransport:
 
     def __init__(self) -> None:
         self._asym_pems: dict[str, tuple[bytes, bytes]] = {}
+        # crypto-shred revocation list: canonical (key_id, context)
+        # tokens whose key material is gone. Server-side state in a real
+        # KMS; in-process here, so a revocation is visible to closures
+        # built AFTER it (and any KMS client sharing this transport).
+        self._revoked: set[bytes] = set()
+
+    @staticmethod
+    def _ctx_token(key_id: str, context: dict[str, str] | None) -> bytes:
+        return key_id.encode("utf-8") + b"\x00" + _canon_context(context)
+
+    def revoke(self, key_id: str,
+               context: dict[str, str] | None = None) -> None:
+        """Destroy the key material for (key_id, context) — every wrap
+        bound to that context becomes permanently un-unwrappable and the
+        convergent DEK underivable (crypto-shredding). Irreversible."""
+        self._revoked.add(self._ctx_token(key_id, context))
+
+    def _check_revoked(self, key_id: str,
+                       context: dict[str, str] | None) -> None:
+        if self._ctx_token(key_id, context) in self._revoked:
+            from cdcrypt.errors import KeyRevokedException
+            raise KeyRevokedException(
+                f"key material revoked for key_id={key_id!r} "
+                f"context={context!r} (crypto-shred)")
 
     def generate_data_key(
         self, key_id: str, context: dict[str, str] | None = None
@@ -133,6 +163,9 @@ class InProcessKmsTransport:
 
     def wrap(self, dek: bytes, key_id: str,
              context: dict[str, str] | None = None) -> bytes:
+        # writing under a revoked context would create immediately
+        # unreadable data — refuse at write time, not first read
+        self._check_revoked(key_id, context)
         mk = _master_key(key_id)
         nonce = os.urandom(_WRAP_NONCE_LEN)
         ct = AESGCM(mk).encrypt(nonce, dek, _canon_context(context))
@@ -140,6 +173,7 @@ class InProcessKmsTransport:
 
     def unwrap(self, wrapped: bytes, key_id: str,
                context: dict[str, str] | None = None) -> bytes:
+        self._check_revoked(key_id, context)
         if len(wrapped) < _WRAP_NONCE_LEN + 16:
             raise ClientErrorException("malformed wrapped data key")
         mk = _master_key(key_id)
@@ -157,6 +191,7 @@ class InProcessKmsTransport:
     def derive_deterministic_dek(
         self, key_id: str, context: dict[str, str] | None = None
     ) -> bytes:
+        self._check_revoked(key_id, context)
         mk = _master_key(key_id)
         return hmac.new(mk, b"cdcrypt-det-dek\x00" + _canon_context(context),
                         hashlib.sha256).digest()
@@ -321,6 +356,15 @@ class MockKMS:
         executor (callers cache)."""
         return self._call(self.transport.derive_deterministic_dek,
                           key_id, context)
+
+    def revoke(self, key_id: str,
+               context: dict[str, str] | None = None) -> None:
+        """Crypto-shred: destroy the key material for (key_id, context).
+        Server-side state — visible to every client of this transport;
+        executor-side closures pickled BEFORE the revocation keep their
+        snapshot (like any KMS client with a key cache TTL), so build
+        read plans after revoking."""
+        self.transport.revoke(key_id, context)
 
     def asym_public_pem(self, key_id: str) -> bytes:
         """Fetch the public key (PEM) — the ONE remote call of the

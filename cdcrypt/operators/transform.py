@@ -100,6 +100,16 @@ class TransformConfig:
     # encrypted KEY columns keep equality (group/join/MERGE on ciphertext).
     # Leaks equality by design — key/identifier columns only. udf backend.
     deterministic: bool = False
+    # CRYPTO-SHREDDABLE column: one data key per (Arrow batch x distinct
+    # aad value), wrapped under context {'shred': <aad>} — so
+    # kms.revoke(key_id, {'shred': conv}) permanently erases ONE
+    # conversation from an immutable lake (GDPR-style). Costs one KMS
+    # wrap per distinct identity per batch instead of one per batch.
+    # Requires aad_field; udf backend; symmetric only.
+    shreddable: bool = False
+    # decrypt + shreddable: surface a revoked identity's rows as NULLs
+    # (the expected post-erasure read) instead of failing the job
+    revoked_to_null: bool = False
 
     def __post_init__(self) -> None:
         _one_of("mode", self.mode, _MODES)
@@ -125,6 +135,18 @@ class TransformConfig:
         if self.deterministic and self.backend == "jvm":
             raise ConfigError(
                 "deterministic mode requires the udf backend")
+        if self.shreddable:
+            if self.aad_field is None:
+                raise ConfigError(
+                    "shreddable requires aad_field (the shred identity)")
+            if self.backend != "udf":
+                raise ConfigError("shreddable requires the udf backend")
+            if self.asymmetric or self.deterministic:
+                raise ConfigError(
+                    "shreddable is symmetric-envelope only")
+        if self.revoked_to_null and not self.shreddable:
+            raise ConfigError(
+                "revoked_to_null only applies to shreddable columns")
 
 
 class FieldTransform:
@@ -197,6 +219,10 @@ class FieldTransform:
                 df = rewrite(df, cp, new)
                 continue
             if cp.vector_crypto:
+                if cfg.shreddable:
+                    raise ConfigError(
+                        "shreddable does not support array paths (array "
+                        "UDFs carry no per-row aad identity)")
                 # terminal [*]/[n] pass the raw array (UDF applies the
                 # index); [*].field passes the extracted leaf array, so the
                 # UDF sees index=None and encrypts every leaf
@@ -219,6 +245,7 @@ class FieldTransform:
                         context=cfg.context, use_aad=use_aad, use_gate=use_gate,
                         asymmetric=cfg.asymmetric,
                         deterministic=cfg.deterministic,
+                        per_aad_context=cfg.shreddable,
                     )
                 else:
                     udf = make_decrypt_udf(
@@ -226,6 +253,8 @@ class FieldTransform:
                         kms=cfg.kms, context=cfg.context, use_aad=use_aad,
                         use_gate=use_gate,
                         expect_key_id=cfg.key_id if cfg.verify_key_id else None,
+                        per_aad_context=cfg.shreddable,
+                        revoked_to_null=cfg.revoked_to_null,
                     )
                 args = [cur]
                 if use_aad:
