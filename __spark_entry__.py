@@ -205,6 +205,31 @@ def _q_smt_crypto_shred(spark, sf_dir):
     return dec.select("doc_id", "text", "source")
 
 
+def _q_smt_dlq_tolerance(spark, sf_dir):
+    # Error tolerance + dead-letter routing (r4): Kafka Connect
+    # errors.tolerance=all/DLQ semantics, which the reference SMT inherits
+    # from its runtime — this engine owns the runtime, so it owns the
+    # tolerance. Rows with doc_id % 37 == 0 get their envelope poisoned
+    # (invalid base64) after encrypt; the on_error='dlq' decrypt yields
+    # NULL + a typed error entry for exactly those rows instead of failing
+    # the task, and decrypts every other row intact — the CASE/flag pair
+    # the oracle predicts from plaintext.
+    from cdcrypt.operators.transform import ERROR_COL, decrypt_fields, \
+        encrypt_fields
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encrypt_fields(docs, ["$.text"], key_id="cdcrypt/docs")
+    poison = F.col("doc_id") % 37 == 0
+    enc = enc.withColumn(
+        "text", F.when(poison, F.concat(F.lit("!poison!"), F.col("text")))
+                 .otherwise(F.col("text")))
+    dec = decrypt_fields(enc, ["$.text"], key_id="cdcrypt/docs",
+                         on_error="dlq")
+    return dec.select(
+        "doc_id", "text",
+        (F.size(F.col(ERROR_COL)) > 0).alias("quarantined"))
+
+
 def _q_smt_conditional_crypto(spark, sf_dir):
     # O6 through the crypto path: only source='src3' rows are encrypted
     # (then decrypted back); others pass through untouched — round-trip
@@ -1342,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
         "smt_key_rotation": _q_smt_key_rotation,
         "smt_crypto_shred": _q_smt_crypto_shred,
+        "smt_dlq_tolerance": _q_smt_dlq_tolerance,
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "smt_array_wildcard": _q_smt_array_wildcard,
         "smt_array_struct_wildcard": _q_smt_array_struct_wildcard,
@@ -1854,6 +1880,10 @@ def oracle_sql() -> dict[str, str]:
         "smt_crypto_shred": (
             "SELECT doc_id, CASE WHEN source = 'src3' THEN NULL "
             "ELSE text END AS text, source FROM documents"),
+        "smt_dlq_tolerance": (
+            "SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN NULL "
+            "ELSE text END AS text, doc_id % 37 = 0 AS quarantined "
+            "FROM documents"),
         "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
         "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",
         "smt_array_struct_wildcard": (

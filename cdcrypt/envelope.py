@@ -193,8 +193,18 @@ def decrypt_batch(
     dek_cache: dict[bytes, AESGCM] | None = None,
     context: dict[str, str] | None = None,
     expect_key_id: str | None = None,
+    errors_out: list | None = None,
 ) -> list[object]:
     """Decrypt a batch of envelopes (base64 str or raw bytes).
+
+    ``errors_out``: pass a ``[None] * len(values)`` list to enable CAPTURE
+    mode — per-item DATA errors (malformed envelope, tamper, AAD/key-id
+    mismatch, revoked key) are recorded as ``"<ExcClass>: <msg>"`` at the
+    failing index and decryption continues with ``None`` at that slot,
+    instead of failing the batch. The Kafka Connect ``errors.tolerance``
+    semantics the reference inherits from its runtime: only data errors
+    are tolerable; transient SERVER errors still raise (they are
+    infrastructure, and epoch replay is the correct handler).
 
     Each distinct wrapped DEK is unwrapped once via ``dek_cache`` (the
     executor-local cache lives in the UDF module; pass a dict here for reuse
@@ -266,6 +276,9 @@ def decrypt_batch(
                 raise ClientErrorException(
                     "decrypt failed: AAD or ciphertext mismatch") from e
         except ClientErrorException as e:
+            if errors_out is not None:
+                errors_out[i] = f"{type(e).__name__}: {e}"
+                continue                   # out[i] stays None (quarantined)
             if getattr(e, "batch_index", None) is not None:
                 raise                      # already indexed (nested call)
             where = f"batch item {i}"

@@ -36,7 +36,13 @@ from typing import Callable, Sequence
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BinaryType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from cdcrypt.envelope import decrypt_batch, encrypt_batch
 from cdcrypt.kms import MockKMS
@@ -255,6 +261,77 @@ def make_decrypt_udf(
         return _gated_apply(vals, gate, aad, fn, lambda v: v)
 
     return _build_udf(core, ret, use_aad, use_gate)
+
+
+def _build_struct_udf(core, ret: StructType, use_aad: bool, use_gate: bool):
+    """Like :func:`_build_udf` but the core returns (value, error) tuples
+    and the UDF yields a struct<value, error> column (one Arrow batch,
+    two child arrays — no extra Python crossings)."""
+    cols = [f.name for f in ret.fields]
+
+    def frame(pairs):
+        return pd.DataFrame(pairs, columns=cols, dtype=object)
+
+    if use_aad and use_gate:
+
+        def f(v: pd.Series, a: pd.Series, g: pd.Series) -> pd.DataFrame:
+            return frame(core(_clean(v.tolist()), _clean(a.tolist()),
+                              g.tolist()))
+    elif use_aad:
+
+        def f(v: pd.Series, a: pd.Series) -> pd.DataFrame:  # type: ignore[misc]
+            return frame(core(_clean(v.tolist()), _clean(a.tolist()), None))
+    elif use_gate:
+
+        def f(v: pd.Series, g: pd.Series) -> pd.DataFrame:  # type: ignore[misc]
+            return frame(core(_clean(v.tolist()), None, g.tolist()))
+    else:
+
+        def f(v: pd.Series) -> pd.DataFrame:  # type: ignore[misc]
+            return frame(core(_clean(v.tolist()), None, None))
+
+    return F.pandas_udf(f, ret)
+
+
+def make_decrypt_tolerant_udf(
+    *,
+    output: str = "string",
+    kms: MockKMS | None = None,
+    context: dict[str, str] | None = None,
+    use_aad: bool = False,
+    use_gate: bool = False,
+    expect_key_id: str | None = None,
+) -> Callable:
+    """Pandas UDF: (envelope[, aad][, gate]) -> struct<value, error>.
+
+    The error-TOLERANT decrypt (Kafka Connect ``errors.tolerance=all`` +
+    dead-letter-queue semantics, which the reference SMT inherits from its
+    runtime rather than implementing — this engine owns the runtime, so it
+    owns the tolerance): per-row DATA errors (malformed envelope, tamper,
+    AAD/key-id mismatch, revoked key) yield ``value=NULL`` plus a typed
+    ``"<ExcClass>: <msg>"`` in ``error`` instead of failing the task — one
+    poison record must not kill a 10^10-event replay. Transient SERVER
+    errors still raise (infra faults route to epoch replay, reference
+    Transform.java:124-125). Gated-out rows pass through with error NULL.
+    """
+    ret = StructType([
+        StructField("value",
+                    StringType() if output == "string" else BinaryType()),
+        StructField("error", StringType()),
+    ])
+    kms_inst = kms or MockKMS()
+
+    def tolerant(v, a):
+        errs: list = [None] * len(v)
+        vals = decrypt_batch(v, kms_inst, aad=a, output=output,
+                             dek_cache=_cache(), context=context,
+                             expect_key_id=expect_key_id, errors_out=errs)
+        return list(zip(vals, errs))
+
+    def core(vals, aad, gate):
+        return _gated_apply(vals, gate, aad, tolerant, lambda v: (v, None))
+
+    return _build_struct_udf(core, ret, use_aad, use_gate)
 
 
 def make_rewrap_udf(

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from cdcrypt.functions.condition import compile_condition
 from cdcrypt.functions.crypto_udfs import (
     make_decrypt_array_udf,
+    make_decrypt_tolerant_udf,
     make_decrypt_udf,
     make_encrypt_array_udf,
     make_encrypt_udf,
@@ -51,6 +52,10 @@ from cdcrypt.kms import MockKMS
 
 _MODES = ("encrypt", "decrypt")
 _ENCODINGS = ("string", "binary")
+
+# on_error='dlq' appends this array<struct<field, error>> column: empty for
+# clean rows, one entry per failed field otherwise (split_dlq routes on it)
+ERROR_COL = "_cdcrypt_errors"
 
 
 class ConfigError(ValueError):
@@ -110,6 +115,16 @@ class TransformConfig:
     # decrypt + shreddable: surface a revoked identity's rows as NULLs
     # (the expected post-erasure read) instead of failing the job
     revoked_to_null: bool = False
+    # decrypt error tolerance (Kafka Connect errors.tolerance + dead-letter
+    # semantics, which the reference SMT inherits from its runtime — this
+    # engine owns the runtime, so it owns the tolerance):
+    #   'fail' -> first data error fails the task (default, reference parity)
+    #   'dlq'  -> per-row data errors yield value=NULL and append
+    #             {field, "<ExcClass>: <msg>"} to the ERROR_COL array column;
+    #             split_dlq() then routes quarantined rows to a dead-letter
+    #             sink. Transient server errors still raise (epoch replay is
+    #             the correct handler). udf backend, scalar paths only.
+    on_error: str = "fail"
 
     def __post_init__(self) -> None:
         _one_of("mode", self.mode, _MODES)
@@ -147,6 +162,18 @@ class TransformConfig:
         if self.revoked_to_null and not self.shreddable:
             raise ConfigError(
                 "revoked_to_null only applies to shreddable columns")
+        _one_of("on_error", self.on_error, ("fail", "dlq"))
+        if self.on_error == "dlq":
+            if self.mode != "decrypt":
+                raise ConfigError(
+                    "on_error='dlq' applies to decrypt (encrypt-side data "
+                    "errors are producer bugs — fail loudly)")
+            if self.backend != "udf":
+                raise ConfigError("on_error='dlq' requires the udf backend")
+            if self.shreddable:
+                raise ConfigError(
+                    "on_error='dlq' and shreddable are mutually exclusive "
+                    "(use revoked_to_null for expected-shredded reads)")
 
 
 class FieldTransform:
@@ -185,8 +212,10 @@ class FieldTransform:
         use_aad = cfg.aad_field is not None
         if cfg.mode == "encrypt":
             self.last_wrapped_deks = []
+        dlq = cfg.mode == "decrypt" and cfg.on_error == "dlq"
+        err_sources: list[tuple[str, str]] = []  # (field path, tmp col)
 
-        for _, cp in self._paths:
+        for pstr, cp in self._paths:
             if not path_exists(df, cp):
                 continue  # missing optional target -> skip (Transform.java:99-101)
             cur = select_column(cp)
@@ -223,6 +252,10 @@ class FieldTransform:
                     raise ConfigError(
                         "shreddable does not support array paths (array "
                         "UDFs carry no per-row aad identity)")
+                if dlq:
+                    raise ConfigError(
+                        "on_error='dlq' does not support array paths (an "
+                        "array cell has no single per-row error slot)")
                 # terminal [*]/[n] pass the raw array (UDF applies the
                 # index); [*].field passes the extracted leaf array, so the
                 # UDF sees index=None and encrypts every leaf
@@ -247,6 +280,13 @@ class FieldTransform:
                         deterministic=cfg.deterministic,
                         per_aad_context=cfg.shreddable,
                     )
+                elif dlq:
+                    udf = make_decrypt_tolerant_udf(
+                        output=cfg.encoding,
+                        kms=cfg.kms, context=cfg.context, use_aad=use_aad,
+                        use_gate=use_gate,
+                        expect_key_id=cfg.key_id if cfg.verify_key_id else None,
+                    )
                 else:
                     udf = make_decrypt_udf(
                         output=cfg.encoding,
@@ -262,8 +302,54 @@ class FieldTransform:
                 if use_gate:
                     args.append(gate)
                 new = udf(*args)
+                if dlq:
+                    # struct lands in a temp column so value and error are
+                    # both projected from ONE UDF evaluation
+                    tmp = f"_cdcrypt_tol_{len(err_sources)}"
+                    df = df.withColumn(tmp, new)
+                    err_sources.append((pstr, tmp))
+                    new = F.col(tmp)["value"]
             df = rewrite(df, cp, new)
+        if dlq:
+            entries = [
+                F.struct(F.lit(p).alias("field"),
+                         F.col(t)["error"].alias("error"))
+                for p, t in err_sources
+            ]
+            errs = (
+                F.filter(F.array(*entries),
+                         lambda x: x["error"].isNotNull())
+                if entries
+                else F.lit([]).cast(
+                    "array<struct<field:string,error:string>>")
+            )
+            df = df.withColumn(ERROR_COL, errs)
+            if err_sources:
+                df = df.drop(*[t for _, t in err_sources])
         return df
+
+
+def split_dlq(
+    df: DataFrame, *, drop_error_col: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Split a tolerant-decrypt result into (clean, dead_letter).
+
+    ``clean`` holds rows where every field decrypted (``ERROR_COL`` empty;
+    dropped unless ``drop_error_col=False``); ``dead_letter`` holds the
+    quarantined rows WITH their per-field error entries — the payload the
+    Connect runtime would ship to the DLQ topic, here a DataFrame the
+    caller appends to a quarantine table.
+
+    Both halves are filters over one input plan: inside ``foreachBatch``
+    (the intended use) the micro-batch source feeds both sinks from one
+    scan; for an expensive ad-hoc plan, ``df.persist()`` first so the
+    decrypt UDF runs once, not twice.
+    """
+    has = F.size(F.col(ERROR_COL)) > 0
+    clean = df.where(~has)
+    if drop_error_col:
+        clean = clean.drop(ERROR_COL)
+    return clean, df.where(has)
 
 
 def encrypt_fields(df: DataFrame, fields: list[str], **kw) -> DataFrame:
