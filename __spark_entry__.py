@@ -230,6 +230,42 @@ def _q_smt_dlq_tolerance(spark, sf_dir):
         (F.size(F.col(ERROR_COL)) > 0).alias("quarantined"))
 
 
+def _q_smt_parse_dlq(spark, sf_dir):
+    # Converter-stage error tolerance (r4): Connect errors.tolerance=all
+    # for records the JSON converter itself rejects — one stage BEFORE the
+    # SMT-level smt_dlq_tolerance. Rows with doc_id % 41 == 0 get their
+    # payload BYTES corrupted pre-transform; on_parse_error='dlq' carries
+    # them byte-unchanged through encrypt AND decrypt with an ERROR_COL
+    # entry while every clean row round-trips. The final extraction sees
+    # null fields for the corrupt payloads — the CASE/flag pair the
+    # oracle predicts from plaintext.
+    from cdcrypt.operators.schemaless import (
+        decrypt_json_payload, encrypt_json_payload,
+    )
+    from cdcrypt.operators.transform import ERROR_COL
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.to_json(F.struct("text", "source"),
+                  {"ignoreNullFields": "false"}).alias("payload"))
+    corrupt = F.col("doc_id") % 41 == 0
+    raw = docs.withColumn(
+        "payload",
+        F.when(corrupt, F.concat(F.lit("!{"), F.col("payload")))
+         .otherwise(F.col("payload")))
+    schema = "text string, source string"
+    enc = encrypt_json_payload(raw, "payload", schema, ["$.text"],
+                               key_id="cdcrypt/docs", on_parse_error="dlq")
+    dec = decrypt_json_payload(enc.drop(ERROR_COL), "payload", schema,
+                               ["$.text"], key_id="cdcrypt/docs",
+                               on_parse_error="dlq")
+    p = F.from_json("payload", schema)
+    return dec.select(
+        "doc_id",
+        p.getField("text").alias("text"),
+        (F.size(F.col(ERROR_COL)) > 0).alias("quarantined"))
+
+
 def _q_smt_conditional_crypto(spark, sf_dir):
     # O6 through the crypto path: only source='src3' rows are encrypted
     # (then decrypted back); others pass through untouched — round-trip
@@ -1368,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_key_rotation": _q_smt_key_rotation,
         "smt_crypto_shred": _q_smt_crypto_shred,
         "smt_dlq_tolerance": _q_smt_dlq_tolerance,
+        "smt_parse_dlq": _q_smt_parse_dlq,
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "smt_array_wildcard": _q_smt_array_wildcard,
         "smt_array_struct_wildcard": _q_smt_array_struct_wildcard,
@@ -1883,6 +1920,10 @@ def oracle_sql() -> dict[str, str]:
         "smt_dlq_tolerance": (
             "SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN NULL "
             "ELSE text END AS text, doc_id % 37 = 0 AS quarantined "
+            "FROM documents"),
+        "smt_parse_dlq": (
+            "SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN NULL "
+            "ELSE text END AS text, doc_id % 41 = 0 AS quarantined "
             "FROM documents"),
         "smt_roundtrip_jvm": "SELECT doc_id, text FROM documents",
         "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",

@@ -12,21 +12,33 @@ with ``to_json`` — one Catalyst projection chain, fused into the same stage
 as the crypto UDF; the JSON parse/serialize never touches Python.
 
 Null payload rows pass through as null output (O2,
-``Transform.java:57-60``); MALFORMED JSON is a data error that fails the
-job (``from_json`` in FAILFAST mode) — the analogue of Connect's converter
-rejecting the record with a DataException before the SMT runs (O10 fatal
-routing). PERMISSIVE mode would silently fabricate an all-null payload in
-place of the corrupt bytes, which is exactly the wrong failure mode for a
-pipeline whose sink must match a reference byte-for-byte.
+``Transform.java:57-60``). MALFORMED JSON is a converter-level data error
+— the analogue of Connect's JSON converter raising a DataException BEFORE
+the SMT runs. Two tolerances, mirroring Connect's ``errors.tolerance``:
+
+- ``on_parse_error='fail'`` (default): ``from_json`` FAILFAST — one poison
+  payload fails the job, exactly Connect's ``errors.tolerance=none``.
+  PERMISSIVE-without-quarantine would silently fabricate an all-null
+  payload in place of the corrupt bytes, which is the wrong failure mode
+  for a byte-faithful pipeline, so plain PERMISSIVE is never used.
+- ``on_parse_error='dlq'``: Connect's ``errors.tolerance=all`` + DLQ at
+  the converter stage. Corrupt payloads pass through BYTE-UNCHANGED (never
+  a fabricated repack) and gain an entry in the same
+  ``array<struct<field,error>>`` errors column the tolerant decrypt uses
+  (``transform.ERROR_COL``), so :func:`~cdcrypt.operators.transform.split_dlq`
+  routes converter errors and crypto errors to the dead-letter sink
+  uniformly. Detection is ``columnNameOfCorruptRecord`` fused into the
+  same ``from_json`` call — no second parse, no Python.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from cdcrypt.operators.transform import (
+    ERROR_COL,
     ConfigError,
     FieldTransform,
     TransformConfig,
@@ -35,10 +47,14 @@ from cdcrypt.operators.transform import (
 _PAYLOAD = "__cdcrypt_payload"
 _WAS_NULL = "__cdcrypt_payload_null"
 _ORIG = "__cdcrypt_payload_orig"
+_CORRUPT = "__cdcrypt_corrupt"
+_BAD = "__cdcrypt_payload_bad"
+_ERR_TYPE = "array<struct<field:string,error:string>>"
 
 
 def infer_payload_schema(df: DataFrame, json_col: str,
-                         sample: int = 1000) -> StructType:
+                         sample: int = 1000,
+                         tolerant: bool = False) -> StructType:
     """Runtime payload-type discovery — the reference's Map mode discovers
     value types at runtime (``Transform.java:64-65``); this closes the gap
     for JSON payloads arriving with no declared schema.
@@ -52,7 +68,11 @@ def infer_payload_schema(df: DataFrame, json_col: str,
 
     Malformed JSON in the sample surfaces as ``ConfigError`` (FAILFAST
     philosophy: fabricating an all-null payload for corrupt bytes is the
-    wrong failure mode for a byte-faithful pipeline)."""
+    wrong failure mode for a byte-faithful pipeline). With
+    ``tolerant=True`` (the ``on_parse_error='dlq'`` path) corrupt sample
+    records are instead EXCLUDED from inference — they only ever reach the
+    dead-letter route, so they must not shape the schema — and the error
+    is raised only if no parseable record exists to infer from."""
     spark = df.sparkSession
     rows = (df.select(F.col(json_col).cast("string").alias("j"))
             .where(F.col("j").isNotNull())
@@ -63,13 +83,18 @@ def infer_payload_schema(df: DataFrame, json_col: str,
             "values in the sample")
     inferred = spark.read.json(
         spark.sparkContext.parallelize([r[0] for r in rows]))
-    bad = [f.name for f in inferred.schema.fields
-           if f.name == "_corrupt_record"]
-    if bad:
-        raise ConfigError(
-            "malformed JSON in schema-inference sample (corrupt records "
-            "present); fix the payload or supply an explicit schema")
-    return inferred.schema
+    fields = [f for f in inferred.schema.fields
+              if f.name != "_corrupt_record"]
+    if len(fields) != len(inferred.schema.fields):
+        if not tolerant:
+            raise ConfigError(
+                "malformed JSON in schema-inference sample (corrupt records "
+                "present); fix the payload or supply an explicit schema")
+        if not fields:
+            raise ConfigError(
+                "cannot infer payload schema: every sampled payload is "
+                "malformed JSON; supply an explicit schema")
+    return StructType(fields)
 
 
 def transform_json_payload(
@@ -79,6 +104,7 @@ def transform_json_payload(
     transform: FieldTransform,
     infer_sample: int = 1000,
     strict_fields: bool | None = None,
+    on_parse_error: str = "fail",
 ) -> DataFrame:
     """Parse ``json_col`` with ``schema``, apply ``transform`` to the
     promoted payload fields, re-serialize into ``json_col``.
@@ -101,11 +127,26 @@ def transform_json_payload(
     runs (field paths in the transform config address them as ``$.name``,
     exactly like the schema'd path), so they must not collide with the
     frame's other columns — a collision raises ``ConfigError`` rather than
-    silently shadowing."""
+    silently shadowing.
+
+    ``on_parse_error='dlq'`` (Connect ``errors.tolerance=all`` at the
+    converter stage, module docstring): a payload ``from_json`` cannot
+    fully parse — malformed bytes OR a type mismatch against the schema —
+    passes through byte-unchanged, skips the transform, and gains a
+    ``(field=json_col, error=...)`` entry in ``ERROR_COL``; route with
+    :func:`~cdcrypt.operators.transform.split_dlq`. Composes with a
+    tolerant inner decrypt (``on_error='dlq'``): converter entries and
+    crypto entries land in the ONE errors array."""
+    if on_parse_error not in ("fail", "dlq"):
+        raise ConfigError(
+            f"on_parse_error={on_parse_error!r} must be one of "
+            "('fail', 'dlq')")
+    tolerant = on_parse_error == "dlq"
     if strict_fields is None:
         strict_fields = schema is None
     if schema is None:
-        schema = infer_payload_schema(df, json_col, infer_sample)
+        schema = infer_payload_schema(df, json_col, infer_sample,
+                                      tolerant=tolerant)
     payload_schema = (
         schema if isinstance(schema, StructType)
         else StructType.fromDDL(schema)
@@ -116,15 +157,40 @@ def transform_json_payload(
     if collisions:
         raise ConfigError(
             f"payload fields {sorted(collisions)} collide with frame columns")
+    if tolerant and _CORRUPT in payload_fields:
+        raise ConfigError(
+            f"payload field {_CORRUPT!r} collides with the reserved "
+            "corrupt-record slot")
 
+    if tolerant:
+        # corrupt-record capture rides the SAME parse: PERMISSIVE fills
+        # the reserved slot with the raw bytes on any malformed/mistyped
+        # payload (empirically: type mismatch also sets it, with the
+        # well-typed fields still parsed — those rows are quarantined
+        # whole, never half-transformed)
+        parse_schema = StructType(
+            list(payload_schema.fields)
+            + [StructField(_CORRUPT, StringType())])
+        opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    else:
+        parse_schema = payload_schema
+        opts = {"mode": "FAILFAST"}
     parsed = df.withColumn(
-        _PAYLOAD,
-        F.from_json(F.col(json_col), payload_schema, {"mode": "FAILFAST"}))
+        _PAYLOAD, F.from_json(F.col(json_col), parse_schema, opts))
+    keep_orig = strict_fields or tolerant
+    bad = (F.col(_PAYLOAD).getField(_CORRUPT).isNotNull()
+           if tolerant else F.lit(False))
     flat = parsed.select(
         *others,
         F.col(_PAYLOAD).isNull().alias(_WAS_NULL),
-        *([F.col(json_col).alias(_ORIG)] if strict_fields else []),
-        F.col(f"{_PAYLOAD}.*"),
+        *([F.col(json_col).alias(_ORIG)] if keep_orig else []),
+        *([bad.alias(_BAD)] if tolerant else []),
+        # quarantined rows enter the transform all-null (pure O2
+        # passthrough): a half-parsed field must not feed a strict
+        # decrypt — its garbage would fail the job the tolerance exists
+        # to survive — and the repack for those rows is _ORIG anyway
+        *[F.when(~bad, F.col(_PAYLOAD).getField(f)).alias(f)
+          for f in payload_fields],
     )
     out = transform.apply(flat)
     repack_val = (
@@ -144,28 +210,54 @@ def transform_json_payload(
                 F.lit(" — widen infer_sample, supply an explicit schema, "
                       "or pass strict_fields=False"))),
         ).otherwise(repack_val)
-    repacked = out.withColumn(
-        json_col,
-        F.when(F.col(_WAS_NULL), F.lit(None).cast("string"))
-        .otherwise(repack_val),
-    )
-    return repacked.select(*df.columns)
+    repack = F.when(F.col(_WAS_NULL), F.lit(None).cast("string"))
+    if tolerant:
+        # quarantined BEFORE the strict-keys check: json_object_keys is
+        # null on malformed bytes, and a corrupt payload must leave
+        # byte-for-byte, not raise or repack
+        repack = repack.when(F.col(_BAD), F.col(_ORIG))
+    repacked = out.withColumn(json_col, repack.otherwise(repack_val))
+    extra: list[str] = []
+    if tolerant:
+        parse_err = F.when(
+            F.col(_BAD) & ~F.col(_WAS_NULL),
+            F.array(F.struct(
+                F.lit(json_col).alias("field"),
+                F.concat(
+                    F.lit("parse: payload rejected by converter: "),
+                    F.substring(F.col(_ORIG), 1, 128)).alias("error"))),
+        ).otherwise(F.lit([]).cast(_ERR_TYPE))
+        if ERROR_COL in out.columns:
+            # prior entries accumulate: an inner tolerant decrypt's crypto
+            # entries, or an upstream pass's ERROR_COL riding the frame.
+            # A quarantined row's fields parsed null -> null passthrough,
+            # so the halves never double-report one row's real error
+            parse_err = F.concat(F.col(ERROR_COL), parse_err)
+        repacked = repacked.withColumn(ERROR_COL, parse_err)
+        extra = [ERROR_COL]
+    elif ERROR_COL in out.columns:
+        extra = [ERROR_COL]
+    # withColumn REPLACES an ERROR_COL the frame already had
+    extra = [c for c in extra if c not in df.columns]
+    return repacked.select(*df.columns, *extra)
 
 
 def encrypt_json_payload(df: DataFrame, json_col: str,
                          schema: StructType | str | None, fields: list[str],
-                         **kw) -> DataFrame:
+                         on_parse_error: str = "fail", **kw) -> DataFrame:
     """One-shot schemaless encrypt (``fields`` address the payload;
     ``schema=None`` infers it from the data)."""
     return transform_json_payload(
         df, json_col, schema,
-        FieldTransform(TransformConfig(mode="encrypt", fields=fields, **kw)))
+        FieldTransform(TransformConfig(mode="encrypt", fields=fields, **kw)),
+        on_parse_error=on_parse_error)
 
 
 def decrypt_json_payload(df: DataFrame, json_col: str,
                          schema: StructType | str | None, fields: list[str],
-                         **kw) -> DataFrame:
+                         on_parse_error: str = "fail", **kw) -> DataFrame:
     """One-shot schemaless decrypt (``schema=None`` infers)."""
     return transform_json_payload(
         df, json_col, schema,
-        FieldTransform(TransformConfig(mode="decrypt", fields=fields, **kw)))
+        FieldTransform(TransformConfig(mode="decrypt", fields=fields, **kw)),
+        on_parse_error=on_parse_error)

@@ -166,3 +166,164 @@ def test_dlq_config_validation(spark):
     df = spark.createDataFrame([Row(arr=["x"])], "arr array<string>")
     with pytest.raises(ConfigError, match="array"):
         decrypt_fields(df, ["$.arr[*]"], on_error="dlq")
+
+
+# ------------------------------------------- converter-stage (schemaless)
+
+SL_SCHEMA = "userid string, viewtime bigint"
+
+
+def _sl_raw(spark):
+    # clean / malformed bytes / type mismatch / null payload
+    return spark.createDataFrame(
+        [(0, '{"userid":"User_0","viewtime":90}'),
+         (1, '{"userid":"User_1", viewtime:'),
+         (2, '{"userid":"User_2","viewtime":"ninety-two"}'),
+         (3, None),
+         (4, '{"userid":"User_4","viewtime":94}')],
+        "rec_id long, value string")
+
+
+def test_schemaless_parse_dlq_quarantines_corrupt_payloads(spark):
+    """Connect errors.tolerance=all at the CONVERTER stage: a payload
+    from_json cannot fully parse passes through byte-unchanged with an
+    ERROR_COL entry; clean rows transform normally; split_dlq routes."""
+    import json as _json
+
+    from cdcrypt.operators.schemaless import encrypt_json_payload
+
+    kms = MockKMS()
+    raw = _sl_raw(spark)
+    out = encrypt_json_payload(raw, "value", SL_SCHEMA, ["$.userid"],
+                               on_parse_error="dlq", key_id=KEY, kms=kms)
+    by_id = {r.rec_id: r for r in out.collect()}
+    # clean rows: userid is ciphertext, viewtime intact
+    for i in (0, 4):
+        v = _json.loads(by_id[i].value)
+        assert "User_" not in v["userid"] and len(v["userid"]) > 40
+        assert v["viewtime"] == 90 + i
+        assert by_id[i][ERROR_COL] == []
+    # corrupt rows: BYTE-UNCHANGED passthrough + one converter entry
+    orig = {r.rec_id: r.value for r in raw.collect()}
+    for i in (1, 2):
+        assert by_id[i].value == orig[i]
+        (e,) = by_id[i][ERROR_COL]
+        assert e["field"] == "value" and e["error"].startswith("parse:")
+    # null payload: O2 passthrough, NOT quarantined
+    assert by_id[3].value is None and by_id[3][ERROR_COL] == []
+    clean, dead = split_dlq(out)
+    assert {r.rec_id for r in clean.collect()} == {0, 3, 4}
+    assert {r.rec_id for r in dead.collect()} == {1, 2}
+    assert ERROR_COL not in clean.columns
+
+
+def test_schemaless_parse_dlq_shields_strict_decrypt(spark):
+    """A quarantined row's half-parsed fields must NOT feed the inner
+    transform: with a STRICT decrypt (on_error='fail'), a type-mismatch
+    payload whose userid still parsed as a garbage string would fail the
+    whole job if it reached the UDF. Tolerant parse nulls the fields for
+    quarantined rows (pure O2 passthrough) so the job survives."""
+    import json as _json
+
+    from cdcrypt.operators.schemaless import (
+        decrypt_json_payload, encrypt_json_payload)
+
+    kms = MockKMS()
+    clean = spark.createDataFrame(
+        [(0, '{"userid":"User_0","viewtime":90}')], "rec_id long, value string")
+    enc = encrypt_json_payload(clean, "value", SL_SCHEMA, ["$.userid"],
+                               key_id=KEY, kms=kms)
+    # append a payload where userid parses fine as a string but viewtime
+    # mistypes -> corrupt slot set, userid holds NON-envelope garbage
+    poison = spark.createDataFrame(
+        [(1, '{"userid":"not-an-envelope","viewtime":"no"}')],
+        "rec_id long, value string")
+    dec = decrypt_json_payload(enc.union(poison), "value", SL_SCHEMA,
+                               ["$.userid"], on_parse_error="dlq",
+                               key_id=KEY, kms=kms)  # on_error defaults fail
+    by_id = {r.rec_id: r for r in dec.collect()}  # must not raise
+    assert _json.loads(by_id[0].value)["userid"] == "User_0"
+    assert by_id[1].value == '{"userid":"not-an-envelope","viewtime":"no"}'
+    (e,) = by_id[1][ERROR_COL]
+    assert e["field"] == "value"
+
+
+def test_schemaless_parse_dlq_composes_with_tolerant_decrypt(spark):
+    """Converter entries and crypto entries land in the ONE errors array:
+    a parse-poisoned row carries (field='value', parse:...) while a
+    ciphertext-poisoned row carries (field='$.userid', crypto class)."""
+    import json as _json
+
+    from cdcrypt.operators.schemaless import (
+        decrypt_json_payload, encrypt_json_payload)
+
+    kms = MockKMS()
+    raw = spark.createDataFrame(
+        [(0, '{"userid":"User_0","viewtime":90}'),
+         (1, '{"userid":"User_1","viewtime":91}')],
+        "rec_id long, value string")
+    enc = encrypt_json_payload(raw, "value", SL_SCHEMA, ["$.userid"],
+                               key_id=KEY, kms=kms)
+    # poison row 1's ciphertext INSIDE valid JSON (crypto error), and add
+    # row 2 with malformed bytes (converter error)
+    poisoned = enc.withColumn(
+        "value",
+        F.when(F.col("rec_id") == 1,
+               F.lit('{"userid":"!poison!","viewtime":91}'))
+        .otherwise(F.col("value")))
+    mal = spark.createDataFrame([(2, '{"userid": broken')],
+                                "rec_id long, value string")
+    dec = decrypt_json_payload(poisoned.union(mal), "value", SL_SCHEMA,
+                               ["$.userid"], on_parse_error="dlq",
+                               on_error="dlq", key_id=KEY, kms=kms)
+    by_id = {r.rec_id: r for r in dec.collect()}
+    assert _json.loads(by_id[0].value)["userid"] == "User_0"
+    assert by_id[0][ERROR_COL] == []
+    (e1,) = by_id[1][ERROR_COL]
+    assert e1["field"] == "$.userid" and "parse:" not in e1["error"]
+    # crypto-quarantined row still repacks (value=NULL for the field)
+    assert _json.loads(by_id[1].value)["userid"] is None
+    (e2,) = by_id[2][ERROR_COL]
+    assert e2["field"] == "value" and e2["error"].startswith("parse:")
+    assert by_id[2].value == '{"userid": broken'
+    clean, dead = split_dlq(dec)
+    assert {r.rec_id for r in dead.collect()} == {1, 2}
+
+
+def test_schemaless_parse_dlq_tolerant_inference(spark):
+    """schema=None + on_parse_error='dlq': corrupt sample records are
+    EXCLUDED from inference (they only ever reach the DLQ, so they must
+    not shape the schema); an all-corrupt sample still raises loudly."""
+    from cdcrypt.operators.schemaless import (
+        encrypt_json_payload, infer_payload_schema)
+
+    kms = MockKMS()
+    raw = _sl_raw(spark)
+    inferred = infer_payload_schema(raw, "value", tolerant=True)
+    assert {f.name for f in inferred.fields} == {"userid", "viewtime"}
+    # end to end with inference: strict_fields defaults True for inferred
+    # schemas; the corrupt rows bypass the strict check via quarantine
+    out = encrypt_json_payload(raw, "value", None, ["$.userid"],
+                               on_parse_error="dlq", key_id=KEY, kms=kms)
+    by_id = {r.rec_id: r for r in out.collect()}
+    assert by_id[1][ERROR_COL] != [] and by_id[3][ERROR_COL] == []
+    allbad = spark.createDataFrame([('{"x": 1',), ('{"y":',)],
+                                   "value string")
+    with pytest.raises(ConfigError, match="every sampled payload"):
+        infer_payload_schema(allbad, "value", tolerant=True)
+
+
+def test_schemaless_parse_fail_default_still_failfast(spark):
+    """Default tolerance unchanged: one poison payload fails the job
+    (Connect errors.tolerance=none), and bad knob values raise."""
+    from cdcrypt.operators.schemaless import encrypt_json_payload
+
+    kms = MockKMS()
+    raw = _sl_raw(spark)
+    strict = encrypt_json_payload(raw, "value", SL_SCHEMA, ["$.userid"],
+                                  key_id=KEY, kms=kms)
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        strict.collect()
+    with pytest.raises(ConfigError, match="one of"):
+        encrypt_json_payload(raw, "value", SL_SCHEMA, ["$.userid"],
+                             on_parse_error="ignore", key_id=KEY, kms=kms)
