@@ -903,6 +903,77 @@ def _q_debezium_parse(spark, sf_dir):
     )
 
 
+def _q_debezium_parse_dlq(spark, sf_dir):
+    # Source-stage error tolerance (r4): parse_debezium_dlq routes poison
+    # envelopes (here: unknown op 'x' for event_id % 43 == 0) to a dead
+    # half with the ORIGINAL bytes + a typed error instead of failing the
+    # job, while the clean half is exactly the strict parse. The gate
+    # re-parses the dead bytes (valid JSON, just a bad op) to prove the
+    # quarantine carried the record intact — row-level coverage of BOTH
+    # halves, unioned on event_id, with the exact error string predicted
+    # by the oracle.
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cdcrypt.sources.debezium import (
+        debezium_envelope_schema, parse_debezium_dlq,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    poison = F.pmod(F.col("event_id"), F.lit(43)) == 0
+    opr = (
+        F.when(poison, F.lit("x"))
+        .when(F.pmod(F.col("event_id"), F.lit(4)) == 0, F.lit("c"))
+        .when(F.pmod(F.col("event_id"), F.lit(4)) == 1, F.lit("u"))
+        .when(F.pmod(F.col("event_id"), F.lit(4)) == 2, F.lit("d"))
+        .otherwise(F.lit("r"))
+    )
+    # image placement follows the %4 rule even for poison rows, so the
+    # dead-half re-parse must find the row in either slot
+    is_del = F.pmod(F.col("event_id"), F.lit(4)) == 2
+    row = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    env = F.to_json(F.struct(F.struct(
+        F.when(is_del, row).alias("before"),
+        F.when(~is_del, row).alias("after"),
+        opr.alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.struct(F.col("event_id").cast("long").alias("lsn"))
+        .alias("source"),
+    ).alias("payload")))
+    lines = ev.select(env.alias("value"))
+    row_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    events, dead = parse_debezium_dlq(lines, "value", row_schema)
+    clean_half = events.select(
+        "user_id", "event_type", "op",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    p = F.from_json("value", debezium_envelope_schema(row_schema)) \
+         .getField("payload")
+    img = F.coalesce(p.getField("after"), p.getField("before"))
+    dead_half = dead.select(
+        img.getField("user_id").alias("user_id"),
+        img.getField("event_type").alias("event_type"),
+        F.lit(None).cast("string").alias("op"),
+        p.getField("source").getField("lsn").alias("event_id"),
+        F.round(img.getField("value"), 6).alias("value"),
+        p.getField("ts_ms").alias("ts_ms"),
+        F.col("error"),
+    )
+    return clean_half.unionByName(dead_half)
+
+
 def _q_session_windows(spark, sf_dir):
     # gap-based sessionization, batch form (streaming/windowed.py): lag ->
     # boundary flag -> running sum -> group summary, integer-microsecond
@@ -1429,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": _q_windowed_counts,
         "session_windows": _q_session_windows,
         "debezium_parse": _q_debezium_parse,
+        "debezium_parse_dlq": _q_debezium_parse_dlq,
         "tpch_q1_agg": _q_tpch_q1_agg,
         "tpch_join_revenue": _q_tpch_join_revenue,
         "dedup_exact": _q_dedup_exact,
@@ -2066,6 +2138,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
                    event_id, round(value, 6) AS value,
                    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+            FROM events
+        """,
+        "debezium_parse_dlq": """
+            SELECT user_id, event_type,
+                   CASE WHEN event_id % 43 = 0 THEN NULL
+                        WHEN event_id % 4 = 2 THEN 'D'
+                        WHEN event_id % 4 = 1 THEN 'U' ELSE 'I' END AS op,
+                   event_id, round(value, 6) AS value,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   CASE WHEN event_id % 43 = 0 THEN
+                        'malformed debezium envelope: unknown op x'
+                   END AS error
             FROM events
         """,
         "session_windows": """

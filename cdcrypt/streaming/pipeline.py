@@ -126,6 +126,15 @@ class IngestPipeline:
     # sources/debezium.parse_debezium over topic-dump envelopes) and a
     # missing epoch column is stamped from the file epoch.
     source_adapter: object | None = None
+    # dead-letter sink (Connect errors.deadletterqueue.topic.name, owned
+    # natively): a TOLERANT adapter returns (events, dead) — e.g.
+    # sources/debezium.parse_debezium_dlq — and each epoch's poison
+    # records land as parquet under dlq_dir/epoch=NNNNNN BEFORE the table
+    # commit, so a crash between the two is healed by the same epoch
+    # replay that heals the table (the dir is overwritten idempotently).
+    # lineage carries dlq_rows. Mutually exclusive with source_adapter.
+    dlq_adapter: object | None = None
+    dlq_dir: str | None = None
 
     @property
     def _bucket_by(self) -> str:
@@ -286,7 +295,28 @@ class IngestPipeline:
         t0 = time.monotonic()
         if self.crypto_backend == "jvm":
             self._check_iv_budget(files)
-        if self.source_adapter is not None:
+        if self.dlq_adapter is not None and self.source_adapter is not None:
+            raise LakeTableError(
+                "source_adapter and dlq_adapter are mutually exclusive "
+                "(the tolerant adapter IS the source adapter)")
+        if self.dlq_adapter is not None and self.dlq_dir is None:
+            raise LakeTableError("dlq_adapter requires dlq_dir")
+        raw_cached = None
+        dlq_rows = 0
+        if self.dlq_adapter is not None:
+            raw = (spark.read.text(*files) if files[0].endswith(".jsonl")
+                   else spark.read.parquet(*files))
+            # both halves filter ONE classified parse; cache the raw lines
+            # so the dead-letter job and the merge job scan the epoch once
+            raw_cached = raw.persist()
+            df, dead = self.dlq_adapter(raw_cached)
+            if "epoch" not in df.columns:
+                df = df.withColumn("epoch", F.lit(epoch).cast("long"))
+            # dead BEFORE the table commit: a crash between them leaves the
+            # epoch uncommitted, and the replay overwrites the dlq dir —
+            # commit-first would strand poison records forever
+            dlq_rows = self._write_dlq(dead, epoch)
+        elif self.source_adapter is not None:
             if files[0].endswith(".jsonl"):
                 raw = spark.read.text(*files)
                 df = self.source_adapter(raw)
@@ -313,10 +343,14 @@ class IngestPipeline:
             mode=self.table_mode, compact_threshold=self.compact_threshold,
             assume_bucketed=True,
         )
+        if raw_cached is not None:
+            raw_cached.unpersist(blocking=False)
         lineage.update({
             "files": [os.path.basename(f) for f in files],
             "wall_sec": round(time.monotonic() - t0, 3),
         })
+        if self.dlq_adapter is not None:
+            lineage["dlq_rows"] = dlq_rows
         if encryptor.last_wrapped_deks:
             # per-epoch wrapped DEKs (jvm backend): decrypt-side jobs read
             # these from lineage instead of running key discovery
@@ -327,6 +361,35 @@ class IngestPipeline:
             ]
         self._write_checkpoint(epoch, lineage)
         return lineage
+
+    def _write_dlq(self, dead: DataFrame, epoch: int) -> int:
+        """Per-epoch dead-letter append: parquet under
+        ``dlq_dir/epoch=NNNNNN``, stamped with the epoch, written to a
+        hidden temp dir and atomically renamed — an epoch replay (crash
+        anywhere before the table commit) overwrites it idempotently, so
+        poison records are recorded exactly once per committed epoch. Row
+        count comes from the written footers (driver-side metadata) — no
+        second job."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.dlq_dir, exist_ok=True)
+        tmp = os.path.join(self.dlq_dir, f".epoch_{epoch:06d}.tmp")
+        final = os.path.join(self.dlq_dir, f"epoch={epoch:06d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        dead.withColumn("epoch", F.lit(epoch).cast("long")) \
+            .write.mode("overwrite").parquet(tmp)
+        rows = 0
+        for name in os.listdir(tmp):
+            if name.endswith(".parquet"):
+                rows += pq.ParquetFile(
+                    os.path.join(tmp, name)).metadata.num_rows
+        if os.path.exists(final):
+            shutil.rmtree(final)          # replayed epoch: overwrite
+        os.replace(tmp, final)
+        return rows
 
     def _write_checkpoint(self, epoch: int, lineage: dict) -> None:
         os.makedirs(self.checkpoint_dir, exist_ok=True)

@@ -140,6 +140,17 @@ class StructuredIngest(IngestPipeline):
         table = self.table()
         if batch_id <= table.committed_epoch:
             return  # SS redelivery after restart -> idempotent skip
+        cached = None
+        if self.dlq_adapter is not None:
+            if self.dlq_dir is None:
+                raise ValueError("dlq_adapter requires dlq_dir")
+            # tolerant split INSIDE foreachBatch: both halves filter one
+            # cached micro-batch; dead letters land BEFORE the table
+            # commit so a crash between them is healed by SS redelivery
+            # (the epoch=batch_id dir is overwritten idempotently)
+            cached = batch_df.persist()
+            batch_df, dead = self.dlq_adapter(cached)
+            self._write_dlq(dead, batch_id)
         if "epoch" not in batch_df.columns:
             # adapter sources (Debezium lines) carry no epoch column; the
             # resolvers tie-break on (op_seq, epoch), so stamp the SS
@@ -159,6 +170,8 @@ class StructuredIngest(IngestPipeline):
             broadcast=self.broadcast_merge, mode=self.table_mode,
             compact_threshold=self.compact_threshold, assume_bucketed=True,
         )
+        if cached is not None:
+            cached.unpersist(blocking=False)
 
     def run_stream(
         self,
@@ -176,7 +189,10 @@ class StructuredIngest(IngestPipeline):
         ``schema`` is then optional; otherwise it is the post-evolution
         parquet read schema."""
         self.table()  # create on first run
-        fmt = "text" if self.source_adapter is not None else "parquet"
+        # a tolerant adapter (dlq_adapter) splits inside foreachBatch, so
+        # the stream itself tails raw text with NO adapter applied
+        fmt = ("text" if (self.source_adapter is not None
+                          or self.dlq_adapter is not None) else "parquet")
         return run_file_stream(
             spark, self.source_dir, schema, self.apply_batch,
             self.checkpoint_dir, available_now=available_now,

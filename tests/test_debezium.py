@@ -74,6 +74,50 @@ def test_malformed_envelopes_fail_loud(spark):
     no_image = [_env("d", lsn=2)]
     with pytest.raises(Exception, match="REPLICA IDENTITY"):
         parse_debezium(_lines_df(spark, no_image), "value", ROW).collect()
+    # MALFORMED BYTES fail loud too (regression: PERMISSIVE null-fill
+    # used to make a poison line indistinguishable from a field-less
+    # tombstone, so it was silently DROPPED — data loss, not an error)
+    broken = [_env("c", after={"k": 1, "v": "a"}, lsn=3)[:-5]]
+    with pytest.raises(Exception, match="malformed debezium envelope"):
+        parse_debezium(_lines_df(spark, broken), "value", ROW).collect()
+    # an image with NO op is unknown, never a bogus delete (isin(null)
+    # is NULL, which an unguarded negation would skip)
+    import json as _json
+    op_null = [_json.dumps(
+        {"payload": {"before": None, "after": {"k": 9, "v": "z"},
+                     "op": None, "ts_ms": 1, "source": None}})]
+    with pytest.raises(Exception, match="unknown op"):
+        parse_debezium(_lines_df(spark, op_null), "value", ROW).collect()
+
+
+def test_parse_debezium_dlq_routes_poison_lines(spark):
+    """Connect errors.tolerance=all at the SOURCE stage: poison lines
+    (malformed bytes / unknown op / missing image) route to the dead
+    half with typed errors and original bytes; clean events are exactly
+    the strict parse of the clean lines; tombstones reach NEITHER half."""
+    from cdcrypt.sources.debezium import parse_debezium_dlq
+
+    clean = [
+        _env("c", after={"k": 1, "v": "a"}, lsn=10),
+        _env("d", before={"k": 2, "v": "b"}, lsn=13),
+        _env("u", after={"k": 3, "v": "c2"}, lsn=15, wrap=False),
+    ]
+    broken_bytes = _env("c", after={"k": 4, "v": "d"}, lsn=16)[:-7]
+    bad_op = _env("x", after={"k": 5, "v": "e"}, lsn=17)
+    no_image = _env("d", lsn=18)
+    lines = clean + [broken_bytes, "", bad_op, "   ", no_image]
+    events, dead = parse_debezium_dlq(_lines_df(spark, lines), "value", ROW)
+    got = {r.op_seq: (r.op, r.k, r.v) for r in events.collect()}
+    assert got == {10: ("I", 1, "a"), 13: ("D", 2, "b"), 15: ("U", 3, "c2")}
+    dead_rows = {r.value: r.error for r in dead.collect()}
+    assert set(dead_rows) == {broken_bytes, bad_op, no_image}
+    assert dead_rows[broken_bytes].startswith("parse: malformed")
+    assert "unknown op x" in dead_rows[bad_op]
+    assert "REPLICA IDENTITY" in dead_rows[no_image]
+    # events half equals the strict parse of only-clean input
+    strict = parse_debezium(_lines_df(spark, clean), "value", ROW)
+    assert sorted(map(tuple, strict.collect())) == \
+        sorted(map(tuple, events.collect()))
 
 
 def _write_debezium_dump(cols, dbz_dir):
@@ -208,3 +252,132 @@ def test_debezium_structured_stream_misaligned_batches(spark, tmp_path):
     got = _decrypted_state(spark, ss.table(), key, has_model)
     assert len(got) > 0
     assert got == want
+
+
+def test_debezium_pipeline_dlq_end_to_end(spark, tmp_path):
+    """Dead-letter sink through the FULL replay (Connect
+    errors.deadletterqueue analogue owned natively): poison lines injected
+    into the dump are quarantined to dlq_dir/epoch=N with typed errors and
+    epoch stamps, lineage counts them, the final decrypted state equals
+    the clean replay, and replaying an epoch OVERWRITES its dlq dir
+    (exactly-once for poison records, same contract as the table)."""
+    import glob
+
+    from cdcrypt.sources.changegen import (
+        GenSpec, generate_change_events, write_epoch_files,
+    )
+    from cdcrypt.sources.debezium import parse_debezium_dlq
+    from cdcrypt.streaming.pipeline import IngestPipeline, list_epochs
+
+    key = "cdcrypt/transcripts"
+    spec = GenSpec(n_convs=30, avg_turns=5, n_epochs=3, seed=47)
+    cols = generate_change_events(spec)
+    pq_dir = str(tmp_path / "pq_stream")
+    write_epoch_files(cols, pq_dir, fmt="parquet")
+    dbz_dir = str(tmp_path / "dbz_stream")
+    has_model = _write_debezium_dump(cols, dbz_dir)
+    row_schema = _transcript_row_schema(has_model)
+    # inject poison: one malformed line + one unknown-op line per epoch
+    poison_per_epoch = {}
+    for path in sorted(glob.glob(os.path.join(dbz_dir, "*.jsonl"))):
+        ep = int(os.path.basename(path).split("=")[1].split(".")[0])
+        bad = ['{"payload": {"op": "c", "after"',
+               json.dumps({"payload": {
+                   "before": None, "after": {"conv_id": "zz", "turn_idx": 0},
+                   "op": "q", "ts_ms": 1, "source": {"lsn": 1}}})]
+        with open(path, "a") as f:
+            f.write("\n".join(bad) + "\n")
+        poison_per_epoch[ep] = bad
+
+    base = IngestPipeline(pq_dir, str(tmp_path / "t_pq"),
+                          str(tmp_path / "c_pq"), key_id=key, bucket_count=4)
+    base.run(spark)
+    want = _decrypted_state(spark, base.table(), key, has_model)
+
+    dlq_dir = str(tmp_path / "dlq")
+    p = IngestPipeline(
+        dbz_dir, str(tmp_path / "t_dlq"), str(tmp_path / "c_dlq"),
+        key_id=key, bucket_count=4, dlq_dir=dlq_dir,
+        dlq_adapter=lambda raw: parse_debezium_dlq(raw, "value", row_schema))
+    lineages = p.run(spark)
+    got = _decrypted_state(spark, p.table(), key, has_model)
+    assert len(got) > 0 and got == want
+    # lineage counts and on-disk dead letters per epoch
+    assert [ln["dlq_rows"] for ln in lineages] == [2] * len(lineages)
+    dead = spark.read.parquet(os.path.join(dlq_dir, "epoch=*")).collect()
+    assert len(dead) == 2 * len(lineages)
+    by_epoch = {}
+    for r in dead:
+        by_epoch.setdefault(r.epoch, set()).add(r.value)
+        assert r.error.startswith(("parse: malformed",
+                                   "malformed debezium envelope"))
+    assert {e: v for e, v in by_epoch.items()} == {
+        e: set(v) for e, v in poison_per_epoch.items()}
+    # replay idempotence: reprocess the last epoch directly (simulated
+    # crash-before-commit redelivery) -> dlq dir overwritten, not doubled
+    epochs = list_epochs(dbz_dir)
+    last = max(epochs)
+    p.process_epoch(spark, p.table(), last, epochs[last])
+    again = spark.read.parquet(
+        os.path.join(dlq_dir, f"epoch={last:06d}")).collect()
+    assert len(again) == 2
+    # config validation
+    with pytest.raises(Exception, match="mutually exclusive"):
+        IngestPipeline(
+            dbz_dir, str(tmp_path / "t_x"), str(tmp_path / "c_x"),
+            key_id=key, dlq_dir=dlq_dir,
+            dlq_adapter=lambda r: parse_debezium_dlq(r, "value", row_schema),
+            source_adapter=lambda r: r,
+        ).run(spark)
+    with pytest.raises(Exception, match="requires dlq_dir"):
+        IngestPipeline(
+            dbz_dir, str(tmp_path / "t_y"), str(tmp_path / "c_y"),
+            key_id=key,
+            dlq_adapter=lambda r: parse_debezium_dlq(r, "value", row_schema),
+        ).run(spark)
+
+
+def test_debezium_structured_stream_dlq(spark, tmp_path):
+    """The tolerant adapter through the native SS runtime: the split
+    happens INSIDE foreachBatch (one cached micro-batch feeds both the
+    dead-letter sink and the merge), dead letters land under the SS
+    batch id, and the final table equals the clean parquet replay."""
+    import glob
+
+    from cdcrypt.sources.changegen import (
+        GenSpec, generate_change_events, write_epoch_files,
+    )
+    from cdcrypt.sources.debezium import parse_debezium_dlq
+    from cdcrypt.streaming.pipeline import IngestPipeline
+    from cdcrypt.streaming.structured import StructuredIngest
+
+    key = "cdcrypt/transcripts"
+    spec = GenSpec(n_convs=25, avg_turns=5, n_epochs=3, seed=61)
+    cols = generate_change_events(spec)
+    pq_dir = str(tmp_path / "pq_stream")
+    write_epoch_files(cols, pq_dir, fmt="parquet")
+    dbz_dir = str(tmp_path / "dbz_stream")
+    has_model = _write_debezium_dump(cols, dbz_dir)
+    row_schema = _transcript_row_schema(has_model)
+    n_poison = 0
+    for path in sorted(glob.glob(os.path.join(dbz_dir, "*.jsonl"))):
+        with open(path, "a") as f:
+            f.write('{"payload": {"op": "c", "broken\n')
+        n_poison += 1
+
+    base = IngestPipeline(pq_dir, str(tmp_path / "t_pq"),
+                          str(tmp_path / "c_pq"), key_id=key, bucket_count=4)
+    base.run(spark)
+    want = _decrypted_state(spark, base.table(), key, has_model)
+
+    dlq_dir = str(tmp_path / "dlq")
+    ss = StructuredIngest(
+        dbz_dir, str(tmp_path / "t_ss"), str(tmp_path / "c_ss"),
+        key_id=key, bucket_count=4, dlq_dir=dlq_dir,
+        dlq_adapter=lambda raw: parse_debezium_dlq(raw, "value", row_schema))
+    ss.run_stream(spark, max_files_per_trigger=1)
+    got = _decrypted_state(spark, ss.table(), key, has_model)
+    assert len(got) > 0 and got == want
+    dead = spark.read.parquet(os.path.join(dlq_dir, "epoch=*")).collect()
+    assert len(dead) == n_poison
+    assert all(r.error.startswith("parse: malformed") for r in dead)
