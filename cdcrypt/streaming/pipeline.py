@@ -391,6 +391,52 @@ class IngestPipeline:
         os.replace(tmp, final)
         return rows
 
+    def requeue_dlq(self, epoch: int | None = None) -> dict:
+        """DLQ replay, the Connect recovery pattern: after deploying a fix
+        (corrected adapter/schema), pipe the dead-letter queue back
+        through the pipeline. Every quarantined line re-enters as ONE new
+        source epoch (``epoch=NNNNNN.dlqreplay.jsonl``); the next
+        ``run()`` merges the now-parseable lines and re-quarantines the
+        still-poison ones under the new epoch. No classification happens
+        here — the tolerant adapter IS the classifier, so recovery and
+        re-quarantine are the same code path as first ingest.
+
+        Safety: the epoch file lands atomically (temp + rename) BEFORE
+        the old dlq dirs are removed — a crash between leaves lines both
+        queued and quarantined, and replaying a line twice is harmless
+        (the resolver dedups identical (key, op_seq) events; a stale
+        recovery can never overwrite newer data past the LWW guard).
+        Driver-side file op (poison is rare by contract); epochs default
+        to max(source, committed) + 1 so a replay can never collide with
+        a pending source epoch. Quiesce the stream first — a concurrent
+        writer could race the epoch numbering."""
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        if self.dlq_dir is None:
+            raise LakeTableError("requeue_dlq requires dlq_dir")
+        dirs = sorted(glob.glob(os.path.join(self.dlq_dir, "epoch=*")))
+        lines: list[str] = []
+        for d in dirs:
+            for fp in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                col = pq.read_table(fp, columns=["value"]).column("value")
+                lines.extend(v for v in col.to_pylist() if v is not None)
+        if not lines:
+            return {"requeued": 0, "epoch": None}
+        if epoch is None:
+            existing = list_epochs(self.source_dir)
+            epoch = max([*existing, self.table().committed_epoch, 0]) + 1
+        name = f"epoch={epoch:06d}.dlqreplay.jsonl"
+        tmp = os.path.join(self.source_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, os.path.join(self.source_dir, name))
+        for d in dirs:
+            shutil.rmtree(d)
+        return {"requeued": len(lines), "epoch": epoch}
+
     def _write_checkpoint(self, epoch: int, lineage: dict) -> None:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         tmp = os.path.join(self.checkpoint_dir, f".epoch_{epoch:06d}.tmp")

@@ -381,3 +381,81 @@ def test_debezium_structured_stream_dlq(spark, tmp_path):
     dead = spark.read.parquet(os.path.join(dlq_dir, "epoch=*")).collect()
     assert len(dead) == n_poison
     assert all(r.error.startswith("parse: malformed") for r in dead)
+
+
+def test_dlq_requeue_recovers_after_adapter_fix(spark, tmp_path):
+    """The Connect DLQ-replay lifecycle: a producer bug emits op='q'
+    envelopes that quarantine; after deploying a FIXED adapter (maps q->c
+    pre-parse) requeue_dlq re-enters every dead letter as one new source
+    epoch, the next run() merges the recovered events, the permanently
+    malformed line re-quarantines under the new epoch, and the final
+    state equals a never-poisoned replay. Requeue is idempotent: the
+    resolver dedups replayed (key, op_seq) events."""
+    import glob
+
+    from cdcrypt.sources.changegen import (
+        GenSpec, generate_change_events, write_epoch_files,
+    )
+    from cdcrypt.sources.debezium import parse_debezium_dlq
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    key = "cdcrypt/transcripts"
+    spec = GenSpec(n_convs=25, avg_turns=5, n_epochs=3, seed=71)
+    cols = generate_change_events(spec)
+    pq_dir = str(tmp_path / "pq_stream")
+    write_epoch_files(cols, pq_dir, fmt="parquet")
+    dbz_dir = str(tmp_path / "dbz_stream")
+    has_model = _write_debezium_dump(cols, dbz_dir)
+    row_schema = _transcript_row_schema(has_model)
+    # producer bug: epoch 0's creates go out with op='q'; plus one line of
+    # permanently-broken bytes
+    files = sorted(glob.glob(os.path.join(dbz_dir, "*.jsonl")))
+    with open(files[0]) as f:
+        text = f.read()
+    assert '"op": "c"' in text
+    with open(files[0], "w") as f:
+        f.write(text.replace('"op": "c"', '"op": "q"'))
+        f.write('{"payload": {"op": "c", "forever broken\n')
+
+    base = IngestPipeline(pq_dir, str(tmp_path / "t_pq"),
+                          str(tmp_path / "c_pq"), key_id=key, bucket_count=4)
+    base.run(spark)
+    want = _decrypted_state(spark, base.table(), key, has_model)
+
+    dlq_dir = str(tmp_path / "dlq")
+    mk = lambda adapter: IngestPipeline(  # noqa: E731
+        dbz_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+        key_id=key, bucket_count=4, dlq_dir=dlq_dir, dlq_adapter=adapter)
+    buggy = mk(lambda raw: parse_debezium_dlq(raw, "value", row_schema))
+    buggy.run(spark)
+    got0 = _decrypted_state(spark, buggy.table(), key, has_model)
+    assert got0 != want  # the q-creates are missing
+    n_dead = len(spark.read.parquet(
+        os.path.join(dlq_dir, "epoch=*")).collect())
+    assert n_dead > 1
+
+    # deploy the fix, replay the DLQ
+    fixed = mk(lambda raw: parse_debezium_dlq(
+        raw.withColumn("value", F.regexp_replace(
+            "value", '"op": "q"', '"op": "c"')), "value", row_schema))
+    stats = fixed.requeue_dlq()
+    assert stats["requeued"] == n_dead
+    fixed.run(spark)
+    got1 = _decrypted_state(spark, fixed.table(), key, has_model)
+    assert got1 == want
+    # only the forever-broken line is still quarantined, under a NEW epoch
+    dead = spark.read.parquet(os.path.join(dlq_dir, "epoch=*")).collect()
+    assert len(dead) == 1 and dead[0].epoch == stats["epoch"]
+    assert dead[0].error.startswith("parse: malformed")
+    # idempotence: requeue the survivor again, state unchanged
+    stats2 = fixed.requeue_dlq()
+    assert stats2["requeued"] == 1 and stats2["epoch"] > stats["epoch"]
+    fixed.run(spark)
+    assert _decrypted_state(spark, fixed.table(), key, has_model) == want
+    # empty DLQ -> no-op
+    fixed.requeue_dlq()  # re-quarantined survivor moves once more
+    fixed.run(spark)
+    empty = IngestPipeline(pq_dir, str(tmp_path / "t2"),
+                           str(tmp_path / "c2"), key_id=key,
+                           dlq_dir=str(tmp_path / "nodlq"))
+    assert empty.requeue_dlq() == {"requeued": 0, "epoch": None}
