@@ -974,6 +974,91 @@ def _q_debezium_parse_dlq(spark, sf_dir):
     return clean_half.unionByName(dead_half)
 
 
+def _pii_augmented(docs):
+    # deterministic PII plant over the synthetic corpus (the oracle
+    # re-derives the SAME augmented text in SQL and re-runs the SAME
+    # regexes, so detection/redaction parity is tested end-to-end, not
+    # predicted from doc_id)
+    d = F.col("doc_id")
+    return docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact u"), d.cast("string"),
+                                    F.lit("@example.com now")))
+         .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" ssn 123-45-6789.")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(F.lit(" from 10.0."),
+                                     (d % 256).cast("string"), F.lit(".7 ")))
+         .otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit(" card 4111 1111 1111 1111 "))
+         .otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.lit(" call +1 555 867-5309 "))
+         .otherwise(F.lit("")),
+    ))
+
+
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 '
+            ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111 ' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN ' call +1 555 867-5309 ' ELSE '' END
+"""
+
+
+def _q_pii_scan(spark, sf_dir):
+    # Structured-PII corpus audit (operators/pii.py): regex classifiers
+    # (email, SSN, PAN, IPv4, E.164-ish phone) + in-place [KIND] redaction,
+    # all pure Column rlike/regexp_replace inside whole-stage codegen —
+    # zero Python, zero shuffles. Patterns are engine-portable (no
+    # lookarounds/backreferences): the oracle runs them verbatim in RE2.
+    from cdcrypt.operators.pii import redact_pii, scan_pii
+
+    docs = _pii_augmented(_t(spark, sf_dir, "documents"))
+    out = scan_pii(docs, "text")
+    return out.select(
+        "doc_id",
+        *[F.col(f"pii_{k}") for k in
+          ("email", "ssn", "credit_card", "ipv4", "phone")],
+        F.col("pii_count").cast("long").alias("pii_count"),
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+def _q_smt_encrypt_pii(spark, sf_dir):
+    # Detect-then-encrypt (operators/pii.py encrypt_pii_fields): fields
+    # CONTAINING detected PII are envelope-encrypted through the standard
+    # O6 condition gate; clean rows pass byte-unchanged; the boolean
+    # marker column is both the decrypt gate and the audit trail. The
+    # round trip plus the marker is exactly what the oracle predicts by
+    # re-running the detector on the same augmented plaintext.
+    from cdcrypt.operators.pii import encrypt_pii_fields
+    from cdcrypt.operators.transform import decrypt_fields
+
+    docs = _pii_augmented(_t(spark, sf_dir, "documents"))
+    enc = encrypt_pii_fields(docs, ["$.text"], key_id="cdcrypt/docs")
+    dec = decrypt_fields(enc, ["$.text"], key_id="cdcrypt/docs",
+                         condition_field="$.text_pii",
+                         condition_equals="true")
+    return dec.select("doc_id", "text", F.col("text_pii").alias("has_pii"))
+
+
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition quality signals (functions/text.py): dup
+    # token/2-gram/3-gram fractions via split -> transform(sequence) ->
+    # array_distinct — one codegen stage, zero shuffles, linear per row;
+    # oracle replicates with DuckDB list comprehensions over the same
+    # whitespace split.
+    from cdcrypt.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text")
+
+
 def _q_session_windows(spark, sf_dir):
     # gap-based sessionization, batch form (streaming/windowed.py): lag ->
     # boundary flag -> running sum -> group summary, integer-microsecond
@@ -1501,6 +1586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "debezium_parse": _q_debezium_parse,
         "debezium_parse_dlq": _q_debezium_parse_dlq,
+        "pii_scan": _q_pii_scan,
+        "smt_encrypt_pii": _q_smt_encrypt_pii,
+        "repetition_stats": _q_repetition_stats,
         "tpch_q1_agg": _q_tpch_q1_agg,
         "tpch_join_revenue": _q_tpch_join_revenue,
         "dedup_exact": _q_dedup_exact,
@@ -1982,8 +2070,62 @@ def _neardup_lsh_sql() -> str:
     """
 
 
+def _dup_ngram_sql(n: int) -> str:
+    """DuckDB replica of functions/text.py dup_ngram_fraction: identical
+    whitespace split, identical LINEAR shifted-slice zip window (a
+    slice-per-index list comprehension is O(tokens²) per doc — 170 s at
+    sf1 vs ~20 s for this), identical guard arithmetic (cross-engine
+    probe-verified before gating)."""
+    k = n - 1
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    if n == 1:
+        grams = toks
+    else:
+        parts = ", ".join(
+            f"({toks})[{1 + i}:len({toks})-{k - i}]" for i in range(n))
+        joined = " || ' ' || ".join(f"x[{i + 1}]" for i in range(n))
+        grams = f"list_transform(list_zip({parts}), x -> {joined})"
+    return (f"round(CASE WHEN length(trim(coalesce(text,''))) > 0 "
+            f"AND len({toks})-{k} >= 1 "
+            f"THEN 1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}) "
+            f"ELSE 0.0 END, 6)")
+
+
+def _pii_oracle_entries() -> dict[str, str]:
+    """pii_scan / smt_encrypt_pii oracles built FROM cdcrypt's own
+    PII_PATTERNS, so the regexes can never drift between engines (the
+    patterns avoid lookarounds/backreferences, which RE2 lacks)."""
+    from cdcrypt.operators.pii import PII_PATTERNS
+
+    aug = f"SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents"
+    flags = ", ".join(
+        f"coalesce(regexp_matches(text, '{p}'), false) AS pii_{k}"
+        for k, p in PII_PATTERNS.items())
+    count = " + ".join(
+        f"CAST(coalesce(regexp_matches(text, '{p}'), false) AS INT)"
+        for p in PII_PATTERNS.values())
+    red = "text"
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '[{k.upper()}]', 'g')"
+    any_pii = " OR ".join(
+        f"coalesce(regexp_matches(text, '{p}'), false)"
+        for p in PII_PATTERNS.values())
+    return {
+        "pii_scan": (
+            f"SELECT doc_id, {flags}, CAST({count} AS BIGINT) AS pii_count, "
+            f"{red} AS redacted FROM ({aug})"),
+        "smt_encrypt_pii": (
+            f"SELECT doc_id, text, ({any_pii}) AS has_pii FROM ({aug})"),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_pii_oracle_entries(),
+        "repetition_stats": (
+            f"SELECT doc_id, {_dup_ngram_sql(1)} AS dup_token, "
+            f"{_dup_ngram_sql(2)} AS dup_2gram, "
+            f"{_dup_ngram_sql(3)} AS dup_3gram FROM documents"),
         "smt_encrypt_roundtrip": "SELECT doc_id, text FROM documents",
         "smt_key_rotation": "SELECT doc_id, text FROM documents",
         "smt_crypto_shred": (

@@ -96,6 +96,48 @@ def fingerprint64(col: Column, family: str = "md5") -> Column:
     return h60(norm)
 
 
+def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: the fraction of word ``n``-grams
+    that are duplicates of an earlier one — ``1 - distinct/total`` over
+    the document's n-gram multiset (Rae et al. 2021, "Scaling Language
+    Models", repetition filters). Boilerplate, template spam, and
+    decoding loops score high; clean prose scores near 0.
+
+    Pure Column higher-order functions — split → sliding window as a
+    ``zip_with`` of n SHIFTED slices → ``array_distinct`` — one codegen
+    stage, ZERO shuffles, no Python, and LINEAR per-row cost: n slices
+    of the token array plus one zip, never a slice per gram index (the
+    obvious ``transform(sequence(i), slice(toks, i, n))`` formulation is
+    O(tokens²) per doc and measured 130 s for 50k sf1 docs vs ~4 s for
+    this one). Docs shorter than ``n`` tokens (no grams) score 0. The
+    DuckDB oracle reproduces the identical arithmetic via the same
+    shifted-slice zip."""
+    toks = F.split(F.trim(col), r"\s+")
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, 1 + i, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    return F.round(
+        F.when((F.length(F.trim(col)) > 0) & (m >= 1), frac)
+        .otherwise(F.lit(0.0)), 6)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition profile: duplicate 2-gram / 3-gram
+    fractions plus duplicate whole-token fraction (n=1). The standard
+    pre-training quality gate trio — filter e.g. ``dup_3gram < 0.2``."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        dup_ngram_fraction(c, 1).alias("dup_token"),
+        dup_ngram_fraction(c, 2).alias("dup_2gram"),
+        dup_ngram_fraction(c, 3).alias("dup_3gram"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     c = F.col(text_col)
     return df.select(
