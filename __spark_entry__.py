@@ -1471,6 +1471,26 @@ def _q_split_leakage_safe(spark, sf_dir):
 _CURATE = dict(min_quality=0.8, langs=("en",))
 
 
+def _q_corpus_curation_v2(spark, sf_dir):
+    # the capstone with the round-4 quality stages enabled: Gopher-style
+    # repetition gate (drop dup_3gram > 0.01 — threshold chosen so it
+    # BITES on the synthetic corpus: ~5% of docs) and the PII flag column
+    # (pure Column regex count; positive-case coverage lives in pii_scan).
+    # Both fuse into the existing survivor scan — zero added shuffles vs
+    # the base capstone.
+    from cdcrypt.operators.curation import curate_corpus
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
+    return curate_corpus(
+        docs, pairs.select("id_a", "id_b"), _SPLIT_WEIGHTS,
+        min_quality=_CURATE["min_quality"], langs=_CURATE["langs"],
+        max_dup_3gram=0.01, pii="flag", salt=_SPLIT_SALT)
+
+
 def _q_corpus_curation(spark, sf_dir):
     # the capstone composition every pretraining pipeline runs, one call:
     # LSH near-dup pairs -> transitive clusters -> canonical survivor ->
@@ -1614,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "split_leakage_safe": _q_split_leakage_safe,
         "corpus_curation": _q_corpus_curation,
+        "corpus_curation_v2": _q_corpus_curation_v2,
         "curation_incremental": _q_curation_incremental,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1818,25 +1839,42 @@ def _split_leakage_safe_sql() -> str:
     """
 
 
-def _corpus_curation_sql(cap: "int | None" = -1) -> str:
+def _pii_count_sql(col: str) -> str:
+    """DuckDB replica of operators/pii.py scan_pii's pii_count — same
+    PII_PATTERNS source, so the regexes cannot drift."""
+    from cdcrypt.operators.pii import PII_PATTERNS
+
+    return ("CAST(" + " + ".join(
+        f"CAST(coalesce(regexp_matches({col}, '{p}'), false) AS INT)"
+        for p in PII_PATTERNS.values()) + " AS BIGINT)")
+
+
+def _corpus_curation_sql(cap: "int | None" = -1,
+                         v2: bool = False) -> str:
     from cdcrypt.functions.sampling import split_case_sql, unit_hash_sql
     cte = _minhash_cte(cap).replace("WITH ", "WITH RECURSIVE ", 1)
     mq, lang = _CURATE["min_quality"], _CURATE["langs"][0]
+    extra_score = extra_out = extra_where = ""
+    if v2:
+        extra_score = (f", {_dup_ngram_sql(3, 'd.text')} AS dup_3gram, "
+                       f"{_pii_count_sql('d.text')} AS pii_count")
+        extra_out = ", dup_3gram, pii_count"
+        extra_where = " AND dup_3gram <= 0.01"
     return cte + _survivors_cte() + f"""
         , scored AS (
           SELECT s.doc_id, s.component, s.n_in_cluster,
                  {_tokens_sql('d.text')} AS n_tokens,
                  {_quality_sql('d.text')} AS quality,
-                 {_lang_sql('d.text')} AS lang_guess
+                 {_lang_sql('d.text')} AS lang_guess{extra_score}
           FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
         )
         SELECT doc_id, component, n_in_cluster, n_tokens, quality,
-               lang_guess,
+               lang_guess{extra_out},
                {split_case_sql('u_split', _SPLIT_WEIGHTS)} AS split
         FROM (
           SELECT *, {unit_hash_sql('component', _SPLIT_SALT)} AS u_split
           FROM scored
-          WHERE quality >= {mq!r} AND lang_guess = '{lang}')
+          WHERE quality >= {mq!r} AND lang_guess = '{lang}'{extra_where})
     """
 
 
@@ -2070,14 +2108,14 @@ def _neardup_lsh_sql() -> str:
     """
 
 
-def _dup_ngram_sql(n: int) -> str:
+def _dup_ngram_sql(n: int, col: str = "text") -> str:
     """DuckDB replica of functions/text.py dup_ngram_fraction: identical
     whitespace split, identical LINEAR shifted-slice zip window (a
     slice-per-index list comprehension is O(tokens²) per doc — 170 s at
     sf1 vs ~20 s for this), identical guard arithmetic (cross-engine
     probe-verified before gating)."""
     k = n - 1
-    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    toks = f"regexp_split_to_array(trim({col}), '\\s+')"
     if n == 1:
         grams = toks
     else:
@@ -2085,7 +2123,7 @@ def _dup_ngram_sql(n: int) -> str:
             f"({toks})[{1 + i}:len({toks})-{k - i}]" for i in range(n))
         joined = " || ' ' || ".join(f"x[{i + 1}]" for i in range(n))
         grams = f"list_transform(list_zip({parts}), x -> {joined})"
-    return (f"round(CASE WHEN length(trim(coalesce(text,''))) > 0 "
+    return (f"round(CASE WHEN length(trim(coalesce({col},''))) > 0 "
             f"AND len({toks})-{k} >= 1 "
             f"THEN 1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}) "
             f"ELSE 0.0 END, 6)")
@@ -2474,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dataset_split_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "corpus_curation": _corpus_curation_sql(),
+        "corpus_curation_v2": _corpus_curation_sql(v2=True),
         "curation_incremental": _corpus_curation_sql(cap=None),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "dedup_components": _dedup_components_sql(),

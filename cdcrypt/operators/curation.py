@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdcrypt.functions.sampling import split_case, unit_hash
-from cdcrypt.functions.text import lang_id, quality_score, token_count
+from cdcrypt.functions.text import (
+    dup_ngram_fraction,
+    lang_id,
+    quality_score,
+    token_count,
+)
 from cdcrypt.operators.docdedup import dedup_near
 
 
@@ -36,6 +41,8 @@ def curate_corpus(
     weights: dict[str, float],
     min_quality: float = 0.0,
     langs: tuple[str, ...] | None = None,
+    max_dup_3gram: float | None = None,
+    pii: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "split-v1",
@@ -44,7 +51,24 @@ def curate_corpus(
     ``(id_col, component, n_in_cluster, n_tokens, quality, lang_guess,
     split)``. ``pairs`` is any (id_a, id_b) near-dup relation (minhash /
     simhash / embedding LSH); ``langs=None`` keeps every language;
-    ``min_quality=0.0`` keeps every document."""
+    ``min_quality=0.0`` keeps every document.
+
+    Optional stages (off by default, so the base projection is stable):
+
+    - ``max_dup_3gram`` — Gopher-style repetition gate: drop documents
+      whose duplicate-3-gram fraction exceeds the threshold, and emit
+      the ``dup_3gram`` column. Like every other stage it is a pure
+      Column predicate fused into the existing survivor scan — zero
+      added shuffles.
+    - ``pii`` — ``'flag'`` emits ``pii_count`` (distinct structured-PII
+      kinds detected, operators/pii.py); ``'drop'`` additionally removes
+      any document containing PII (the redact/encrypt alternatives are
+      separate write-path operators — curation only decides membership).
+    """
+    from cdcrypt.operators.pii import PII_PATTERNS, scan_pii
+
+    if pii not in (None, "flag", "drop"):
+        raise ValueError(f"pii={pii!r} must be None, 'flag', or 'drop'")
     survivors = dedup_near(docs, pairs, id_col=id_col, text_col=text_col)
     c = F.col(text_col)
     out = (
@@ -56,10 +80,21 @@ def curate_corpus(
         out = out.where(F.col("quality") >= F.lit(float(min_quality)))
     if langs is not None:
         out = out.where(F.col("lang_guess").isin(list(langs)))
+    extra: list[str] = []
+    if max_dup_3gram is not None:
+        out = (out.withColumn("dup_3gram", dup_ngram_fraction(c, 3))
+               .where(F.col("dup_3gram") <= F.lit(float(max_dup_3gram))))
+        extra.append("dup_3gram")
+    if pii is not None:
+        out = scan_pii(out, text_col).drop(
+            *[f"pii_{k}" for k in PII_PATTERNS])
+        if pii == "drop":
+            out = out.where(F.col("pii_count") == 0)
+        extra.append("pii_count")
     return (
         out.withColumn("n_tokens", token_count(c).cast("long"))
         .withColumn("_u", unit_hash("component", salt))
         .withColumn("split", split_case(F.col("_u"), weights))
         .select(id_col, "component", "n_in_cluster", "n_tokens",
-                "quality", "lang_guess", "split")
+                "quality", "lang_guess", *extra, "split")
     )

@@ -83,3 +83,36 @@ def test_curation_split_is_stable_across_runs_and_layouts(spark):
          for r in curate_corpus(docs.repartition(13), pairs,
                                 WEIGHTS).collect()}
     assert a == b
+
+
+def test_curation_v2_repetition_and_pii_stages(spark):
+    """max_dup_3gram drops repetitive survivors (GOOD is a x3-repeated
+    sentence, so its dup_3gram is high) and emits the column; pii='flag'
+    emits pii_count; pii='drop' removes flagged docs. The base projection
+    (no optional stages) is unchanged — schema stability for the existing
+    gate."""
+    docs = _docs(spark).union(spark.createDataFrame(
+        [(100, "kindly reach our analyst at spy@leak.example.net "
+               "for all further onboarding details and schedules")],
+        "doc_id long, text string"))
+    pairs = _pairs(spark)
+    base = curate_corpus(docs, pairs, WEIGHTS)
+    assert "dup_3gram" not in base.columns and "pii_count" not in base.columns
+
+    v2 = curate_corpus(docs, pairs, WEIGHTS, max_dup_3gram=0.2, pii="flag")
+    rows = {r.doc_id: r for r in v2.collect()}
+    # the x3-repeated GOOD survivor is gone; unique-text docs survive
+    survived = set(rows)
+    base_ids = {r.doc_id for r in base.collect()}
+    dropped = base_ids - survived
+    assert dropped and all(i % 10 in (0, 1, 2) for i in dropped)
+    for r in rows.values():
+        assert r.dup_3gram <= 0.2
+    assert rows[100].pii_count == 1
+
+    dropped_pii = curate_corpus(docs, pairs, WEIGHTS, pii="drop")
+    assert 100 not in {r.doc_id for r in dropped_pii.collect()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pii="):
+        curate_corpus(docs, pairs, WEIGHTS, pii="redact")
