@@ -178,8 +178,18 @@ def transform_json_payload(
     parsed = df.withColumn(
         _PAYLOAD, F.from_json(F.col(json_col), parse_schema, opts))
     keep_orig = strict_fields or tolerant
+    unknown_keys = F.array_except(
+        F.json_object_keys(F.col(json_col)),
+        F.array(*[F.lit(f) for f in payload_fields]))
     bad = (F.col(_PAYLOAD).getField(_CORRUPT).isNotNull()
            if tolerant else F.lit(False))
+    if tolerant and strict_fields:
+        # a payload key the schema doesn't cover is a CONVERTER error in
+        # tolerant mode, not a job-killer: repacking would silently drop
+        # the key, so the row quarantines byte-unchanged like any other
+        # poison record (json_object_keys is null on malformed bytes —
+        # those rows are already bad via the corrupt slot)
+        bad = bad | F.coalesce(F.size(unknown_keys) > 0, F.lit(False))
     flat = parsed.select(
         *others,
         F.col(_PAYLOAD).isNull().alias(_WAS_NULL),
@@ -219,13 +229,27 @@ def transform_json_payload(
     repacked = out.withColumn(json_col, repack.otherwise(repack_val))
     extra: list[str] = []
     if tolerant:
+        orig_keys = F.json_object_keys(F.col(_ORIG))
+        orig_unknown = F.array_except(
+            orig_keys, F.array(*[F.lit(f) for f in payload_fields]))
+        msg = (
+            # cause triage from the original bytes: unparseable (keys
+            # null) / schema-uncovered key (strict only) / type mismatch
+            F.when(orig_keys.isNull(), F.concat(
+                F.lit("parse: malformed JSON bytes: "),
+                F.substring(F.col(_ORIG), 1, 128)))
+            .when(F.lit(strict_fields) & (F.size(orig_unknown) > 0),
+                  F.concat(
+                      F.lit("parse: payload key(s) absent from the "
+                            "schema: "), F.to_json(orig_unknown)))
+            .otherwise(F.concat(
+                F.lit("parse: payload rejected by converter "
+                      "(type mismatch): "),
+                F.substring(F.col(_ORIG), 1, 128))))
         parse_err = F.when(
             F.col(_BAD) & ~F.col(_WAS_NULL),
             F.array(F.struct(
-                F.lit(json_col).alias("field"),
-                F.concat(
-                    F.lit("parse: payload rejected by converter: "),
-                    F.substring(F.col(_ORIG), 1, 128)).alias("error"))),
+                F.lit(json_col).alias("field"), msg.alias("error"))),
         ).otherwise(F.lit([]).cast(_ERR_TYPE))
         if ERROR_COL in out.columns:
             # prior entries accumulate: an inner tolerant decrypt's crypto
@@ -244,20 +268,22 @@ def transform_json_payload(
 
 def encrypt_json_payload(df: DataFrame, json_col: str,
                          schema: StructType | str | None, fields: list[str],
-                         on_parse_error: str = "fail", **kw) -> DataFrame:
+                         on_parse_error: str = "fail",
+                         infer_sample: int = 1000, **kw) -> DataFrame:
     """One-shot schemaless encrypt (``fields`` address the payload;
     ``schema=None`` infers it from the data)."""
     return transform_json_payload(
         df, json_col, schema,
         FieldTransform(TransformConfig(mode="encrypt", fields=fields, **kw)),
-        on_parse_error=on_parse_error)
+        on_parse_error=on_parse_error, infer_sample=infer_sample)
 
 
 def decrypt_json_payload(df: DataFrame, json_col: str,
                          schema: StructType | str | None, fields: list[str],
-                         on_parse_error: str = "fail", **kw) -> DataFrame:
+                         on_parse_error: str = "fail",
+                         infer_sample: int = 1000, **kw) -> DataFrame:
     """One-shot schemaless decrypt (``schema=None`` infers)."""
     return transform_json_payload(
         df, json_col, schema,
         FieldTransform(TransformConfig(mode="decrypt", fields=fields, **kw)),
-        on_parse_error=on_parse_error)
+        on_parse_error=on_parse_error, infer_sample=infer_sample)

@@ -327,3 +327,41 @@ def test_schemaless_parse_fail_default_still_failfast(spark):
     with pytest.raises(ConfigError, match="one of"):
         encrypt_json_payload(raw, "value", SL_SCHEMA, ["$.userid"],
                              on_parse_error="ignore", key_id=KEY, kms=kms)
+
+
+def test_schemaless_parse_dlq_quarantines_late_unknown_keys(spark):
+    """A payload key first appearing AFTER the inference sample is a
+    CONVERTER error under tolerance, not a job-killer: the row passes
+    byte-unchanged with a named-key error entry while covered rows
+    transform; strict mode (default) still raises. Triage messages
+    distinguish malformed bytes / unknown key / type mismatch."""
+    from cdcrypt.operators.schemaless import encrypt_json_payload
+
+    kms = MockKMS()
+    raw = spark.createDataFrame(
+        [(0, '{"userid":"User_0","viewtime":90}'),
+         (1, '{"userid":"User_1","viewtime":91,"surprise":1}'),
+         (2, '{"userid":"User_2", broken'),
+         (3, '{"userid":"User_3","viewtime":"nope"}')],
+        "rec_id long, value string").coalesce(1)
+    # schema inferred from row 0 only -> 'surprise' is uncovered
+    out = encrypt_json_payload(raw, "value", None, ["$.userid"],
+                               on_parse_error="dlq", infer_sample=1,
+                               key_id=KEY, kms=kms)
+    by_id = {r.rec_id: r for r in out.collect()}  # must not raise
+    assert "User_0" not in by_id[0].value and by_id[0][ERROR_COL] == []
+    orig = {r.rec_id: r.value for r in raw.collect()}
+    errs = {}
+    for i in (1, 2, 3):
+        assert by_id[i].value == orig[i]
+        (e,) = by_id[i][ERROR_COL]
+        errs[i] = e["error"]
+    assert "absent from the schema" in errs[1] and "surprise" in errs[1]
+    assert errs[2].startswith("parse: malformed JSON bytes")
+    assert "type mismatch" in errs[3]
+    # strict mode still fails loud on the uncovered key
+    strict = encrypt_json_payload(
+        raw.where("rec_id <= 1"), "value", None, ["$.userid"],
+        infer_sample=1, key_id=KEY, kms=kms)
+    with pytest.raises(Exception, match="surprise"):
+        strict.collect()
