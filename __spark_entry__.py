@@ -562,6 +562,50 @@ def _q_cdc_incremental_read(spark, sf_dir):
         "op", "epoch")
 
 
+def _q_cdc_changefeed_chain(spark, sf_dir):
+    # Table-as-a-stream-source chaining (streaming/changefeed.py — the
+    # Delta-CDF / Iceberg-incremental-scan pattern): ChangeFeedStream
+    # tails table A's commits and merges each version window into table B
+    # with epoch = to_version (deterministic pending windows, resumable
+    # offset, exactly-once through the lake's epoch skip). Gated work:
+    # the whole chain — B must reach exactly A's resolved LWW state, so
+    # the oracle is the same LWW over the raw events that gates the MoR
+    # read. The feed drains in 1-version windows to exercise chunked
+    # catch-up; a re-run is a resume no-op (offset == A.version).
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from cdcrypt.streaming.changefeed import (
+        ChangeFeedStream, lake_merge_sink,
+    )
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    a = _mor_table_for(spark, sf_dir)
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":cfeed:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_cfeed_{key}")
+    try:
+        b = LakeTable(os.path.join(root, "b"))
+        if b.committed_epoch > a.version:  # stale artifact vs rebuilt A
+            raise LakeTableNotFound(root)
+    except LakeTableNotFound:
+        shutil.rmtree(root, ignore_errors=True)
+        b = LakeTable.create(os.path.join(root, "b"), a.schema,
+                             bucket_count=8, bucket_by="user_id",
+                             key_cols=["user_id", "event_type"])
+    feed = ChangeFeedStream(spark, a.root, os.path.join(root, "ckpt"),
+                            lake_merge_sink(b), max_versions_per_batch=1)
+    feed.process_available()  # torn states self-heal: replayed windows
+    assert feed.last_version == a.version  # skip at the lake (epoch gate)
+    return b.refresh().read(spark).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
 def _evo_table_for(spark, sf_dir):
     """Lake artifact for the cdc_schema_evolution gate: four event epochs
     (op_seq % 4) applied as MoR merges with compact_threshold=2, with a
@@ -1437,6 +1481,7 @@ def _q_ann_ivf_append(spark, sf_dir):
 # thresholds are Python-summed literals embedded in BOTH engines
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SALT, _SAMPLE_SALT, _SAMPLE_FRAC = "v1", "s1", 0.25
+_SHUFFLE_SALT = "sh1"
 
 
 def _q_dataset_split(spark, sf_dir):
@@ -1449,6 +1494,18 @@ def _q_dataset_split(spark, sf_dir):
     return out.withColumn(
         "in_sample",
         unit_hash("doc_id", _SAMPLE_SALT) < F.lit(_SAMPLE_FRAC))
+
+
+def _q_dataset_shuffle(spark, sf_dir):
+    # deterministic global shuffle for training export: (shard, sort_key)
+    # is a pure function of (doc_id, salt) — identical permutation across
+    # engines/layouts/cluster sizes, balanced shards from one hash, local
+    # per-shard ordering instead of a global range sort. with_rank
+    # materializes the dense within-shard position for verification (the
+    # export path writes sortWithinPartitions and never needs it).
+    from cdcrypt.functions.sampling import shuffle_dataset
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_dataset(docs, 8, salt=_SHUFFLE_SALT, with_rank=True)
 
 
 def _q_split_leakage_safe(spark, sf_dir):
@@ -1595,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
+        "cdc_changefeed_chain": _q_cdc_changefeed_chain,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
@@ -1632,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental": _q_embedding_incremental,
         "ann_lsh_indexed": _q_ann_lsh_indexed,
         "dataset_split": _q_dataset_split,
+        "dataset_shuffle": _q_dataset_shuffle,
         "split_leakage_safe": _q_split_leakage_safe,
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_v2": _q_corpus_curation_v2,
@@ -1816,6 +1875,19 @@ def _dataset_split_sql() -> str:
                  {unit_hash_sql('doc_id', _SPLIT_SALT)} AS u_split,
                  {unit_hash_sql('doc_id', _SAMPLE_SALT)} AS u_sample
           FROM documents)
+    """
+
+
+def _dataset_shuffle_sql() -> str:
+    from cdcrypt.functions.sampling import shuffle_dataset_sql
+    return f"""
+        SELECT doc_id, sort_key, shard,
+               row_number() OVER (
+                   PARTITION BY shard
+                   ORDER BY sort_key, doc_id) AS shard_rank
+        FROM (SELECT doc_id,
+                     {shuffle_dataset_sql('doc_id', _SHUFFLE_SALT, 8)}
+              FROM documents)
     """
 
 
@@ -2247,6 +2319,14 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY event_id DESC) rn
                   FROM events) WHERE rn = 1
         """,
+        "cdc_changefeed_chain": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
         "cdc_time_travel": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value
             FROM (SELECT user_id, event_type, event_id, value,
@@ -2510,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         # over the even-id base + exact cosine rank window
         "ann_lsh_indexed": _ann_lsh_indexed_sql(),
         "dataset_split": _dataset_split_sql(),
+        "dataset_shuffle": _dataset_shuffle_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "corpus_curation": _corpus_curation_sql(),
         "corpus_curation_v2": _corpus_curation_sql(v2=True),

@@ -176,6 +176,54 @@ def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
     return df.where(u < keep)
 
 
+def shuffle_dataset(df: DataFrame, num_shards: int,
+                    id_col: str = "doc_id", salt: str = "shuffle-v1",
+                    with_rank: bool = False) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets a
+    ``shard`` and a 60-bit ``sort_key``, and the corpus's shuffled order
+    is (shard asc, sort_key asc, id asc) — a pure function of (id, salt),
+    so the permutation is identical across engines, layouts, cluster
+    sizes, and incremental re-runs (append-only corpora keep old rows'
+    positions within their shard). A different ``salt`` is a fresh
+    independent permutation — version it per training run.
+
+    Scale design — NO global range sort: ``orderBy(rand())`` needs a
+    range-partitioner sampling job and produces skew-prone ranges, and a
+    global row_number is a single-task reduction. Here shard assignment
+    is one hash (balanced by construction, ±O(sqrt) binomial deviation)
+    and ordering is LOCAL per shard: export writes with
+    ``repartition(num_shards, shard).sortWithinPartitions(sort_key, id)``
+    — one exchange, each task streams one sorted shard file, nothing
+    driver-side. Readers consume shards in index order (or any order —
+    shards are independent uniform samples, which is exactly what
+    epoch-shuffled training wants).
+
+    ``with_rank=True`` additionally materializes the dense within-shard
+    position (``shard_rank``) via a per-shard window — one task per
+    shard, so use it for verification/small corpora, not the 100 TB
+    export path (the sorted write above never needs the dense rank)."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    h = h60(F.concat_ws(":", checked_id(id_col, "shuffle_dataset"),
+                        F.lit(salt)))
+    out = (df.withColumn("sort_key", h)
+           .withColumn("shard", F.pmod(F.col("sort_key"),
+                                       F.lit(num_shards)).cast("int")))
+    if with_rank:
+        from pyspark.sql import Window
+        w = Window.partitionBy("shard").orderBy(
+            F.col("sort_key").asc(), F.col(id_col).asc())
+        out = out.withColumn("shard_rank", F.row_number().over(w))
+    return out
+
+
+def shuffle_dataset_sql(id_expr: str, salt: str, num_shards: int) -> str:
+    """DuckDB replica of :func:`shuffle_dataset`'s (sort_key, shard)."""
+    h = h60_sql(f"CAST({id_expr} AS VARCHAR) || ':' || '{_sq(salt)}'")
+    return (f"{h} AS sort_key, "
+            f"CAST(({h}) % {num_shards} AS INTEGER) AS shard")
+
+
 def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
                        weights: dict[str, float], id_col: str = "doc_id",
                        salt: str = "split-v1",

@@ -142,3 +142,53 @@ def test_null_id_raises_instead_of_single_bucket(spark):
     # non-null inputs are untouched by the guard
     clean = docs.where("doc_id IS NOT NULL")
     assert deterministic_split(clean, WEIGHTS).count() == 2
+
+
+def test_shuffle_dataset_deterministic_and_layout_invariant(spark):
+    import duckdb
+
+    from cdcrypt.functions.sampling import (
+        shuffle_dataset, shuffle_dataset_sql,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(400)], "doc_id long, text string")
+    a = shuffle_dataset(docs, 8, with_rank=True)
+    b = shuffle_dataset(docs.repartition(13).sortWithinPartitions("text"),
+                        8, with_rank=True)
+    rows_a = sorted(map(tuple, a.select(
+        "doc_id", "shard", "sort_key", "shard_rank").collect()))
+    rows_b = sorted(map(tuple, b.select(
+        "doc_id", "shard", "sort_key", "shard_rank").collect()))
+    assert rows_a == rows_b
+    # every shard's ranks are dense 1..n
+    by_shard = {}
+    for _id, sh, _k, rk in rows_a:
+        by_shard.setdefault(sh, []).append(rk)
+    assert set(by_shard) == set(range(8))  # 400 rows cover all 8 shards
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # append-only stability: adding docs never moves an old row's
+    # (shard, sort_key) — its within-shard ORDER relative to old rows
+    # is unchanged (new rows interleave by sort_key)
+    more = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)], "doc_id long, text string")
+    c = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in shuffle_dataset(more, 8).collect()}
+    assert all(c[i] == (sh, k) for i, sh, k, _ in rows_a)
+    # DuckDB replica agrees bit-for-bit
+    ora = duckdb.sql(
+        "SELECT doc_id, " + shuffle_dataset_sql("doc_id", "shuffle-v1", 8)
+        + " FROM (SELECT unnest(range(400)) AS doc_id)").fetchall()
+    assert sorted((i, sh, k) for i, k, sh in ora) == [
+        (i, sh, k) for i, sh, k, _ in rows_a]
+
+
+def test_shuffle_dataset_validation(spark):
+    import pytest
+
+    from cdcrypt.functions.sampling import shuffle_dataset
+    docs = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(ValueError, match="num_shards"):
+        shuffle_dataset(docs, 0)
+    with pytest.raises(Exception, match="NULL id"):
+        shuffle_dataset(docs, 4).collect()
