@@ -159,6 +159,45 @@ def _q_smt_array_struct_wildcard(spark, sf_dir):
     )
 
 
+def _q_smt_nested_array_crypto(spark, sf_dir):
+    # O4/O5 NESTED array segments (r4 cont.): $.turns[*].tool_calls[*].args
+    # — the transcript tool-call shape (a Debezium payload with tool calls
+    # inside turns). Leaves gather as array<array<string>> into ONE crypto
+    # batch (flatten/regroup inside the pandas UDF — span-exact for ragged
+    # and null inner arrays), write back via nested transform/withField,
+    # siblings untouched. Round-trip must be the identity.
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.array(
+                    F.struct(F.lit("search").alias("name"),
+                             F.col("text").alias("args")),
+                    F.struct(F.lit("fetch").alias("name"),
+                             F.col("source").alias("args")),
+                ).alias("tool_calls")),
+            F.struct(
+                F.lit("tool").alias("role"),
+                F.array(
+                    F.struct(F.lit("calc").alias("name"),
+                             F.col("source").alias("args")),
+                ).alias("tool_calls")),
+        ).alias("turns"))
+    path = ["$.turns[*].tool_calls[*].args"]
+    enc = encrypt_fields(docs, path, key_id="cdcrypt/docs")
+    dec = decrypt_fields(enc, path, key_id="cdcrypt/docs")
+    return dec.select(
+        "doc_id",
+        F.col("turns")[0]["tool_calls"][0]["args"].alias("text"),
+        F.col("turns")[0]["tool_calls"][1]["args"].alias("source"),
+        F.col("turns")[1]["tool_calls"][0]["args"].alias("source2"),
+        F.col("turns")[1]["role"].alias("role2"),
+    )
+
+
 def _q_smt_key_rotation(spark, sf_dir):
     # C12 key rotation as the AWS Encryption SDK models it: rotating the
     # MASTER key only re-wraps each envelope's data key (header splice,
@@ -1641,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_roundtrip_jvm": _q_smt_roundtrip_jvm,
         "smt_array_wildcard": _q_smt_array_wildcard,
         "smt_array_struct_wildcard": _q_smt_array_struct_wildcard,
+        "smt_nested_array_crypto": _q_smt_nested_array_crypto,
         "smt_conditional_crypto": _q_smt_conditional_crypto,
         "smt_mask_field": _q_smt_mask_field,
         "smt_hash_field": _q_smt_hash_field,
@@ -2253,6 +2293,9 @@ def oracle_sql() -> dict[str, str]:
         "smt_array_wildcard": "SELECT doc_id, text, source FROM documents",
         "smt_array_struct_wildcard": (
             "SELECT doc_id, text, source, source AS source2 FROM documents"),
+        "smt_nested_array_crypto": (
+            "SELECT doc_id, text, source, source AS source2, "
+            "'tool' AS role2 FROM documents"),
         "smt_conditional_crypto": "SELECT doc_id, text, source FROM documents",
         "smt_mask_field": (
             "SELECT doc_id, CASE WHEN source = 'src3' THEN "

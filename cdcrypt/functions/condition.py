@@ -36,14 +36,23 @@ def compile_condition(
     if not path_exists(df, cp):
         return F.lit(False)  # missing field -> reject (Conditions.java:34-36)
     target = F.lit(str(equals))
-    if cp.array_wildcard:
+    if cp.array_wildcard or cp.inner_wildcard:
+        # select_column yields the leaf array for every wildcard shape
+        # (nested [*]...[*] yields array<array>: flatten for the match,
+        # null inner arrays contributing nothing) — existential any-match
+        # (Conditions.java:38-43); null array -> false
         arr = select_column(cp)
-        # existential any-match (Conditions.java:38-43); null array -> false
+        if cp.array_wildcard and cp.inner_wildcard:
+            arr = F.flatten(F.transform(
+                arr, lambda a: F.coalesce(a, F.array())))
         return F.coalesce(
             F.exists(arr, lambda x: x.cast("string") == target), F.lit(False)
         )
-    if cp.array_index is not None:
+    if (cp.array_index is not None and not cp.suffix
+            and not cp.has_inner):
+        # terminal [n]: select yields the raw array, pick the element
         v = F.element_at(select_column(cp), cp.array_index + 1)
         return F.coalesce(v.cast("string") == target, F.lit(False))
+    # plain scalar path, [n].field, and [n]...[m].field all select the leaf
     v = select_column(cp)
     return F.coalesce(v.cast("string") == target, F.lit(False))

@@ -402,23 +402,69 @@ def _regroup_arrays(lists, spans, new_flat, index: int | None):
     return out
 
 
-def _make_array_udf(batch_fn, index: int | None, use_gate: bool):
+def _flatten_nested(cells):
+    """Flatten list-of-list-of-leaves cells (nested ``[*]...[*]`` paths) into
+    one crypto batch; spans remember inner sizes (None = null inner array)."""
+    flat: list[object] = []
+    spans: list[list[int | None] | None] = []
+    for cell in cells:
+        if cell is None:
+            spans.append(None)
+            continue
+        cs: list[int | None] = []
+        for inner in cell:
+            if inner is None:
+                cs.append(None)
+            else:
+                cs.append(len(inner))
+                flat.extend(inner)
+        spans.append(cs)
+    return flat, spans
+
+
+def _regroup_nested(spans, new_flat):
+    out = []
+    pos = 0
+    for cs in spans:
+        if cs is None:
+            out.append(None)
+            continue
+        rebuilt: list[list | None] = []
+        for n in cs:
+            if n is None:
+                rebuilt.append(None)
+            else:
+                rebuilt.append(list(new_flat[pos:pos + n]))
+                pos += n
+        out.append(rebuilt)
+    return out
+
+
+def _make_array_udf(batch_fn, index: int | None, use_gate: bool,
+                    nested: bool = False):
+    if nested:
+        assert index is None, "nested array paths carry no terminal index"
+
     def core(lists, _aad, gate):
         if gate is not None:
             work = [lst if (g is True or g == 1) else None
                     for lst, g in zip(lists, gate)]
         else:
             work = lists
-        flat, spans = _flatten_arrays(work, index)
-        new_flat = batch_fn(flat)
-        rewritten = _regroup_arrays(work, spans, new_flat, index)
+        if nested:
+            flat, spans = _flatten_nested(work)
+            rewritten = _regroup_nested(spans, batch_fn(flat))
+        else:
+            flat, spans = _flatten_arrays(work, index)
+            rewritten = _regroup_arrays(work, spans, batch_fn(flat), index)
         if gate is None:
             return rewritten
         return [rw if (g is True or g == 1) else lst
                 for lst, rw, g in zip(lists, rewritten, gate)]
 
-    return _build_udf(core, ArrayType(StringType()), use_aad=False,
-                      use_gate=use_gate)
+    out_type = (ArrayType(ArrayType(StringType())) if nested
+                else ArrayType(StringType()))
+    return _build_udf(core, out_type, use_aad=False, use_gate=use_gate)
 
 
 def make_encrypt_array_udf(
@@ -428,13 +474,16 @@ def make_encrypt_array_udf(
     context: dict[str, str] | None = None,
     index: int | None = None,
     use_gate: bool = False,
+    nested: bool = False,
 ) -> Callable:
     """array<string> -> array<string>: encrypt every element (``[*]``) or only
-    element ``index`` (``[n]``)."""
+    element ``index`` (``[n]``). ``nested=True``: array<array<string>> cells
+    (``[*]...[*]`` paths) — leaves flatten into the SAME one crypto batch and
+    regroup by inner spans, so ragged/null inner arrays realign exactly."""
     kms_inst = kms or MockKMS()
     return _make_array_udf(
         lambda flat: encrypt_batch(flat, key_id, kms_inst, context=context),
-        index, use_gate,
+        index, use_gate, nested,
     )
 
 
@@ -444,11 +493,12 @@ def make_decrypt_array_udf(
     context: dict[str, str] | None = None,
     index: int | None = None,
     use_gate: bool = False,
+    nested: bool = False,
 ) -> Callable:
     """Inverse of :func:`make_encrypt_array_udf`."""
     kms_inst = kms or MockKMS()
     return _make_array_udf(
         lambda flat: decrypt_batch(flat, kms_inst, dek_cache=_cache(),
                                    context=context),
-        index, use_gate,
+        index, use_gate, nested,
     )

@@ -131,7 +131,19 @@ class FieldMasker:
             if not path_exists(df, cp):
                 continue  # missing optional target -> skip
             cur = select_column(cp)
-            if cp.is_array and not cp.suffix:
+            if cp.has_inner:
+                # nested arrays: select yields array<array> for [*]...[*],
+                # a flat leaf array for the single-wildcard shapes, the
+                # scalar leaf for [n]...[m] — masking is element-wise
+                # pure, so no realignment needed
+                if cp.array_wildcard and cp.inner_wildcard:
+                    new = F.transform(
+                        cur, lambda a: F.transform(a, self._masked))
+                elif cp.vector_crypto:
+                    new = F.transform(cur, self._masked)
+                else:
+                    new = self._masked(cur)
+            elif cp.is_array and not cp.suffix:
                 if cp.array_wildcard:  # terminal [*]: every element
                     new = F.transform(cur, self._masked)
                 else:  # terminal [n]: one element, others untouched

@@ -257,18 +257,23 @@ class FieldTransform:
                         "on_error='dlq' does not support array paths (an "
                         "array cell has no single per-row error slot)")
                 # terminal [*]/[n] pass the raw array (UDF applies the
-                # index); [*].field passes the extracted leaf array, so the
-                # UDF sees index=None and encrypts every leaf
-                idx = cp.array_index if not cp.suffix else None
+                # index); [*].field and nested-array shapes pass the
+                # extracted leaf array, so the UDF sees index=None and
+                # encrypts every leaf
+                idx = (cp.array_index
+                       if not cp.suffix and not cp.has_inner else None)
+                # [*]...[*]: nested array<array> cells, flattened into one
+                # crypto batch inside the UDF (span-exact regroup)
+                nested = cp.array_wildcard and cp.inner_wildcard
                 if cfg.mode == "encrypt":
                     udf = make_encrypt_array_udf(
                         cfg.key_id, kms=cfg.kms, context=cfg.context,
-                        index=idx, use_gate=use_gate,
+                        index=idx, use_gate=use_gate, nested=nested,
                     )
                 else:
                     udf = make_decrypt_array_udf(
                         kms=cfg.kms, context=cfg.context,
-                        index=idx, use_gate=use_gate,
+                        index=idx, use_gate=use_gate, nested=nested,
                     )
                 new = udf(cur, gate) if use_gate else udf(cur)
             else:

@@ -131,9 +131,9 @@ def test_invalid_path_is_config_error(spark):
     with pytest.raises(ConfigError):
         encrypt_fields(fixture_df(spark), ["$..["])
     with pytest.raises(ConfigError):
-        # nested array segments remain out of scope ($.a[*].b is supported
-        # since r4 — see the mid-path array tests below)
-        encrypt_fields(fixture_df(spark), ["$.a[*].b[*]"])
+        # three array segments remain out of scope ($.a[*].b and
+        # $.a[*].b[*].c are supported — see the array-path tests below)
+        encrypt_fields(fixture_df(spark), ["$.a[*].b[*].c[*]"])
 
 
 def test_config_validation():
@@ -410,8 +410,116 @@ def test_array_struct_gated(spark):
     assert _sorted_dicts(dec) == _sorted_dicts(df)
 
 
-def test_nested_array_segments_rejected():
-    # scope boundary: one array segment per path, config-time error
-    # (Config.java:161-163 analogue)
+def test_three_array_segments_rejected():
+    # scope boundary: at most TWO array segments per path, config-time
+    # error (Config.java:161-163 analogue)
     with pytest.raises(ConfigError, match="array segment"):
-        FieldTransform(TransformConfig(mode="encrypt", fields=["$.a[*].b[0]"]))
+        FieldTransform(TransformConfig(
+            mode="encrypt", fields=["$.a[*].b[0].c[*]"]))
+
+
+# ---------------------------------------------------------------------------
+# nested array segments ($.turns[*].tool_calls[*].args — the transcript
+# tool-call shape): leaves flatten into ONE crypto batch in outer-major
+# order and realign by a codegen prefix-sum over inner sizes.
+# ---------------------------------------------------------------------------
+
+NESTED_SCHEMA = (
+    "conv_id string, turns array<struct<"
+    "role:string, tool_calls:array<struct<name:string, args:string>>>>"
+)
+
+
+def nested_df(spark):
+    # ragged on purpose: inner sizes 2/0/null/1 across elements, a null
+    # leaf, a null outer element, a null outer array
+    return spark.createDataFrame(
+        [
+            ("c1", [("user", [("search", "q=a"), ("fetch", "u=b")]),
+                    ("assistant", []),
+                    ("tool", None),
+                    ("user", [("calc", None)]),
+                    ("user", [("end", "q=z")])]),
+            ("c2", [("user", None), None]),
+            ("c3", None),
+        ],
+        NESTED_SCHEMA,
+    )
+
+
+def test_nested_wildcard_wildcard_roundtrip(spark):
+    df = nested_df(spark)
+    enc = encrypt_fields(df, ["$.turns[*].tool_calls[*].args"], key_id="k")
+    assert enc.schema == df.schema  # transform-preserving, no temp leak
+    rows = {r.conv_id: r for r in enc.collect()}
+    t = rows["c1"].turns
+    # ragged realignment: every non-null leaf encrypted IN PLACE
+    assert t[0].tool_calls[0].args != "q=a" and len(t[0].tool_calls[0].args) > 40
+    assert t[0].tool_calls[1].args != "u=b"
+    assert t[4].tool_calls[0].args != "q=z"
+    # siblings + structure untouched
+    assert t[0].tool_calls[0].name == "search" and t[0].role == "user"
+    assert t[1].tool_calls == [] and t[2].tool_calls is None
+    assert t[3].tool_calls[0].args is None  # null leaf passthrough
+    assert rows["c2"].turns[1] is None and rows["c3"].turns is None
+    dec = decrypt_fields(enc, ["$.turns[*].tool_calls[*].args"], key_id="k")
+    assert _sorted_dicts(dec) == _sorted_dicts(df)
+
+
+def test_nested_index_shapes_roundtrip(spark):
+    df = nested_df(spark)
+    for path, probe in [
+        ("$.turns[*].tool_calls[0].args",
+         lambda t: (t[0].tool_calls[0].args, t[0].tool_calls[1].args)),
+        ("$.turns[0].tool_calls[*].args",
+         lambda t: (t[0].tool_calls[1].args, t[4].tool_calls[0].args)),
+        ("$.turns[0].tool_calls[1].args",
+         lambda t: (t[0].tool_calls[1].args, t[0].tool_calls[0].args)),
+    ]:
+        enc = encrypt_fields(df, [path], key_id="k")
+        changed, unchanged_probe = probe(
+            {r.conv_id: r for r in enc.collect()}["c1"].turns)
+        assert changed not in ("q=a", "u=b", "q=z")
+        dec = decrypt_fields(enc, [path], key_id="k")
+        assert _sorted_dicts(dec) == _sorted_dicts(df), path
+    # [*].tool_calls[0]: only index-0 leaves touched
+    enc = encrypt_fields(df, ["$.turns[*].tool_calls[0].args"], key_id="k")
+    t = {r.conv_id: r for r in enc.collect()}["c1"].turns
+    assert t[0].tool_calls[1].args == "u=b"  # index 1 untouched
+
+
+def test_nested_direct_array_of_arrays_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("d1", [["a", "b"], [], None, ["c"]]), ("d2", None)],
+        "id string, m array<array<string>>")
+    enc = encrypt_fields(df, ["$.m[*][*]"], key_id="k")
+    assert enc.schema == df.schema
+    r = {x.id: x for x in enc.collect()}
+    assert r["d1"].m[0][0] != "a" and r["d1"].m[3][0] != "c"
+    assert r["d1"].m[1] == [] and r["d1"].m[2] is None
+    dec = decrypt_fields(enc, ["$.m[*][*]"], key_id="k")
+    assert _sorted_dicts(dec) == _sorted_dicts(df)
+
+
+def test_nested_condition_gate_existential(spark):
+    # condition over a nested wildcard path: any-leaf-match semantics
+    df = nested_df(spark)
+    enc = encrypt_fields(
+        df, ["$.conv_id"], key_id="k",
+        condition_field="$.turns[*].tool_calls[*].name",
+        condition_equals="calc")
+    r = {x["conv_id"] if len(x["conv_id"]) == 2 else "enc": x
+         for x in (row.asDict() for row in enc.collect())}
+    assert "enc" in r  # c1 has a 'calc' tool call -> encrypted
+    assert "c2" in r and "c3" in r  # no match / null -> passthrough
+
+
+def test_nested_masking(spark):
+    from cdcrypt.operators.masking import mask_fields
+    df = nested_df(spark)
+    out = mask_fields(df, ["$.turns[*].tool_calls[*].args"],
+                      replacement="***")
+    t = {r.conv_id: r for r in out.collect()}["c1"].turns
+    assert t[0].tool_calls[0].args == "***" and t[4].tool_calls[0].args == "***"
+    assert t[3].tool_calls[0].args is None  # null leaf stays null
+    assert t[0].tool_calls[0].name == "search"
