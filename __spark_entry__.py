@@ -1535,6 +1535,18 @@ def _q_dataset_split(spark, sf_dir):
         unit_hash("doc_id", _SAMPLE_SALT) < F.lit(_SAMPLE_FRAC))
 
 
+_QUOTAS = {"src1": 30, "src3": 10}
+
+
+def _q_quota_sample(spark, sf_dir):
+    # exact per-stratum quotas: each stratum keeps its n smallest unit
+    # hashes — deterministic, nested under one salt, WindowGroupLimit
+    # keeps the shuffle O(partitions x quota). Unlisted strata drop.
+    from cdcrypt.functions.sampling import quota_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_sample(docs, _QUOTAS, "source", salt=_SAMPLE_SALT)
+
+
 def _q_dataset_shuffle(spark, sf_dir):
     # deterministic global shuffle for training export: (shard, sort_key)
     # is a pure function of (doc_id, salt) — identical permutation across
@@ -1731,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_indexed": _q_ann_lsh_indexed,
         "dataset_split": _q_dataset_split,
         "dataset_shuffle": _q_dataset_shuffle,
+        "quota_sample": _q_quota_sample,
         "split_leakage_safe": _q_split_leakage_safe,
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_v2": _q_corpus_curation_v2,
@@ -1915,6 +1928,22 @@ def _dataset_split_sql() -> str:
                  {unit_hash_sql('doc_id', _SPLIT_SALT)} AS u_split,
                  {unit_hash_sql('doc_id', _SAMPLE_SALT)} AS u_sample
           FROM documents)
+    """
+
+
+def _quota_sample_sql() -> str:
+    from cdcrypt.functions.sampling import unit_hash_sql
+    case = " ".join(f"WHEN '{v}' THEN {n}" for v, n in _QUOTAS.items())
+    return f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY u, doc_id) AS rk,
+                 CASE source {case} ELSE 0 END AS q
+          FROM (SELECT doc_id, source,
+                       {unit_hash_sql('doc_id', _SAMPLE_SALT)} AS u
+                FROM documents))
+        WHERE rk <= q
     """
 
 
@@ -2634,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_indexed": _ann_lsh_indexed_sql(),
         "dataset_split": _dataset_split_sql(),
         "dataset_shuffle": _dataset_shuffle_sql(),
+        "quota_sample": _quota_sample_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "corpus_curation": _corpus_curation_sql(),
         "corpus_curation_v2": _corpus_curation_sql(v2=True),

@@ -176,6 +176,41 @@ def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
     return df.where(u < keep)
 
 
+def quota_sample(df: DataFrame, quotas: dict, strata_col: str,
+                 id_col: str = "doc_id", salt: str = "sample-v1") -> DataFrame:
+    """Exact per-stratum quotas ("10k docs per language"): keep each
+    stratum's ``n`` smallest unit-hashes. Deterministic and
+    engine/layout-stable like the rate samples, and NESTED under one
+    salt: a smaller quota is a prefix of a larger one's hash order, so
+    staged experiments downsample consistently. Strata not listed keep
+    nothing. Ties are broken by id (hash collisions).
+
+    Differs from :func:`stratified_sample` (rate-based, zero-shuffle)
+    in guaranteeing exact counts when the stratum is large enough — the
+    price is ONE exchange for the per-stratum rank. Scale: the filter
+    conjunct ``rank <= max(quota)`` is a literal, so Spark's rank-limit
+    pushdown (WindowGroupLimit) pre-filters map-side — the shuffle
+    carries O(partitions x quota) rows, not the corpus."""
+    if not quotas:
+        raise ValueError("quotas must be non-empty")
+    for value, n in quotas.items():
+        if not isinstance(n, int) or n < 0:
+            raise ValueError(f"quota for {value!r} must be an int >= 0")
+    from pyspark.sql import Window
+    u = unit_hash(checked_id(id_col, "quota_sample"), salt)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_u").asc(), F.col(id_col).asc())
+    limit = F.lit(0)
+    for value, n in quotas.items():
+        limit = F.when(F.col(strata_col) == F.lit(value),
+                       F.lit(int(n))).otherwise(limit)
+    max_q = max(quotas.values())
+    return (df.withColumn("_u", u)
+            .withColumn("_rk", F.row_number().over(w))
+            .where((F.col("_rk") <= F.lit(max_q)) & (F.col("_rk") <= limit))
+            .drop("_u", "_rk"))
+
+
 def shuffle_dataset(df: DataFrame, num_shards: int,
                     id_col: str = "doc_id", salt: str = "shuffle-v1",
                     with_rank: bool = False) -> DataFrame:

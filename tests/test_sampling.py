@@ -192,3 +192,35 @@ def test_shuffle_dataset_validation(spark):
         shuffle_dataset(docs, 0)
     with pytest.raises(Exception, match="NULL id"):
         shuffle_dataset(docs, 4).collect()
+
+
+def test_quota_sample_exact_counts_nested_and_stable(spark):
+    from cdcrypt.functions.sampling import quota_sample
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3]) for i in range(300)],
+        "doc_id long, lang string")
+    out = quota_sample(docs, {"en": 40, "fr": 10}, "lang")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").count().withColumnRenamed(
+                  "count", "n").collect()}
+    assert counts == {"en": 40, "fr": 10}  # de unlisted -> dropped
+    # nested: the 10-quota sample is a prefix of the 40-quota sample
+    small = {r["doc_id"] for r in
+             quota_sample(docs, {"en": 10}, "lang").collect()}
+    big = {r["doc_id"] for r in out.where("lang = 'en'").collect()}
+    assert small < big
+    # layout-invariant
+    out2 = quota_sample(docs.repartition(7), {"en": 40, "fr": 10}, "lang")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out2.collect()))
+    # quota above stratum size: whole stratum
+    assert quota_sample(docs, {"fr": 10_000}, "lang").count() == 100
+    # rank-limit pushdown: the literal conjunct keeps the shuffle
+    # O(partitions x quota), not the corpus
+    assert "WindowGroupLimit" in out._jdf.queryExecution() \
+        .executedPlan().toString()
+    import pytest
+    with pytest.raises(ValueError, match="quota"):
+        quota_sample(docs, {"en": -1}, "lang")
+    with pytest.raises(ValueError, match="non-empty"):
+        quota_sample(docs, {}, "lang")
