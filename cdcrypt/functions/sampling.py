@@ -252,6 +252,24 @@ def shuffle_dataset(df: DataFrame, num_shards: int,
     return out
 
 
+def write_shuffled(df: DataFrame, path: str, num_shards: int,
+                   id_col: str = "doc_id", salt: str = "shuffle-v1",
+                   mode: str = "error") -> None:
+    """Materialize :func:`shuffle_dataset`'s permutation: one SORTED
+    parquet file per ``shard=N`` directory — the export path the shuffle
+    contract promises. Each shard is clustered into one task
+    (repartition on the shard value) and written pre-sorted by
+    (sort_key, id), so the global shuffled order is simply shard dirs in
+    index order, rows in file order; a training reader streams shards
+    (in any order — each is an independent uniform sample) with zero
+    further sorting. One exchange total, no global range sort, no
+    driver-side work, deterministic bytes for a given (corpus, salt)."""
+    out = shuffle_dataset(df, num_shards, id_col=id_col, salt=salt)
+    (out.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key", id_col)
+        .write.mode(mode).partitionBy("shard").parquet(path))
+
+
 def shuffle_dataset_sql(id_expr: str, salt: str, num_shards: int) -> str:
     """DuckDB replica of :func:`shuffle_dataset`'s (sort_key, shard)."""
     h = h60_sql(f"CAST({id_expr} AS VARCHAR) || ':' || '{_sq(salt)}'")

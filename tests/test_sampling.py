@@ -224,3 +224,26 @@ def test_quota_sample_exact_counts_nested_and_stable(spark):
         quota_sample(docs, {"en": -1}, "lang")
     with pytest.raises(ValueError, match="non-empty"):
         quota_sample(docs, {}, "lang")
+
+
+def test_write_shuffled_sorted_shard_files(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdcrypt.functions.sampling import shuffle_dataset, write_shuffled
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(400)], "doc_id long, text string")
+    path = str(tmp_path / "export")
+    write_shuffled(docs, path, 8)
+    expected = {}
+    for r in shuffle_dataset(docs, 8).collect():
+        expected.setdefault(r["shard"], []).append(
+            (r["sort_key"], r["doc_id"]))
+    for sh, rows in expected.items():
+        rows.sort()
+        files = glob.glob(f"{path}/shard={sh}/*.parquet")
+        assert len(files) == 1  # one sorted file per shard
+        t = pq.read_table(files[0])
+        got = list(zip(t["sort_key"].to_pylist(), t["doc_id"].to_pylist()))
+        assert got == rows  # file order IS the shuffled order
