@@ -170,3 +170,31 @@ def test_start_version_mismatch_refused(spark, tmp_path):
     _feed(spark, a, b, tmp_path)
     with pytest.raises(ChangeFeedError, match="start_version"):
         _feed(spark, a, b, tmp_path, start_version=1)
+
+
+def test_two_hop_pipeline_chain(spark, tmp_path):
+    """raw CDC -> IngestPipeline (encrypt+merge) -> table A ->
+    ChangeFeedStream -> table B: B equals A byte-for-byte, ciphertext
+    and mid-stream schema evolution included — the chained-pipeline
+    deployment shape (downstream tables stay current reading only the
+    deltas each commit added)."""
+    from cdcrypt.sources.changegen import GenSpec, generate_to_dir
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    d = str(tmp_path / "changes")
+    generate_to_dir(d, GenSpec(n_convs=25, avg_turns=5, n_epochs=4, seed=7))
+    pipe = IngestPipeline(d, str(tmp_path / "a"), str(tmp_path / "ckpt_a"),
+                          bucket_count=4, salt_buckets=2)
+    results = pipe.run(spark)
+    assert all(not r.get("skipped") for r in results)
+    a = LakeTable(str(tmp_path / "a"))
+    assert len(a.snapshot["schemas"]) > 1  # evolution happened mid-stream
+    b = LakeTable.create(str(tmp_path / "b"), a.schema, bucket_count=4,
+                         key_cols=list(a.key_cols), bucket_by=a.bucket_by)
+    feed = ChangeFeedStream(spark, a.root, str(tmp_path / "ckpt_b"),
+                            lake_merge_sink(b), max_versions_per_batch=1)
+    batches = feed.process_available()
+    assert len(batches) == a.version
+    rows_a = sorted(map(tuple, a.read(spark).collect()))
+    rows_b = sorted(map(tuple, b.refresh().read(spark).collect()))
+    assert rows_a == rows_b and len(rows_a) > 50
