@@ -160,6 +160,31 @@ class ChangeFeedStream:
                 return out
             out.append(summary)
 
+    def run(self, poll_interval_s: float = 1.0,
+            idle_ticks_to_stop: int | None = None,
+            max_wall_s: float | None = None) -> list[dict]:
+        """Drain-and-poll loop for deployments without an external
+        scheduler: drain everything committed, sleep, repeat. Stops after
+        ``idle_ticks_to_stop`` consecutive empty polls and/or
+        ``max_wall_s`` seconds (at least one bound must be set — an
+        unbounded tail is a deliberate caller choice, not a default)."""
+        import time
+        if idle_ticks_to_stop is None and max_wall_s is None:
+            raise ValueError("set idle_ticks_to_stop and/or max_wall_s")
+        t0 = time.monotonic()
+        idle = 0
+        out: list[dict] = []
+        while True:
+            batch = self.process_available()
+            out.extend(batch)
+            idle = 0 if batch else idle + 1
+            if idle_ticks_to_stop is not None and idle >= idle_ticks_to_stop:
+                return out
+            if (max_wall_s is not None
+                    and time.monotonic() - t0 >= max_wall_s):
+                return out
+            time.sleep(poll_interval_s)
+
     def _process_one(self) -> dict | None:
         t = self.table.refresh()
         last = self.last_version

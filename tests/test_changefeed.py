@@ -198,3 +198,15 @@ def test_two_hop_pipeline_chain(spark, tmp_path):
     rows_a = sorted(map(tuple, a.read(spark).collect()))
     rows_b = sorted(map(tuple, b.refresh().read(spark).collect()))
     assert rows_a == rows_b and len(rows_a) > 50
+
+
+def test_run_loop_drains_and_stops_on_idle(spark, tmp_path):
+    a = _make_source(spark, tmp_path, epochs=2)
+    b = _make_target(tmp_path)
+    feed = _feed(spark, a, b, tmp_path, max_versions_per_batch=1)
+    out = feed.run(poll_interval_s=0.01, idle_ticks_to_stop=2)
+    assert [(x["from_version"], x["to_version"]) for x in out] == [
+        (0, 1), (1, 2)]
+    assert _state(spark, b.refresh()) == _state(spark, a)
+    with pytest.raises(ValueError, match="idle_ticks_to_stop"):
+        feed.run(poll_interval_s=0.01)
