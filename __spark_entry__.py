@@ -460,6 +460,63 @@ def _q_cdc_merge_full_outer(spark, sf_dir):
     )
 
 
+def _q_cdc_partial_update(spark, sf_dir):
+    # P5 extension (round 4): per-column last-writer-wins resolution
+    # (merge_engine='partial', the Paimon partial-update analogue —
+    # cdcrypt/operators/dedup.py resolve_partial_agg). Event stream
+    # derived deterministically from `events`: op_seq = event_id (unique),
+    # deletes every 19th id, column `a` set on even ids, column `b` on
+    # ids divisible by 3 — so most resolved rows coalesce setters from
+    # DIFFERENT events, and delete cutoffs null pre-delete setters.
+    from cdcrypt.operators.dedup import resolve_partial_agg
+
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 19 == 0
+    e = ev.select(
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type",
+        F.col("event_id").alias("op_seq"),
+        F.lit(0).cast("long").alias("epoch"),
+        F.when(~is_del & (F.col("event_id") % 2 == 0),
+               F.round("value", 6)).alias("a"),
+        F.when(~is_del & (F.col("event_id") % 3 == 0),
+               F.col("props")).alias("b"),
+    )
+    out = resolve_partial_agg(e, key_cols=["user_id", "event_type"])
+    return out.where(F.col("op") != "D").select(
+        "user_id", "event_type", "a", "b", "op_seq")
+
+
+def _q_cdc_aggregate_engine(spark, sf_dir):
+    # P5 extension (round 4): aggregation merge engine — per-column folds
+    # with delete-reset semantics (cdcrypt/operators/dedup.py
+    # resolve_aggregate; merge_engine='aggregate'). Derived stream:
+    # op_seq = event_id, deletes every 23rd id; v_sum sums exact integer
+    # millis (float-accumulation-order safe for the hash compare), v_max
+    # maxes even-id values, tag keeps the latest props on ids % 3 == 0.
+    from cdcrypt.operators.dedup import resolve_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 23 == 0
+    e = ev.select(
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type",
+        F.col("event_id").alias("op_seq"),
+        F.lit(0).cast("long").alias("epoch"),
+        F.when(~is_del,
+               F.round(F.col("value") * 1000).cast("long")).alias("v_sum"),
+        F.when(~is_del & (F.col("event_id") % 2 == 0),
+               F.round("value", 6)).alias("v_max"),
+        F.when(~is_del & (F.col("event_id") % 3 == 0),
+               F.col("props")).alias("tag"),
+    )
+    out = resolve_aggregate(
+        e, {"v_sum": "sum", "v_max": "max", "tag": "last_non_null"},
+        key_cols=["user_id", "event_type"])
+    return out.where(F.col("op") != "D").select(
+        "user_id", "event_type", "v_sum", "v_max", "tag", "op_seq")
+
+
 def _mor_table_for(spark, sf_dir, tag="mor", compact_threshold=999,
                    require_delta=True):
     """The shared MoR lake artifact for the cdc_* lake-read gates: three
@@ -1703,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_window_dedup": _q_cdc_window_dedup,
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
+        "cdc_partial_update": _q_cdc_partial_update,
+        "cdc_aggregate_engine": _q_cdc_aggregate_engine,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
         "cdc_changefeed_chain": _q_cdc_changefeed_chain,
         "cdc_time_travel": _q_cdc_time_travel,
@@ -2382,6 +2441,61 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, t.value), 6) AS value
             FROM state t FULL OUTER JOIN change b
               USING (user_id, event_type)
+        """,
+        "cdc_partial_update": """
+            WITH e AS (
+              SELECT user_id, event_type, event_id AS op_seq,
+                     CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+                     CASE WHEN event_id % 19 <> 0 AND event_id % 2 = 0
+                          THEN round(value, 6) END AS a,
+                     CASE WHEN event_id % 19 <> 0 AND event_id % 3 = 0
+                          THEN props END AS b
+              FROM events),
+            agg AS (
+              SELECT user_id, event_type,
+                     max(op_seq) FILTER (WHERE op = 'D') AS del_seq,
+                     max(op_seq) FILTER (WHERE op <> 'D') AS live_seq,
+                     arg_max(a, op_seq)
+                       FILTER (WHERE op <> 'D' AND a IS NOT NULL) AS a_v,
+                     max(op_seq)
+                       FILTER (WHERE op <> 'D' AND a IS NOT NULL) AS a_seq,
+                     arg_max(b, op_seq)
+                       FILTER (WHERE op <> 'D' AND b IS NOT NULL) AS b_v,
+                     max(op_seq)
+                       FILTER (WHERE op <> 'D' AND b IS NOT NULL) AS b_seq
+              FROM e GROUP BY 1, 2)
+            SELECT user_id, event_type,
+                   CASE WHEN a_seq > coalesce(del_seq, -1) THEN a_v END AS a,
+                   CASE WHEN b_seq > coalesce(del_seq, -1) THEN b_v END AS b,
+                   live_seq AS op_seq
+            FROM agg
+            WHERE live_seq IS NOT NULL
+              AND (del_seq IS NULL OR live_seq > del_seq)
+        """,
+        "cdc_aggregate_engine": """
+            WITH e AS (
+              SELECT user_id, event_type, event_id AS op_seq,
+                     CASE WHEN event_id % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+                     CASE WHEN event_id % 23 <> 0
+                          THEN CAST(round(value * 1000) AS BIGINT) END AS v_sum,
+                     CASE WHEN event_id % 23 <> 0 AND event_id % 2 = 0
+                          THEN round(value, 6) END AS v_max,
+                     CASE WHEN event_id % 23 <> 0 AND event_id % 3 = 0
+                          THEN props END AS tag
+              FROM events),
+            cut AS (
+              SELECT user_id, event_type,
+                     coalesce(max(op_seq) FILTER (WHERE op = 'D'), -1) AS cut
+              FROM e GROUP BY 1, 2)
+            SELECT e.user_id, e.event_type,
+                   CAST(sum(e.v_sum) AS BIGINT) AS v_sum,
+                   max(e.v_max) AS v_max,
+                   arg_max(e.tag, e.op_seq)
+                     FILTER (WHERE e.tag IS NOT NULL) AS tag,
+                   max(e.op_seq) AS op_seq
+            FROM e JOIN cut USING (user_id, event_type)
+            WHERE e.op <> 'D' AND e.op_seq > cut.cut
+            GROUP BY 1, 2
         """,
         "cdc_merge_mor_read": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value

@@ -137,3 +137,202 @@ def resolve_latest_salted(df: DataFrame, salt_buckets: int = 16,
     phase2 = phase1.groupBy(*_keys(key_cols)).agg(
         F.max(F.col("_w")).alias("_w"))
     return _unpack_winner(phase2, payload, key_cols)
+
+
+# ---------------------------------------------------------------------------
+# partial-update merge engine (per-column last-writer-wins — the Paimon
+# `partial-update` analogue): an update event sets ONLY its non-null
+# payload columns; the resolved row coalesces each column's latest setter.
+# Deletes are full tombstones: a column survives only if its setter's
+# op_seq is newer than the key's newest delete.
+# ---------------------------------------------------------------------------
+
+
+def _partial_agg(df: DataFrame, key_cols=None) -> DataFrame:
+    """One hash aggregation (map-side combinable) computing, per key:
+    the newest delete (`_d`), the newest live event (`_l`), and each
+    payload column's newest non-null setter struct (`_w_<col>`)."""
+    keys = _keys(key_cols)
+    payload = [c for c in _payload_cols(df, key_cols) if c != "op"]
+    is_live = F.col("op") != "D"
+    aggs = [
+        F.max(F.when(~is_live, F.struct(
+            F.col("op_seq"), (-F.col("epoch")).alias("_ne"),
+            F.col("epoch")))).alias("_d"),
+        F.max(F.when(is_live, F.struct(
+            F.col("op_seq"), (-F.col("epoch")).alias("_ne"),
+            F.col("epoch")))).alias("_l"),
+    ]
+    for c in payload:
+        aggs.append(F.max(F.when(is_live & F.col(c).isNotNull(), F.struct(
+            F.col("op_seq"), (-F.col("epoch")).alias("_ne"),
+            F.col(c).alias("v")))).alias(f"_w_{c}"))
+    return df.groupBy(*keys).agg(*aggs), keys, payload
+
+
+def _partial_live_row(keys: list[str], payload: list[str]):
+    """Projection of the aggregated frame to the resolved LIVE row:
+    per-column value iff its setter is newer than the newest delete."""
+    cutoff = F.coalesce(F.col("_d.op_seq"), F.lit(-(1 << 62)))
+    cols = [*[F.col(k) for k in keys]]
+    for c in payload:
+        w = F.col(f"_w_{c}")
+        cols.append(F.when(w.isNotNull() & (w["op_seq"] > cutoff),
+                           w["v"]).alias(c))
+    cols += [F.lit("U").alias("op"),
+             F.col("_l.op_seq").alias("op_seq"),
+             F.col("_l.epoch").alias("epoch")]
+    return cols
+
+
+def resolve_partial_agg(df: DataFrame, key_cols=None) -> DataFrame:
+    """READ-side partial-update resolution over base + delta rows: one
+    row per live key with per-column latest-non-null-setter values
+    (setters at or below the key's newest delete are nulled), deleted
+    keys emitted with op='D' for the caller's filter — the per-column
+    sibling of :func:`resolve_latest_agg`, same single-exchange
+    map-side-combining shape.
+
+    Base rows participate as whole-row setters at their stored op_seq
+    (the compaction-time winner), so per-column recency COARSENS to the
+    row's sequence after a compaction folds deltas in — the standard
+    sequence-field contract of log-structured partial-update engines
+    (Paimon): late events older than a compacted-away row-version or
+    delete resolve against the coarsened history. Size compaction
+    cadence to the stream's out-of-orderness."""
+    agg, keys, payload = _partial_agg(df, key_cols)
+    live = F.col("_l").isNotNull() & (
+        F.col("_d").isNull()
+        | (F.col("_l.op_seq") > F.col("_d.op_seq")))
+    cols = _partial_live_row(keys, payload)
+    dead = [*[F.col(k) for k in keys],
+            *[F.lit(None).cast(agg.schema[f"_w_{c}"].dataType[
+                "v"].dataType).alias(c) for c in payload],
+            F.lit("D").alias("op"),
+            F.coalesce(F.col("_d.op_seq"), F.col("_l.op_seq")).alias("op_seq"),
+            F.coalesce(F.col("_d.epoch"), F.col("_l.epoch")).alias("epoch")]
+    return agg.select(*[F.when(live, F.struct(*cols)).otherwise(
+        F.struct(*dead)).alias("_r")]).select("_r.*")
+
+
+AGG_FNS = ("sum", "max", "min", "last_non_null")
+
+
+def _agg_base(df: DataFrame, agg_spec, key_cols):
+    """Shared two-phase skeleton of the aggregation merge engine: phase 1
+    computes the per-key delete cutoff, phase 2 (joined back on the SAME
+    hash keys — Catalyst reuses the exchange, and the final groupBy rides
+    the join's partitioning) folds contributing events per column.
+
+    Contribution rule: live events with op_seq strictly above the key's
+    newest delete. sum/max/min are associative+commutative, so folding
+    stored partial-aggregate rows (MoR base/delta) with the same functions
+    is EXACT across any batching; last_non_null and the delete cutoff use
+    the stored row's op_seq (= max contributing seq), which coarsens
+    per-event recency to batch granularity after a batch/compaction folds
+    events — the same sequence-field contract as resolve_partial_agg."""
+    keys = _keys(key_cols)
+    payload = [c for c in _payload_cols(df, key_cols) if c != "op"]
+    spec = dict(agg_spec or {})
+    bad = {c: f for c, f in spec.items() if f not in AGG_FNS}
+    if bad:
+        raise ValueError(f"unknown aggregate fns {bad}; supported {AGG_FNS}")
+    unknown = set(spec) - set(payload)
+    if unknown:
+        raise ValueError(
+            f"agg_spec columns {sorted(unknown)} not in payload {payload}")
+    spec = {c: spec.get(c, "last_non_null") for c in payload}
+    is_live = F.col("op") != "D"
+    cuts = df.groupBy(*keys).agg(
+        F.max(F.when(~is_live, F.col("op_seq"))).alias("_cut"))
+    j = df.join(cuts, keys, "left")
+    contrib = is_live & (F.col("_cut").isNull()
+                         | (F.col("op_seq") > F.col("_cut")))
+    aggs = [
+        F.max("_cut").alias("_cut"),  # functionally dependent on the key
+        F.max(F.when(contrib, F.struct(
+            F.col("op_seq"), (-F.col("epoch")).alias("_ne"),
+            F.col("epoch")))).alias("_l"),
+    ]
+    for c, fn in spec.items():
+        if fn == "last_non_null":
+            a = F.max(F.when(contrib & F.col(c).isNotNull(), F.struct(
+                F.col("op_seq"), (-F.col("epoch")).alias("_ne"),
+                F.col(c).alias("v"))))["v"]
+        else:
+            a = getattr(F, fn)(F.when(contrib, F.col(c)))
+        aggs.append(a.alias(f"_a_{c}"))
+    agg = j.groupBy(*keys).agg(*aggs)
+    live_cols = [*[F.col(k) for k in keys],
+                 *[F.col(f"_a_{c}").alias(c) for c in payload],
+                 F.lit("U").alias("op"),
+                 F.col("_l.op_seq").alias("op_seq"),
+                 F.col("_l.epoch").alias("epoch")]
+    dead_cols = [*[F.col(k) for k in keys],
+                 *[F.lit(None).cast(agg.schema[f"_a_{c}"].dataType).alias(c)
+                   for c in payload],
+                 F.lit("D").alias("op"),
+                 F.col("_cut").alias("op_seq"),
+                 F.lit(-1).cast("long").alias("epoch")]
+    return agg, live_cols, dead_cols
+
+
+def resolve_aggregate(df: DataFrame, agg_spec=None,
+                      key_cols=None) -> DataFrame:
+    """READ-side resolution for ``merge_engine='aggregate'`` (the Paimon
+    `aggregation` analogue): one row per key whose payload columns are
+    per-column folds (``agg_spec``: col -> sum|max|min|last_non_null,
+    default last_non_null) over contributing events; a key whose newest
+    delete outranks every live event is emitted with op='D' for the
+    caller's filter. Deletes RESET the accumulator (contributions at or
+    below the newest delete's op_seq drop) — unlike Paimon, which needs
+    retract functions to honor deletes at all."""
+    agg, live_cols, dead_cols = _agg_base(df, agg_spec, key_cols)
+    live = F.col("_l").isNotNull()
+    return agg.select(F.when(live, F.struct(*live_cols)).otherwise(
+        F.struct(*dead_cols)).alias("_r")).select("_r.*")
+
+
+def resolve_aggregate_update(df: DataFrame, agg_spec=None,
+                             key_cols=None) -> DataFrame:
+    """BATCH-side resolution for the MoR append path of aggregate tables:
+    the partial-aggregate row per live key PLUS the key's newest delete
+    tombstone (the read/compaction resolver needs the cutoff — same
+    contract as :func:`resolve_partial_update`)."""
+    agg, live_cols, dead_cols = _agg_base(df, agg_spec, key_cols)
+    agg = agg.persist()
+    live = agg.where(F.col("_l").isNotNull()).select(*live_cols)
+    dead = agg.where(F.col("_cut").isNotNull()).select(*dead_cols)
+    return live.unionByName(dead)
+
+
+def resolver_for(merge_engine: str, agg_spec=None):
+    """READ/compaction-side resolver for a table's merge engine."""
+    if merge_engine == "partial":
+        return resolve_partial_agg
+    if merge_engine == "aggregate":
+        return lambda df, key_cols=None: resolve_aggregate(
+            df, agg_spec=agg_spec, key_cols=key_cols)
+    return resolve_latest_agg
+
+
+def resolve_partial_update(df: DataFrame, key_cols=None) -> DataFrame:
+    """BATCH-side partial-update resolution for the MoR append path: the
+    resolved live row per key PLUS the key's newest delete tombstone —
+    both must land in the delta so the read/compaction resolver sees the
+    delete cutoff (collapsing them would let a pre-delete base column
+    leak through). Built as two projections of one aggregation."""
+    agg, keys, payload = _partial_agg(df, key_cols)
+    agg = agg.persist()
+    live = agg.where(F.col("_l").isNotNull()).select(
+        *_partial_live_row(keys, payload))
+    null_payload = [
+        F.lit(None).cast(
+            agg.schema[f"_w_{c}"].dataType["v"].dataType).alias(c)
+        for c in payload]
+    dead = agg.where(F.col("_d").isNotNull()).select(
+        *[F.col(k) for k in keys], *null_payload,
+        F.lit("D").alias("op"),
+        F.col("_d.op_seq").alias("op_seq"),
+        F.col("_d.epoch").alias("epoch"))
+    return live.unionByName(dead)

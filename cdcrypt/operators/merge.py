@@ -42,7 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from cdcrypt.table.lake import LakeTable, bucket_col, repartition_by_bucket
+from cdcrypt.table.lake import (
+    LakeTable, LakeTableError, bucket_col, repartition_by_bucket,
+)
 
 # kept as the documented default; the ACTUAL key/bucket columns come from
 # the table's snapshot metadata (LakeTable.key_cols / .bucket_by), so any
@@ -269,6 +271,12 @@ def merge_upsert(
     if epoch <= table.committed_epoch:
         return {"epoch": epoch, "skipped": True,
                 "committed_epoch": table.committed_epoch}
+    if table.merge_engine != "lww" and mode != "mor":
+        raise LakeTableError(
+            f"merge_engine={table.merge_engine!r} is merge-on-read only: "
+            "per-column recency/accumulator state lives in the delta log; "
+            "a copy-on-write rewrite would need the full event history it "
+            "just discarded")
     if mode == "mor":
         return _merge_mor(spark, table, resolved, epoch, compact_threshold,
                           assume_bucketed)
@@ -413,11 +421,17 @@ def _merge_mor(
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        from cdcrypt.operators.dedup import resolve_latest_agg
+        from cdcrypt.operators.dedup import resolver_for
         # repartition first: the resolve groupBy reuses the bucket clustering
-        # (one exchange) and the write needs none
+        # (one exchange) and the write needs none. Partial-update/aggregate
+        # tables compact with their per-column resolver; folding coarsens
+        # per-column recency to the row sequence and drops delete cutoffs
+        # (the standard log-structured partial-update contract — see
+        # resolve_partial_agg's docstring; sum/max/min folds are exact
+        # under any batching).
+        resolver = resolver_for(table.merge_engine, table.agg_spec)
         live = (
-            resolve_latest_agg(
+            resolver(
                 repartition_by_bucket(u, table.bucket_count, table.bucket_by),
                 key_cols=table.key_cols)
             .where(F.col("op") != "D")

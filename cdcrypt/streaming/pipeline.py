@@ -47,6 +47,7 @@ from cdcrypt.operators.dedup import (
     resolve_latest_agg,
     resolve_latest_salted,
     resolve_latest_window,
+    resolve_partial_update,
 )
 from cdcrypt.operators.merge import merge_upsert
 from cdcrypt.operators.transform import FieldTransform, TransformConfig
@@ -68,6 +69,9 @@ _RESOLVERS = {
     "salted": resolve_latest_salted,
     "agg": resolve_latest_agg,
     "window": resolve_latest_window,
+    # per-column LWW for merge_engine='partial' tables: keeps the live row
+    # AND the key's newest delete tombstone in the delta (dedup.py)
+    "partial": resolve_partial_update,
 }
 
 
@@ -100,6 +104,13 @@ class IngestPipeline:
     max_retries: int = 2
     broadcast_merge: bool | None = None
     table_mode: str = "mor"  # 'mor' (append+compact) | 'cow' (rewrite dirty)
+    # row resolution semantics of the target table (table/lake.py):
+    # 'lww' whole-row last-writer-wins (resolver knob picks the strategy),
+    # 'partial' per-column LWW, 'aggregate' per-column folds (agg_spec).
+    # Non-lww engines dictate the batch resolver and require table_mode
+    # 'mor' (merge_upsert enforces it).
+    merge_engine: str = "lww"
+    agg_spec: dict | None = None
     compact_threshold: int = 8
     cluster_strategy: str = "fused"  # 'fused' (1 shuffle) | 'post' (skew-safe)
     # 'udf' = pandas-UDF crypto, per-Arrow-batch DEKs (north-rule canonical);
@@ -198,10 +209,16 @@ class IngestPipeline:
                     f"table at {self.table_root} has bucket_count="
                     f"{t.bucket_count}, pipeline configured for "
                     f"{self.bucket_count}")
+            if t.merge_engine != self.merge_engine:
+                raise LakeTableError(
+                    f"table at {self.table_root} uses merge_engine="
+                    f"{t.merge_engine!r}, pipeline configured for "
+                    f"{self.merge_engine!r}")
             return t
         return LakeTable.create(
             self.table_root, self._schema, bucket_count=self.bucket_count,
             bucket_by=self._bucket_by, key_cols=self.key_cols,
+            merge_engine=self.merge_engine, agg_spec=self.agg_spec,
         )
 
     def _encryptor(self) -> FieldTransform:
@@ -217,6 +234,11 @@ class IngestPipeline:
 
     def _resolve(self, df: DataFrame) -> DataFrame:
         kc = list(self.key_cols)
+        if self.merge_engine == "partial":
+            return resolve_partial_update(df, key_cols=kc)
+        if self.merge_engine == "aggregate":
+            from cdcrypt.operators.dedup import resolve_aggregate_update
+            return resolve_aggregate_update(df, self.agg_spec, key_cols=kc)
         if self.resolver == "salted":
             return resolve_latest_salted(df, self.salt_buckets, key_cols=kc)
         return _RESOLVERS[self.resolver](df, key_cols=kc)

@@ -244,6 +244,23 @@ class LakeTable:
         return list(self.snapshot.get("key_cols", DEFAULT_KEY_COLS))
 
     @property
+    def merge_engine(self) -> str:
+        """Row resolution semantics: 'lww' (whole-row last-writer-wins,
+        the default), 'partial' (per-column LWW — an update sets only
+        its non-null columns; Paimon partial-update analogue) or
+        'aggregate' (per-column folds configured by ``agg_spec``; Paimon
+        aggregation analogue, with delete-reset semantics). Recorded at
+        create; pre-existing snapshots default to 'lww'."""
+        return self.snapshot.get("merge_engine", "lww")
+
+    @property
+    def agg_spec(self) -> dict:
+        """merge_engine='aggregate' column -> fn map (sum|max|min|
+        last_non_null); unlisted payload columns default to
+        last_non_null."""
+        return dict(self.snapshot.get("agg_spec", {}))
+
+    @property
     def schema(self) -> StructType:
         sid = self.snapshot["schema_id"]
         for s in self.snapshot["schemas"]:
@@ -297,12 +314,35 @@ class LakeTable:
     @classmethod
     def create(cls, root: str, schema: StructType, bucket_count: int = 64,
                bucket_by: str = DEFAULT_BUCKET_BY,
-               key_cols=DEFAULT_KEY_COLS) -> "LakeTable":
+               key_cols=DEFAULT_KEY_COLS,
+               merge_engine: str = "lww",
+               agg_spec: dict | None = None) -> "LakeTable":
         names = {f.name for f in schema.fields}
         missing = [c for c in [bucket_by, *key_cols] if c not in names]
         if missing:
             raise LakeTableError(
                 f"bucket/key columns {missing} not in table schema")
+        if merge_engine not in ("lww", "partial", "aggregate"):
+            raise LakeTableError(
+                "merge_engine must be 'lww', 'partial' or 'aggregate', "
+                f"got {merge_engine!r}")
+        if merge_engine in ("partial", "aggregate") and "op_seq" not in names:
+            raise LakeTableError(
+                f"merge_engine={merge_engine!r} needs an op_seq column "
+                "(the per-column recency sequence)")
+        if agg_spec:
+            from cdcrypt.operators.dedup import AGG_FNS
+            if merge_engine != "aggregate":
+                raise LakeTableError(
+                    "agg_spec is only valid with merge_engine='aggregate'")
+            bad = sorted(set(agg_spec) - names)
+            if bad:
+                raise LakeTableError(
+                    f"agg_spec columns {bad} not in table schema")
+            badfn = {c: f for c, f in agg_spec.items() if f not in AGG_FNS}
+            if badfn:
+                raise LakeTableError(
+                    f"unknown aggregate fns {badfn}; supported {AGG_FNS}")
         meta = os.path.join(root, "_meta")
         os.makedirs(meta, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -317,6 +357,8 @@ class LakeTable:
             "partition_spec": f"bucket({bucket_by}, {bucket_count})",
             "bucket_by": bucket_by,
             "key_cols": list(key_cols),
+            "merge_engine": merge_engine,
+            **({"agg_spec": dict(agg_spec)} if agg_spec else {}),
             "bucket_count": bucket_count,
             "files": [],
             "committed_epoch": -1,
@@ -460,6 +502,8 @@ class LakeTable:
             "partition_spec": prev["partition_spec"],
             "bucket_by": prev.get("bucket_by", DEFAULT_BUCKET_BY),
             "key_cols": list(prev.get("key_cols", DEFAULT_KEY_COLS)),
+            "merge_engine": prev.get("merge_engine", "lww"),
+            **({"agg_spec": prev["agg_spec"]} if "agg_spec" in prev else {}),
             "bucket_count": prev["bucket_count"],
             **({"partition_specs": prev["partition_specs"],
                 "default_spec_id": prev["default_spec_id"]}
@@ -808,7 +852,7 @@ class LakeTable:
         if not delta_fs:
             df = self.scan_projected(spark, base_fs, snap)
         else:
-            from cdcrypt.operators.dedup import resolve_latest_agg
+            from cdcrypt.operators.dedup import resolver_for
 
             base = (
                 self.scan_projected(spark, base_fs, snap)
@@ -817,10 +861,11 @@ class LakeTable:
             )
             delta = self.scan_projected(spark, delta_fs, snap,
                                         changelog=True)
-            resolved = resolve_latest_agg(base.unionByName(delta),
-                                          key_cols=snap.get(
-                                              "key_cols",
-                                              list(DEFAULT_KEY_COLS)))
+            resolver = resolver_for(snap.get("merge_engine", "lww"),
+                                    snap.get("agg_spec"))
+            resolved = resolver(base.unionByName(delta),
+                                key_cols=snap.get("key_cols",
+                                                  list(DEFAULT_KEY_COLS)))
             df = resolved.where(
                 F.coalesce(F.col("op") != "D", F.lit(True))
             ).drop("op", "epoch").select(*[f.name for f in snap_schema.fields])
