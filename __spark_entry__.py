@@ -622,6 +622,26 @@ def _q_cdc_time_travel(spark, sf_dir):
         F.round("value", 6).alias("value"))
 
 
+def _q_cdc_changelog(spark, sf_dir):
+    # P8 CDC-out with RESOLVED before/after images (round 4:
+    # LakeTable.read_changelog — Delta CDF / Paimon changelog semantics):
+    # diff the epoch-1 snapshot against the final one. Keys whose LWW
+    # winner is an epoch-2 event (op_seq % 3 == 2) emit update (or insert
+    # if ALL their events are epoch-2); unchanged keys emit nothing. The
+    # oracle recomputes both endpoint states from the raw events and
+    # diffs them — an engine that misses a bucket, leaks an unchanged
+    # key, or serves a stale before-image hash-mismatches.
+    table = _mor_table_for(spark, sf_dir)
+    v1 = _mor_version_at_epoch(table, 1)
+    cl = table.read_changelog(spark, v1)
+    return cl.select(
+        "user_id", "event_type", "change_op",
+        F.round(F.col("before.value"), 6).alias("before_value"),
+        F.col("before.op_seq").alias("before_seq"),
+        F.round(F.col("after.value"), 6).alias("after_value"),
+        F.col("after.op_seq").alias("after_seq"))
+
+
 def _q_cdc_compacted_read(spark, sf_dir):
     # P5 compaction equivalence: the same three epochs applied with
     # compact_threshold=2, so commits rewrite deep buckets into base files
@@ -1762,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
         "cdc_partial_update": _q_cdc_partial_update,
         "cdc_aggregate_engine": _q_cdc_aggregate_engine,
+        "cdc_changelog": _q_cdc_changelog,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
         "cdc_changefeed_chain": _q_cdc_changefeed_chain,
         "cdc_time_travel": _q_cdc_time_travel,
@@ -2496,6 +2517,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN cut USING (user_id, event_type)
             WHERE e.op <> 'D' AND e.op_seq > cut.cut
             GROUP BY 1, 2
+        """,
+        "cdc_changelog": """
+            WITH b AS (
+              SELECT user_id, event_type,
+                     arg_max(value, event_id) AS bval,
+                     max(event_id) AS bseq
+              FROM events WHERE event_id % 3 < 2 GROUP BY 1, 2),
+            a AS (
+              SELECT user_id, event_type,
+                     arg_max(value, event_id) AS aval,
+                     max(event_id) AS aseq
+              FROM events GROUP BY 1, 2)
+            SELECT a.user_id, a.event_type,
+                   CASE WHEN b.user_id IS NULL THEN 'insert'
+                        ELSE 'update' END AS change_op,
+                   round(b.bval, 6) AS before_value, b.bseq AS before_seq,
+                   round(a.aval, 6) AS after_value, a.aseq AS after_seq
+            FROM a LEFT JOIN b
+              ON a.user_id = b.user_id AND a.event_type = b.event_type
+            WHERE b.user_id IS NULL OR a.aseq <> b.bseq
         """,
         "cdc_merge_mor_read": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value

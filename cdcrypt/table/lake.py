@@ -935,6 +935,83 @@ class LakeTable:
         return self.scan_projected(spark, picked, self.snapshot,
                                    changelog=True)
 
+    def read_changelog(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """RESOLVED per-key changes between two snapshots — before/after
+        images (Delta Change-Data-Feed / Paimon changelog semantics), the
+        retraction-capable sibling of :meth:`read_incremental`'s raw
+        delta rows. One row per key whose RESOLVED state differs between
+        the versions: ``change_op`` in insert|update|delete plus
+        ``before``/``after`` payload structs (null on the missing side);
+        a key touched in the window but resolving to an identical row
+        (stale redelivery, no-op patch) emits NOTHING, and a key inserted
+        AND deleted within the window emits nothing (it never existed at
+        either endpoint). Images are served in the table's CURRENT
+        schema (id-projected across renames/widenings, like every read);
+        comparison is null-safe over the full stored row, so any stored
+        column change — including op_seq — is a change. Engine-agnostic:
+        states come from :meth:`read`, so partial-update/aggregate tables
+        diff their per-column-resolved rows.
+
+        Scale shape: touched keys come from the window's delta files
+        (O(window)); both endpoint states are manifest-pruned to the
+        touched keys' buckets (a driver-side set bounded by
+        bucket_count, the merge-path pattern) and semi-joined down to
+        the touched keys before the full-outer diff — all three joins
+        hash on the key columns, and nothing scans buckets the window
+        never wrote. CoW windows raise (no delta log), same as
+        read_incremental."""
+        to_version = self.version if to_version is None else to_version
+        raw = self.read_incremental(spark, from_version, to_version)
+        cur = self.snapshot
+        key_cols = list(cur.get("key_cols", DEFAULT_KEY_COLS))
+        cur_schema = self.schema
+        payload = [f.name for f in cur_schema.fields
+                   if f.name not in key_cols]
+        keys = raw.select(*key_cols).distinct().persist()
+        cur_n2i = self._current_name_to_id(cur)
+
+        def endpoint(version: int) -> DataFrame:
+            snap = self.snapshot_at(version)
+            bb = snap.get("bucket_by", DEFAULT_BUCKET_BY)
+            buckets = None
+            if bb in key_cols:
+                buckets = {r["_b"] for r in keys.select(
+                    bucket_col(snap["bucket_count"], bb).alias("_b"))
+                    .distinct().collect()}
+            df = self.read(spark, buckets=buckets, version=version)
+            # id-matched projection of the endpoint's schema onto the
+            # CURRENT one: renamed columns follow their field id, widened
+            # types cast, added-since columns null-fill, dropped-since
+            # columns vanish
+            v_n2i = self._current_name_to_id(snap)
+            v_i2n = {i: n for n, i in v_n2i.items()}
+            cols = []
+            for f in cur_schema.fields:
+                src = v_i2n.get(cur_n2i.get(f.name))
+                cols.append(
+                    F.col(src).cast(f.dataType).alias(f.name)
+                    if src is not None and src in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name))
+            return df.select(*cols).join(keys, key_cols, "left_semi")
+
+        before = endpoint(from_version).select(
+            *key_cols, F.struct(*payload).alias("before"))
+        after = endpoint(to_version).select(
+            *key_cols, F.struct(*payload).alias("after"))
+        j = before.join(after, key_cols, "full_outer")
+        return j.where(~F.col("before").eqNullSafe(F.col("after"))).select(
+            *key_cols,
+            F.when(F.col("after").isNull(), F.lit("delete"))
+            .when(F.col("before").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update")).alias("change_op"),
+            "before", "after",
+        )
+
     # ---------- maintenance ----------
     def expire_snapshots(self, keep_last: int = 2,
                          orphan_grace_ms: int = 600_000) -> dict:
