@@ -85,20 +85,40 @@ class ChangeFeedStream:
     """Tail a LakeTable's commits; one sink call per version window.
 
     ``sink(spark, changes_df, from_version, to_version)`` receives the
-    raw change rows of snapshots ``(from, to]`` in the CURRENT schema
-    plus the (op, epoch) change-log columns. ``max_versions_per_batch``
-    bounds catch-up windows (a feed started at 0 against a long history
-    drains in chunks instead of one giant batch).
+    window's change rows. ``feed`` picks their shape:
+
+    - ``'raw'`` (default): the raw change rows of snapshots ``(from, to]``
+      in the CURRENT schema plus the (op, epoch) change-log columns —
+      O(window) delta-file reads, the cheapest feed.
+    - ``'changelog'``: RESOLVED before/after images
+      (:meth:`LakeTable.read_changelog`) — one row per key whose resolved
+      state differs across the window, with ``change_op``/``before``/
+      ``after``. For retraction-aware consumers (incremental aggregates,
+      search indexes). Costs the two bucket-pruned endpoint reads; the
+      window is still deterministic under redelivery (both endpoints are
+      pinned snapshot versions).
+
+    The feed shape is recorded in the checkpoint and must match on
+    resume — a raw-offset checkpoint replayed as changelog (or vice
+    versa) would change every redelivered batch's identity.
+    ``max_versions_per_batch`` bounds catch-up windows (a feed started
+    at 0 against a long history drains in chunks instead of one giant
+    batch).
     """
 
     def __init__(self, spark: SparkSession, table_root: str,
                  checkpoint_dir: str, sink, *,
                  start_version: int | None = None,
-                 max_versions_per_batch: int | None = None):
+                 max_versions_per_batch: int | None = None,
+                 feed: str = "raw"):
+        if feed not in ("raw", "changelog"):
+            raise ChangeFeedError(
+                f"feed must be 'raw' or 'changelog', got {feed!r}")
         self.spark = spark
         self.table = LakeTable(table_root)
         self.checkpoint_dir = checkpoint_dir
         self.sink = sink
+        self.feed = feed
         self.max_versions = max_versions_per_batch
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._offset_path = os.path.join(checkpoint_dir, "offset.json")
@@ -111,12 +131,18 @@ class ChangeFeedStream:
                     "checkpoint was created with start_version="
                     f"{self._state['start_version']}; restart with the "
                     "same value (or a fresh checkpoint_dir)")
+            if self._state.get("feed", "raw") != feed:
+                raise ChangeFeedError(
+                    "checkpoint was created with feed="
+                    f"{self._state.get('feed', 'raw')!r}; restart with the "
+                    "same value (or a fresh checkpoint_dir) — switching "
+                    "the feed shape would change redelivered batches")
         else:
             if start_version is None:
                 start_version = 0
             self._state = {"start_version": int(start_version),
                            "last_version": int(start_version),
-                           "pending_to": None}
+                           "pending_to": None, "feed": feed}
             self._write_state()
         self._check_serviceable(self._state["last_version"])
 
@@ -199,10 +225,13 @@ class ChangeFeedStream:
             self._state["pending_to"] = int(to)
             self._write_state()
         self._check_serviceable(last)
-        changes = t.read_incremental(self.spark, last, to)
+        changes = (t.read_changelog(self.spark, last, to)
+                   if self.feed == "changelog"
+                   else t.read_incremental(self.spark, last, to))
         sink_result = self.sink(self.spark, changes, last, to)
         self._state = {"start_version": self._state["start_version"],
-                       "last_version": int(to), "pending_to": None}
+                       "last_version": int(to), "pending_to": None,
+                       "feed": self.feed}
         self._write_state()
         return {"from_version": last, "to_version": to,
                 "sink": sink_result}

@@ -210,3 +210,49 @@ def test_run_loop_drains_and_stops_on_idle(spark, tmp_path):
     assert _state(spark, b.refresh()) == _state(spark, a)
     with pytest.raises(ValueError, match="idle_ticks_to_stop"):
         feed.run(poll_interval_s=0.01)
+
+
+def test_changelog_feed_windows_chain_and_apply(spark, tmp_path):
+    """feed='changelog': each window serves resolved before/after images;
+    applying them in order onto the start state reproduces A's final
+    state, window images CHAIN (window N's after == window N+1's before
+    for shared keys), and the feed-shape mismatch on resume fails fast."""
+    a = _make_source(spark, tmp_path, epochs=3)
+    windows = []
+
+    def sink(spark_, changes, from_v, to_v):
+        rows = changes.collect()
+        windows.append((from_v, to_v, rows))
+        return {"rows": len(rows)}
+
+    feed = ChangeFeedStream(
+        spark, str(tmp_path / "a"), str(tmp_path / "ck"), sink,
+        max_versions_per_batch=1, feed="changelog")
+    feed.process_available()
+    assert len(windows) >= 2  # one window per committed version
+
+    state: dict = {}
+    for from_v, to_v, rows in windows:
+        for r in rows:
+            k = (r["conv_id"], r["turn_idx"])
+            if r["change_op"] == "delete":
+                assert k in state and r["after"] is None
+                before = r["before"].asDict()
+                assert state[k] == before["text"]  # image chains
+                del state[k]
+            else:
+                if r["change_op"] == "update":
+                    assert state[k] == r["before"].asDict()["text"]
+                else:
+                    assert k not in state and r["before"] is None
+                state[k] = r["after"].asDict()["text"]
+    final = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in a.read(spark).collect()}
+    assert state == final
+
+    with pytest.raises(ChangeFeedError, match="feed="):
+        ChangeFeedStream(spark, str(tmp_path / "a"), str(tmp_path / "ck"),
+                         sink, feed="raw")
+    with pytest.raises(ChangeFeedError, match="feed must be"):
+        ChangeFeedStream(spark, str(tmp_path / "a"), str(tmp_path / "ck2"),
+                         sink, feed="nope")
