@@ -722,6 +722,89 @@ def _q_cdc_changefeed_chain(spark, sf_dir):
         F.round("value", 6).alias("value"))
 
 
+def _q_cdc_agg_view(spark, sf_dir):
+    # Incrementally-maintained GROUP BY view (streaming/aggview.py —
+    # materialized-view maintenance over the changelog feed, the Flink
+    # retract-stream / Materialize pattern). A dedicated MoR table A is
+    # replayed from events with LWW updates AND deletes (op_seq % 7) and
+    # NULL measures (op_seq % 11); a ChangeFeedStream(feed='changelog')
+    # drains A in 1-version windows into an AggView grouped by event_type
+    # maintaining count(*) / count(col) / sum / avg as retractable
+    # (sum, non-null-count) pairs. Oracle: one-shot GROUP BY over the
+    # LWW-resolved final state — a view that double-counts an update,
+    # fails to retract a delete, mixes up SQL NULL semantics, or
+    # double-applies a redelivered window hash-mismatches. The measure is
+    # an exact long (floor micro-units) so integer sums compare
+    # bit-for-bit; avg is one final division on both sides.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cdcrypt.operators.dedup import resolve_latest_agg
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.streaming.aggview import AggView
+    from cdcrypt.streaming.changefeed import ChangeFeedStream
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":aggview:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_aggview_{key}")
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("op_seq", LongType()),
+        StructField("value_m", LongType()),
+    ])
+    try:
+        a = LakeTable(os.path.join(root, "a"))
+        if a.committed_epoch < 2:  # torn build from a crashed run
+            raise LakeTableNotFound(root)
+    except LakeTableNotFound:
+        shutil.rmtree(root, ignore_errors=True)
+        a = LakeTable.create(os.path.join(root, "a"), schema,
+                             bucket_count=8, bucket_by="user_id",
+                             key_cols=["user_id", "event_type"])
+        ev = _t(spark, sf_dir, "events").select(
+            F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("long").alias("op_seq"),
+            F.when(F.col("event_id") % 11 == 0, F.lit(None))
+            .otherwise(F.floor(F.col("value") * 1e6)).alias("value_m"))
+        for e in range(3):
+            batch = (ev.where(F.pmod(F.col("op_seq"), F.lit(3)) == e)
+                     .withColumn("epoch", F.lit(e).cast("long")))
+            merge_upsert(
+                spark, a,
+                resolve_latest_agg(batch,
+                                   key_cols=["user_id", "event_type"]),
+                epoch=e, mode="mor")
+    view_root = os.path.join(root, "view")
+    if not os.path.exists(os.path.join(view_root, AggView.META)):
+        AggView.create(view_root, schema, ["event_type"], {
+            "n": ("count", "*"),
+            "n_vals": ("count", "value_m"),
+            "total": ("sum", "value_m"),
+            "mean": ("avg", "value_m"),
+        }, bucket_count=4)
+    view = AggView(view_root)
+    feed = ChangeFeedStream(spark, a.root, os.path.join(root, "ckpt"),
+                            view.sink(), feed="changelog",
+                            max_versions_per_batch=1)
+    feed.process_available()  # idempotent: drained feeds no-op, torn
+    assert feed.last_version == a.refresh().version  # drains self-heal
+    return view.read(spark).select(
+        "event_type", "n", "n_vals", "total",
+        F.round("mean", 6).alias("mean"))
+
+
 def _evo_table_for(spark, sf_dir):
     """Lake artifact for the cdc_schema_evolution gate: four event epochs
     (op_seq % 4) applied as MoR merges with compact_threshold=2, with a
@@ -1785,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": _q_cdc_changelog,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
         "cdc_changefeed_chain": _q_cdc_changefeed_chain,
+        "cdc_agg_view": _q_cdc_agg_view,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
@@ -2553,6 +2637,28 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY user_id, event_type
                              ORDER BY event_id DESC) rn
                   FROM events) WHERE rn = 1
+        """,
+        "cdc_agg_view": """
+            WITH resolved AS (
+              SELECT user_id, event_type, value_m
+              FROM (SELECT user_id, event_type,
+                           CASE WHEN event_id % 7 = 0 THEN 'D'
+                                ELSE 'U' END AS op,
+                           CASE WHEN event_id % 11 = 0 THEN NULL
+                                ELSE CAST(FLOOR(value * 1e6) AS BIGINT)
+                           END AS value_m,
+                           row_number() OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY event_id DESC) rn
+                    FROM events) WHERE rn = 1 AND op <> 'D')
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(value_m) AS BIGINT) AS n_vals,
+                   CAST(SUM(value_m) AS BIGINT) AS total,
+                   CASE WHEN COUNT(value_m) > 0 THEN round(
+                       CAST(SUM(value_m) AS DOUBLE) / COUNT(value_m), 6)
+                   END AS mean
+            FROM resolved GROUP BY event_type
         """,
         "cdc_time_travel": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value
