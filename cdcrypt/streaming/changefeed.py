@@ -104,13 +104,20 @@ class ChangeFeedStream:
     ``max_versions_per_batch`` bounds catch-up windows (a feed started
     at 0 against a long history drains in chunks instead of one giant
     batch).
+
+    ``consumer_id`` registers the feed's offset IN THE SOURCE TABLE
+    (:meth:`LakeTable.register_consumer`) at start and after every
+    committed window, so ``expire_snapshots`` retains the snapshots this
+    feed still needs — a lagging consumer costs retention instead of
+    dying to expiration. Unregistered feeds keep the fail-fast behavior.
     """
 
     def __init__(self, spark: SparkSession, table_root: str,
                  checkpoint_dir: str, sink, *,
                  start_version: int | None = None,
                  max_versions_per_batch: int | None = None,
-                 feed: str = "raw"):
+                 feed: str = "raw",
+                 consumer_id: str | None = None):
         if feed not in ("raw", "changelog"):
             raise ChangeFeedError(
                 f"feed must be 'raw' or 'changelog', got {feed!r}")
@@ -119,6 +126,7 @@ class ChangeFeedStream:
         self.checkpoint_dir = checkpoint_dir
         self.sink = sink
         self.feed = feed
+        self.consumer_id = consumer_id
         self.max_versions = max_versions_per_batch
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._offset_path = os.path.join(checkpoint_dir, "offset.json")
@@ -144,6 +152,9 @@ class ChangeFeedStream:
                            "last_version": int(start_version),
                            "pending_to": None, "feed": feed}
             self._write_state()
+        if self.consumer_id is not None:
+            self.table.register_consumer(self.consumer_id,
+                                         self._state["last_version"])
         self._check_serviceable(self._state["last_version"])
 
     # ---------- offsets ----------
@@ -233,5 +244,9 @@ class ChangeFeedStream:
                        "last_version": int(to), "pending_to": None,
                        "feed": self.feed}
         self._write_state()
+        if self.consumer_id is not None:
+            # offset first, registration second: a crash between them
+            # only over-retains for one window, never under-retains
+            self.table.register_consumer(self.consumer_id, int(to))
         return {"from_version": last, "to_version": to,
                 "sink": sink_result}

@@ -1012,14 +1012,69 @@ class LakeTable:
             "before", "after",
         )
 
+    # ---------- consumers ----------
+    @property
+    def consumers_dir(self) -> str:
+        return os.path.join(self.meta_dir, "consumers")
+
+    def register_consumer(self, consumer_id: str, last_version: int) -> None:
+        """Record a change-feed consumer's offset IN THE TABLE (the Kafka
+        consumer-group / Iceberg ref pattern): snapshot expiration then
+        refuses to eat snapshots a registered consumer still needs, so a
+        lagging feed degrades to extra retention instead of a dead feed.
+        Atomic per consumer; monotone (a crash-replayed registration of an
+        older offset never moves the protection floor backwards)."""
+        if not consumer_id or "/" in consumer_id or consumer_id.startswith("."):
+            raise LakeTableError(f"bad consumer_id {consumer_id!r}")
+        os.makedirs(self.consumers_dir, exist_ok=True)
+        path = os.path.join(self.consumers_dir, f"{consumer_id}.json")
+        prev = self.consumers().get(consumer_id)
+        if prev is not None and prev["last_version"] > int(last_version):
+            return
+        fd, tmp = tempfile.mkstemp(dir=self.consumers_dir, prefix=".c-")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"last_version": int(last_version),
+                       "updated_ms": int(time.time() * 1000)}, f)
+        os.replace(tmp, path)
+
+    def consumers(self) -> dict[str, dict]:
+        """Registered consumer offsets: id -> {last_version, updated_ms}."""
+        out: dict[str, dict] = {}
+        if not os.path.isdir(self.consumers_dir):
+            return out
+        for n in os.listdir(self.consumers_dir):
+            if n.startswith(".") or not n.endswith(".json"):
+                continue
+            with open(os.path.join(self.consumers_dir, n)) as f:
+                out[n[:-5]] = json.load(f)
+        return out
+
+    def remove_consumer(self, consumer_id: str) -> bool:
+        """Deregister a dead consumer so expiration can move on — the
+        explicit operator action, not a staleness heuristic (a slow
+        consumer and a dead one look identical from the table)."""
+        try:
+            os.remove(os.path.join(self.consumers_dir,
+                                   f"{consumer_id}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
     # ---------- maintenance ----------
     def expire_snapshots(self, keep_last: int = 2,
-                         orphan_grace_ms: int = 600_000) -> dict:
+                         orphan_grace_ms: int = 600_000,
+                         respect_consumers: bool = True) -> dict:
         """Iceberg-style snapshot expiration: keep the most recent
         ``keep_last`` snapshot JSONs, delete the rest, and remove data
         files no retained snapshot references. Time travel to expired
         versions stops working — by design; incremental reads remain
         possible across the retained window.
+
+        Registered change-feed consumers (:meth:`register_consumer`)
+        extend the retained window down to their lowest offset — the
+        Kafka consumer-group retention contract — unless
+        ``respect_consumers=False`` (the operator override for a dead
+        consumer; prefer :meth:`remove_consumer`).
 
         Concurrency safety (ADVICE r2): runs under the commit lock, so a
         concurrent commit cannot swap the pointer (or write a v{N+1}.json
@@ -1042,6 +1097,17 @@ class LakeTable:
                 if n.startswith("v") and n.endswith(".json")}
             keep_versions = {v for v in all_versions
                              if cur - keep_last + 1 <= v <= cur}
+            protected_by: list[str] = []
+            if respect_consumers:
+                # a consumer at offset L reads windows (L, ...] and
+                # re-reads snapshot L as the changelog before-endpoint,
+                # so every snapshot >= max(L, 1) stays serviceable
+                for cid, c in self.consumers().items():
+                    floor = max(int(c["last_version"]), 1)
+                    if floor <= cur - keep_last:  # it extends retention
+                        protected_by.append(cid)
+                    keep_versions |= {v for v in all_versions
+                                      if floor <= v <= cur}
             retained_ref: set[str] = set()
             expired_ref: set[str] = set()
             for v in all_versions:
@@ -1088,6 +1154,7 @@ class LakeTable:
                 removed_snaps += 1
             return {"removed_snapshots": removed_snaps,
                     "removed_data_files": removed_files,
-                    "kept_versions": sorted(keep_versions)}
+                    "kept_versions": sorted(keep_versions),
+                    "protected_by_consumers": sorted(protected_by)}
         finally:
             self._release_commit_lock(lock_fd)

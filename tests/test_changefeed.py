@@ -256,3 +256,60 @@ def test_changelog_feed_windows_chain_and_apply(spark, tmp_path):
     with pytest.raises(ChangeFeedError, match="feed must be"):
         ChangeFeedStream(spark, str(tmp_path / "a"), str(tmp_path / "ck2"),
                          sink, feed="nope")
+
+
+def test_consumer_registration_protects_retention(spark, tmp_path):
+    """A feed with consumer_id registers its offset in the SOURCE table;
+    expire_snapshots then retains the snapshots the lagging feed still
+    needs (Kafka consumer-group retention), the feed finishes from the
+    protected window, and once drained expiration moves on."""
+    a = _make_source(spark, tmp_path)  # versions 1..3
+    b = _make_target(tmp_path)
+    feed = ChangeFeedStream(
+        spark, str(tmp_path / "a"), str(tmp_path / "ck"),
+        lake_merge_sink(b), max_versions_per_batch=1,
+        consumer_id="curator")
+    first = feed._process_one()
+    assert first["to_version"] == 1  # lagging: 2 windows still unserved
+
+    res = a.refresh().expire_snapshots(keep_last=1)
+    assert res["kept_versions"] == [1, 2, 3]  # floor = consumer offset
+    assert res["protected_by_consumers"] == ["curator"]
+    assert res["removed_snapshots"] == 1  # only the empty creation v0
+
+    feed.process_available()  # survives the expiration pass
+    assert _state(spark, b.refresh()) == _state(spark, a.refresh())
+
+    res = a.refresh().expire_snapshots(keep_last=1)
+    assert res["kept_versions"] == [3]  # drained: floor advanced
+    assert res["protected_by_consumers"] == []
+
+
+def test_respect_consumers_false_is_the_operator_override(spark, tmp_path):
+    a = _make_source(spark, tmp_path)
+    b = _make_target(tmp_path)
+    feed = ChangeFeedStream(
+        spark, str(tmp_path / "a"), str(tmp_path / "ck"),
+        lake_merge_sink(b), max_versions_per_batch=1, consumer_id="lagger")
+    feed._process_one()
+    res = a.refresh().expire_snapshots(keep_last=1,
+                                       respect_consumers=False)
+    assert res["kept_versions"] == [3]
+    with pytest.raises(ChangeFeedError, match="expired"):
+        feed.process_available()  # the override killed the lagging feed
+
+
+def test_consumer_floor_min_monotone_remove(spark, tmp_path):
+    a = _make_source(spark, tmp_path)  # versions 1..3
+    a.register_consumer("x", 2)
+    a.register_consumer("y", 1)
+    assert a.expire_snapshots(keep_last=1)["kept_versions"] == [1, 2, 3]
+    a.register_consumer("y", 0)  # stale crash-replay: never regresses
+    assert a.consumers()["y"]["last_version"] == 1
+    a.remove_consumer("y")
+    assert a.expire_snapshots(keep_last=1)["kept_versions"] == [2, 3]
+    assert a.remove_consumer("x") is True
+    assert a.remove_consumer("x") is False
+    assert a.expire_snapshots(keep_last=1)["kept_versions"] == [3]
+    with pytest.raises(LakeTableError, match="consumer_id"):
+        a.register_consumer("../evil", 1)
