@@ -164,6 +164,44 @@ class AggView:
                        "sum_srcs": srcs}, f)
         return cls(root)
 
+    # ---------- lifecycle ----------
+    def bootstrap(self, spark: SparkSession, source: LakeTable) -> int:
+        """Seed the view from the source table's CURRENT state with one
+        aggregation scan, so a view can attach to an existing table
+        without replaying its whole history (at 10^10 events the
+        difference between one pass over live rows and a replay of every
+        change ever made). Returns the source version the scan pinned —
+        pass it as the feed's ``start_version`` so incremental
+        maintenance continues from exactly that snapshot.
+
+        The seed merges with epoch = pinned version: re-running a torn
+        bootstrap is a no-op (epoch gate), and the view must be empty
+        (committed_epoch 0) — seeding on top of maintained state would
+        double-count."""
+        from cdcrypt.operators.merge import merge_upsert
+
+        t = self.table.refresh()
+        if t.committed_epoch > 0:
+            raise AggViewError(
+                "bootstrap needs an empty view (committed_epoch is "
+                f"{t.committed_epoch}) — it would double-count on top of "
+                "maintained state")
+        src = source.refresh()
+        version = src.version
+        state = src.read(spark, version=version)
+        view_schema = {f.name: f.dataType for f in t.schema.fields}
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for s in self.sum_srcs:
+            v = F.col(s).cast(view_schema[f"_sum_{s}"])
+            aggs.append(F.sum(F.coalesce(v, F.lit(0))).alias(f"_sum_{s}"))
+            aggs.append(F.count(v).alias(f"_nn_{s}"))
+        seed = (state.groupBy(*self.group_cols).agg(*aggs)
+                .select("*", F.lit("I").alias("op"),
+                        F.lit(version).cast("long").alias("op_seq"),
+                        F.lit(version).cast("long").alias("epoch")))
+        merge_upsert(spark, t, seed, epoch=version, mode="mor")
+        return version
+
     # ---------- maintenance ----------
     def sink(self):
         """A ``ChangeFeedStream`` sink (feed='changelog' required): folds

@@ -185,3 +185,40 @@ def test_sink_requires_changelog_feed(spark, tmp_path):
                             view.sink(), feed="raw")
     with pytest.raises(AggViewError, match="feed='changelog'"):
         feed.process_available()
+
+
+def test_bootstrap_then_incremental_equals_full_replay(spark, tmp_path):
+    """Attaching a view to an EXISTING table: one aggregation scan over
+    the current state (no history replay), then the feed continues from
+    the pinned version — final state equals a from-zero replay."""
+    a = _make_source(spark, tmp_path, epochs=2)  # pre-attach history
+    view = _make_view(tmp_path)
+    pinned = view.bootstrap(spark, a)
+    assert pinned == a.version
+    # source advances after the bootstrap scan
+    merge_upsert(spark, a, resolve_latest_agg(_batch(spark, 2)),
+                 epoch=2, mode="mor")
+    feed = _feed(spark, a, view, tmp_path, start_version=pinned,
+                 max_versions_per_batch=1)
+    feed.process_available()
+    assert _view_state(spark, view) == _batch_groupby(spark, a.refresh())
+
+    # a torn bootstrap re-run is refused (the view now has state)
+    with pytest.raises(AggViewError, match="double-count"):
+        view.bootstrap(spark, a)
+
+
+def test_bootstrap_epoch_gate_makes_rerun_noop(spark, tmp_path):
+    """Crash between the seed merge and the caller recording the pinned
+    version: the re-run's merge is skipped by the epoch gate."""
+    a = _make_source(spark, tmp_path, epochs=2)
+    view = _make_view(tmp_path)
+    view.bootstrap(spark, a)
+    before = _view_state(spark, view)
+    # simulate the retry path the epoch gate exists for
+    from cdcrypt.operators.merge import merge_upsert as mu
+    out = mu(spark, view.table.refresh(),
+             view.table.refresh().read(spark).limit(0), epoch=a.version,
+             mode="mor")
+    assert out.get("skipped") is True
+    assert _view_state(spark, view) == before
