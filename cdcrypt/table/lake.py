@@ -797,8 +797,12 @@ class LakeTable:
         with_bucket: bool = False,
         prune_only: bool = False,
         key_range: dict | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-traveled).
+
+        ``tag`` time-travels to a named snapshot (:meth:`create_tag`);
+        mutually exclusive with ``version``.
 
         ``key_range``: {key_col: (lo, hi)} point/range lookup — files are
         pruned from the manifest's recorded column bounds (no footers
@@ -828,6 +832,10 @@ class LakeTable:
         Iceberg MoR semantics. Tables maintained copy-on-write never have
         deltas and skip all of this (plain scan, no shuffle).
         """
+        if tag is not None:
+            if version is not None:
+                raise LakeTableError("pass version OR tag, not both")
+            version = self.resolve_ref(tag)
         snap = self.snapshot if version is None else self.snapshot_at(version)
         snap_schema = StructType.fromJson(
             next(s["spark"] for s in snap["schemas"]
@@ -1012,6 +1020,129 @@ class LakeTable:
             "before", "after",
         )
 
+    # ---------- refs (tags) ----------
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs: tag -> version (Iceberg tag semantics)."""
+        try:
+            with open(self._refs_path) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.tags()
+        if name not in refs:
+            raise LakeTableError(
+                f"unknown tag {name!r}; known: {sorted(refs)}")
+        return refs[name]
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".refs-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path)
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a name — auditable releases ('the corpus
+        we trained run 7 on') that survive :meth:`expire_snapshots`
+        (tagged versions and their files are retained until the tag is
+        dropped). Runs under the commit lock so a concurrent expiration
+        pass cannot race the pin."""
+        if not name or "/" in name:
+            raise LakeTableError(f"bad tag name {name!r}")
+        lock_fd = self._acquire_commit_lock("create_tag")
+        try:
+            self._load()
+            v = self.version if version is None else int(version)
+            try:
+                self.snapshot_at(v)  # must exist (and not be expired)
+            except FileNotFoundError:
+                raise LakeTableError(
+                    f"cannot tag v{v}: no such snapshot (expired or "
+                    "never committed)") from None
+            refs = self.tags()
+            if refs.get(name, v) != v:
+                raise LakeTableError(
+                    f"tag {name!r} already pins v{refs[name]} — tags are "
+                    "immutable; drop_tag first")
+            refs[name] = v
+            self._write_refs(refs)
+            return v
+        finally:
+            self._release_commit_lock(lock_fd)
+
+    def drop_tag(self, name: str) -> bool:
+        lock_fd = self._acquire_commit_lock("drop_tag")
+        try:
+            refs = self.tags()
+            if name not in refs:
+                return False
+            del refs[name]
+            self._write_refs(refs)
+            return True
+        finally:
+            self._release_commit_lock(lock_fd)
+
+    # ---------- metadata tables ----------
+    def history(self, spark: SparkSession) -> DataFrame:
+        """The commit log as a DataFrame (Iceberg ``snapshots``/``history``
+        metadata-table analogue): one row per RETAINED snapshot with its
+        lineage metrics. Driver-side work is O(retained snapshots) JSON
+        reads — metadata, not data."""
+        rows = []
+        for n in sorted(os.listdir(self.meta_dir)):
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            try:
+                snap = self.snapshot_at(int(n[1:-5]))
+            except (LakeTableError, OSError, json.JSONDecodeError):
+                continue  # torn crash-orphan beyond current
+            if snap["version"] > self.version:
+                continue  # staged but never current-swapped
+            lin = snap.get("lineage") or {}
+            fs = snap.get("files", [])
+            rows.append((
+                int(snap["version"]), snap.get("parent"),
+                int(snap.get("committed_epoch", 0)),
+                snap.get("created_ms"),
+                lin.get("mode"), lin.get("batch_rows"),
+                lin.get("rows_written"), len(fs),
+                sum(1 for f in fs if f.get("kind", "base") == "delta"
+                    and not f.get("compacted")),
+                int(sum(f.get("rows", 0) for f in fs
+                        if not f.get("compacted"))),
+                int(snap.get("schema_id", 0)),
+                snap.get("partition_spec"),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "version long, parent long, committed_epoch long, "
+            "created_ms long, mode string, batch_rows long, "
+            "rows_written long, n_files int, n_live_delta_files int, "
+            "stored_rows long, schema_id int, partition_spec string")
+
+    def files_df(self, spark: SparkSession,
+                 version: int | None = None) -> DataFrame:
+        """The manifest as a DataFrame (Iceberg ``files`` metadata-table
+        analogue): one row per data file of the (current or pinned)
+        snapshot, with its recorded column bounds as JSON."""
+        snap = (self.snapshot if version is None
+                else self.snapshot_at(version))
+        rows = [(f["path"], int(f.get("bucket", -1)),
+                 f.get("kind", "base"), bool(f.get("compacted", False)),
+                 int(f.get("schema_id", 0)), int(f.get("spec_id", 0)),
+                 int(f.get("rows", 0)),
+                 json.dumps(f["bounds"]) if f.get("bounds") else None)
+                for f in snap.get("files", [])]
+        return spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, compacted boolean, "
+            "schema_id int, spec_id int, rows long, bounds string")
+
     # ---------- consumers ----------
     @property
     def consumers_dir(self) -> str:
@@ -1097,6 +1228,7 @@ class LakeTable:
                 if n.startswith("v") and n.endswith(".json")}
             keep_versions = {v for v in all_versions
                              if cur - keep_last + 1 <= v <= cur}
+            keep_versions |= set(self.tags().values()) & all_versions
             protected_by: list[str] = []
             if respect_consumers:
                 # a consumer at offset L reads windows (L, ...] and

@@ -303,3 +303,92 @@ def test_expire_tolerates_torn_orphan_snapshot(tmp_path):
         f.write("not json")
     with pytest.raises(LakeTableError, match="corrupt committed"):
         t.expire_snapshots(keep_last=2)
+
+
+def test_tags_create_resolve_immutable_drop(tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, bucket_count=2)
+    t.commit(epoch=0, keep_files=[], new_files=[], lineage={})
+    t.commit(epoch=1, keep_files=[], new_files=[], lineage={})
+    assert t.create_tag("run-7", version=1) == 1
+    assert t.create_tag("head") == 2          # defaults to current
+    assert t.tags() == {"run-7": 1, "head": 2}
+    assert t.resolve_ref("run-7") == 1
+    # re-tagging the same version is a no-op; moving it is an error
+    assert t.create_tag("run-7", version=1) == 1
+    with pytest.raises(LakeTableError, match="immutable"):
+        t.create_tag("run-7", version=2)
+    with pytest.raises(LakeTableError, match="unknown tag"):
+        t.resolve_ref("nope")
+    with pytest.raises(LakeTableError, match="bad tag"):
+        t.create_tag("a/b")
+    with pytest.raises(LakeTableError):       # can't tag a missing version
+        t.create_tag("ghost", version=99)
+    assert t.drop_tag("head") is True
+    assert t.drop_tag("head") is False
+    assert t.tags() == {"run-7": 1}
+
+
+def test_tag_read_survives_expiration(spark, tmp_path):
+    """The auditable-release contract: tag a snapshot, expire history past
+    it — the tagged version stays time-travelable and its data files stay
+    on disk, while untagged older versions are gone."""
+    from cdcrypt.sources.changegen import GenSpec, generate_to_dir
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    src = str(tmp_path / "stream")
+    generate_to_dir(src, GenSpec(n_convs=30, avg_turns=5, n_epochs=5, seed=7))
+    pipe = IngestPipeline(src, str(tmp_path / "t"), str(tmp_path / "c"),
+                          bucket_count=4)
+    pipe.run(spark)
+    t = pipe.table()
+    tagged_v = t.version - 3
+    t.create_tag("corpus-run-7", version=tagged_v)
+    want = t.read(spark, version=tagged_v).count()
+    stats = t.expire_snapshots(keep_last=2, respect_consumers=False)
+    assert tagged_v in stats["kept_versions"]
+    # read by tag == read by pinned version, post-expiration
+    got = t.refresh().read(spark, tag="corpus-run-7")
+    assert got.count() == want
+    # version and tag are mutually exclusive
+    with pytest.raises(LakeTableError, match="version OR tag"):
+        t.read(spark, version=tagged_v, tag="corpus-run-7")
+    # untagged version below the keep window is expired
+    with pytest.raises(Exception):
+        t.snapshot_at(tagged_v - 1)
+    # dropping the tag releases it on the next pass
+    t.drop_tag("corpus-run-7")
+    stats = t.expire_snapshots(keep_last=2, respect_consumers=False)
+    assert tagged_v not in stats["kept_versions"]
+
+
+def test_history_and_files_metadata_tables(spark, tmp_path):
+    from cdcrypt.sources.changegen import GenSpec, generate_to_dir
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    src = str(tmp_path / "stream")
+    generate_to_dir(src, GenSpec(n_convs=20, avg_turns=4, n_epochs=3, seed=11))
+    pipe = IngestPipeline(src, str(tmp_path / "t"), str(tmp_path / "c"),
+                          bucket_count=4)
+    pipe.run(spark)
+    t = pipe.table()
+    hist = t.history(spark).orderBy("version").collect()
+    assert [r["version"] for r in hist] == list(range(t.version + 1))
+    assert hist[-1]["committed_epoch"] == t.committed_epoch
+    # lineage metrics surfaced for ingest commits
+    assert any(r["rows_written"] and r["rows_written"] > 0 for r in hist)
+    # a staged-but-never-current orphan must not appear
+    import json as _json
+    with open(os.path.join(t.meta_dir, "v88.json"), "w") as f:
+        _json.dump({"version": 88, "files": [], "schemas": [],
+                    "schema_id": 0}, f)
+    assert t.history(spark).filter("version = 88").count() == 0
+    os.remove(os.path.join(t.meta_dir, "v88.json"))
+
+    files = t.files_df(spark)
+    man = t.files()
+    assert files.count() == len(man)
+    live = {r["path"] for r in files.filter("NOT compacted").collect()}
+    assert live == {f["path"] for f in man if not f.get("compacted")}
+    # row counts agree with the manifest
+    got = files.filter("NOT compacted").groupBy().sum("rows").collect()[0][0]
+    assert got == t.total_rows()
