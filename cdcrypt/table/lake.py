@@ -430,8 +430,19 @@ class LakeTable:
         new_schema: StructType | None = None,
         new_schema_ids: list[int] | None = None,
         meta_updates: dict | None = None,
+        stage_only: bool = False,
     ) -> int:
         """Write snapshot v{N+1} and atomically swap ``current``.
+
+        ``stage_only=True`` is the write-audit-publish (WAP) path: the
+        snapshot JSON is written (marked ``staged``) but ``current`` is NOT
+        swapped — readers keep the parent, while the auditor time-travels
+        to the staged version (``read(version=N+1)``), runs its quality
+        gates, then :meth:`publish_staged` (atomic pointer swap) or
+        :meth:`abandon_staged`. While one staged snapshot is pending, any
+        other commit off the same parent fails loudly instead of silently
+        overwriting it. This handle's in-memory state stays at the parent
+        until publish.
 
         ``keep_files``/``new_files``: manifest entries
         ``{path, bucket, schema_id, rows}`` (paths relative to root).
@@ -521,43 +532,66 @@ class LakeTable:
                 raise LakeTableError(f"meta_updates may only set {allowed}, "
                                      f"got {sorted(bad)}")
             snap.update(meta_updates)
-        path = os.path.join(self.meta_dir, f"v{version}.json")
+        if stage_only:
+            snap["staged"] = True
         # Commit lock: the write-snapshot -> swap-pointer sequence is not
         # atomic, so the orphan-recovery path below must not mistake a
         # writer currently INSIDE that window for a crash orphan; see
         # _acquire_commit_lock for why flock (not a pid file).
         lock_fd = self._acquire_commit_lock("commit")
         try:
-            try:
-                # O_EXCL create = optimistic concurrency (Iceberg commit
-                # semantics): a v{N+1} that already exists means either a
-                # COMMITTED snapshot from another writer (current advanced
-                # -> hard conflict, refresh and retry) or an orphan left by
-                # a crash between snapshot write and pointer swap (current
-                # still behind; safe under the lock held here)
-                with open(path, "x") as f:
-                    json.dump(snap, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-            except FileExistsError as e:
-                with open(os.path.join(self.meta_dir, "current")) as f:
-                    cur_v = int(f.read().strip())
-                if cur_v >= version:
-                    raise LakeTableError(
-                        f"commit conflict: snapshot v{version} already "
-                        "committed by another writer; refresh() and retry"
-                    ) from e
-                fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".snap.")
-                with os.fdopen(fd, "w") as f:
-                    json.dump(snap, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, path)
-            self._swap_current(self.meta_dir, version)
+            self._persist_snapshot(snap, make_current=not stage_only)
         finally:
             self._release_commit_lock(lock_fd)
-        self._snapshot = snap
+        if not stage_only:
+            self._snapshot = snap
         return version
+
+    def _persist_snapshot(self, snap: dict, *, make_current: bool) -> None:
+        """Write ``v{N}.json`` and (optionally) swap ``current``. MUST be
+        called holding the commit lock."""
+        version = snap["version"]
+        path = os.path.join(self.meta_dir, f"v{version}.json")
+        try:
+            # O_EXCL create = optimistic concurrency (Iceberg commit
+            # semantics): a v{N+1} that already exists means either a
+            # COMMITTED snapshot from another writer (current advanced
+            # -> hard conflict, refresh and retry) or an orphan left by
+            # a crash between snapshot write and pointer swap (current
+            # still behind; safe under the lock held here)
+            with open(path, "x") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+        except FileExistsError as e:
+            with open(os.path.join(self.meta_dir, "current")) as f:
+                cur_v = int(f.read().strip())
+            if cur_v >= version:
+                raise LakeTableError(
+                    f"commit conflict: snapshot v{version} already "
+                    "committed by another writer; refresh() and retry"
+                ) from e
+            # a parseable existing v{N} marked staged is a PENDING
+            # write-audit-publish snapshot, not a crash orphan — never
+            # overwrite it (publish_staged / abandon_staged first)
+            try:
+                with open(path) as f:
+                    existing = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                existing = None
+            if existing is not None and existing.get("staged"):
+                raise LakeTableError(
+                    f"snapshot v{version} is staged pending audit "
+                    "(write-audit-publish); publish_staged() or "
+                    "abandon_staged() it first") from e
+            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".snap.")
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        if make_current:
+            self._swap_current(self.meta_dir, version)
 
     # ---------- schema evolution ----------
     def evolve_schema(
@@ -1087,6 +1121,148 @@ class LakeTable:
         finally:
             self._release_commit_lock(lock_fd)
 
+    # ---------- write-audit-publish ----------
+    def staged_versions(self) -> list[int]:
+        """Versions with a pending staged (unpublished) snapshot."""
+        out = []
+        cur = self.version
+        for n in os.listdir(self.meta_dir):
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            v = int(n[1:-5])
+            if v <= cur:
+                continue
+            try:
+                if self.snapshot_at(v).get("staged"):
+                    out.append(v)
+            except (OSError, json.JSONDecodeError):
+                continue
+        return sorted(out)
+
+    def publish_staged(self, version: int) -> int:
+        """Make a staged snapshot current (the P of write-audit-publish).
+        Atomic: the staged JSON is rewritten without the marker, then the
+        pointer swaps — a crash between the two leaves a publishable
+        snapshot, and re-running publish_staged is idempotent-safe."""
+        lock_fd = self._acquire_commit_lock("publish_staged")
+        try:
+            self._load()
+            try:
+                snap = self.snapshot_at(version)
+            except FileNotFoundError:
+                raise LakeTableError(
+                    f"no snapshot v{version} to publish") from None
+            if not snap.get("staged"):
+                if self.version >= version:
+                    raise LakeTableError(
+                        f"v{version} is already published")
+                raise LakeTableError(
+                    f"v{version} is not a staged snapshot")
+            if self.version != snap["parent"]:
+                raise LakeTableError(
+                    f"publish conflict: staged v{version} has parent "
+                    f"v{snap['parent']} but current is v{self.version}")
+            snap.pop("staged")
+            fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".snap.")
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.meta_dir, f"v{version}.json"))
+            self._swap_current(self.meta_dir, version)
+            self._snapshot = snap
+            return version
+        finally:
+            self._release_commit_lock(lock_fd)
+
+    def abandon_staged(self, version: int) -> bool:
+        """Drop a staged snapshot that failed its audit. Its data files
+        become unreferenced and are reclaimed by the next
+        :meth:`expire_snapshots` pass (after the orphan grace window)."""
+        lock_fd = self._acquire_commit_lock("abandon_staged")
+        try:
+            self._load()
+            try:
+                snap = self.snapshot_at(version)
+            except FileNotFoundError:
+                return False
+            if not snap.get("staged"):
+                raise LakeTableError(
+                    f"v{version} is not staged (refusing to delete a "
+                    "published snapshot; use expire_snapshots)")
+            os.remove(os.path.join(self.meta_dir, f"v{version}.json"))
+            return True
+        finally:
+            self._release_commit_lock(lock_fd)
+
+    # ---------- rollback ----------
+    def rollback(self, to_version: int, *, reset_epoch: bool = False) -> int:
+        """Restore the table state of an earlier snapshot as a NEW commit
+        (Iceberg rollback semantics): manifest, current schema, partition
+        default, key/merge config all revert; history stays linear and the
+        bad snapshots remain auditable until expired. Only retained
+        versions are restorable — expiration deletes both the snapshot
+        JSON and any files no retained snapshot references, so a
+        successfully resolved ``to_version`` always has its files on disk
+        (pin release candidates with :meth:`create_tag`).
+
+        ``committed_epoch`` is KEPT at the current value by default, so an
+        exactly-once ingest resuming after the rollback does not re-apply
+        epochs that were already merged into the bad snapshots —
+        rollback-and-continue drops those epochs' effects. Pass
+        ``reset_epoch=True`` to restore the old snapshot's epoch floor for
+        deliberate reprocessing: the ingest will re-apply every epoch
+        after ``to_version``'s (requires the source stream to still hold
+        them — the consumer-retention contract)."""
+        lock_fd = self._acquire_commit_lock("rollback")
+        try:
+            self._load()
+            prev = self.snapshot
+            if to_version == prev["version"]:
+                return prev["version"]
+            if to_version > prev["version"]:
+                raise LakeTableError(
+                    f"cannot rollback forward (to v{to_version} from "
+                    f"v{prev['version']})")
+            try:
+                old = self.snapshot_at(to_version)
+            except FileNotFoundError:
+                raise LakeTableError(
+                    f"cannot rollback to v{to_version}: no such snapshot "
+                    "(expired or never committed)") from None
+            snap = {
+                "format": prev["format"],
+                "version": prev["version"] + 1,
+                "parent": prev["version"],
+                # schemas/specs lists are append-only across commits, so
+                # prev's lists are supersets containing old's entries;
+                # only the DEFAULTS revert
+                "schema_id": old["schema_id"],
+                "schemas": prev["schemas"],
+                "next_field_id": self._next_field_id(prev),
+                "partition_spec": old["partition_spec"],
+                "bucket_by": old.get("bucket_by", DEFAULT_BUCKET_BY),
+                "key_cols": list(old.get("key_cols", DEFAULT_KEY_COLS)),
+                "merge_engine": old.get("merge_engine", "lww"),
+                **({"agg_spec": old["agg_spec"]}
+                   if "agg_spec" in old else {}),
+                "bucket_count": old["bucket_count"],
+                **({"partition_specs": prev["partition_specs"],
+                    "default_spec_id": self._partition_specs(old)[1]}
+                   if "partition_specs" in prev else {}),
+                "files": old["files"],
+                "committed_epoch": (old["committed_epoch"] if reset_epoch
+                                    else prev["committed_epoch"]),
+                "lineage": {"mode": "rollback", "to_version": to_version,
+                            "reset_epoch": reset_epoch},
+                "created_ms": int(time.time() * 1000),
+            }
+            self._persist_snapshot(snap, make_current=True)
+            self._snapshot = snap
+            return snap["version"]
+        finally:
+            self._release_commit_lock(lock_fd)
+
     # ---------- metadata tables ----------
     def history(self, spark: SparkSession) -> DataFrame:
         """The commit log as a DataFrame (Iceberg ``snapshots``/``history``
@@ -1229,6 +1405,15 @@ class LakeTable:
             keep_versions = {v for v in all_versions
                              if cur - keep_last + 1 <= v <= cur}
             keep_versions |= set(self.tags().values()) & all_versions
+            # pending write-audit-publish snapshots (staged, > cur) and
+            # their files are protected until published or abandoned
+            for v in all_versions:
+                if v > cur:
+                    try:
+                        if self.snapshot_at(v).get("staged"):
+                            keep_versions.add(v)
+                    except (OSError, json.JSONDecodeError):
+                        continue
             protected_by: list[str] = []
             if respect_consumers:
                 # a consumer at offset L reads windows (L, ...] and
