@@ -1063,6 +1063,57 @@ def _q_cdc_snapshot_bootstrap(spark, sf_dir):
         "user_id", "event_type", F.round("value", 6).alias("value"))
 
 
+def _q_cdc_clustered_scan(spark, sf_dir):
+    # Maintenance rewrite (operators/maintenance.py): the MoR artifact is
+    # rewritten into sort-clustered, size-split base files (bounds tight
+    # and disjoint per bucket), then range-scanned on the NON-key sort
+    # column — legal only because the snapshot is delta-free, and pruned
+    # from manifest bounds alone. Oracle = LWW resolution of the raw
+    # events restricted to the same op_seq range.
+    table = _mor_table_for(spark, sf_dir, tag="rwc")
+    if any(f.get("kind") == "delta" and not f.get("compacted")
+           for f in table.files()):
+        from cdcrypt.operators.maintenance import rewrite_clustered
+        rewrite_clustered(spark, table, ["op_seq"],
+                          max_records_per_file=2048)
+    mn, mx = _t(spark, sf_dir, "events").agg(
+        F.min(F.col("event_id").cast("long")),
+        F.max(F.col("event_id").cast("long"))).first()
+    lo, hi = int(mn) + (int(mx) - int(mn)) * 15 // 16, int(mx)
+    return table.read(spark, key_range={"op_seq": (lo, hi)}).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
+def _q_cdc_tag_read(spark, sf_dir):
+    # Snapshot tags (table/lake.py create_tag): pin the epoch-1 snapshot
+    # under a name and time-travel by tag — the auditable-release
+    # contract. Oracle = LWW over epochs 0..1 only (op_seq % 3 <= 1).
+    table = _mor_table_for(spark, sf_dir)
+    v = _mor_version_at_epoch(table, 1)
+    if table.tags().get("epoch-1") != v:
+        table.create_tag("epoch-1", version=v)
+    return table.read(spark, tag="epoch-1").select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
+def _q_cdc_rollback_read(spark, sf_dir):
+    # Rollback (table/lake.py rollback): restore the epoch-1 state as a
+    # NEW linear commit on a dedicated artifact; the read of CURRENT then
+    # equals the epoch-1 state while history stays auditable. Idempotent
+    # across runs via the lineage mode marker.
+    table = _mor_table_for(spark, sf_dir, tag="rb")
+    if table.snapshot.get("lineage", {}).get("mode") != "rollback":
+        table.rollback(_mor_version_at_epoch(table, 1))
+    return table.read(spark).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
 def _q_cdc_point_lookup(spark, sf_dir):
     # P6 manifest scan planning: point lookup of ONE hot key's resolved
     # state through bucket pruning + the manifest's recorded per-file
@@ -1874,6 +1925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
         "cdc_partition_evolution": _q_cdc_partition_evolution,
         "cdc_point_lookup": _q_cdc_point_lookup,
+        "cdc_clustered_scan": _q_cdc_clustered_scan,
+        "cdc_tag_read": _q_cdc_tag_read,
+        "cdc_rollback_read": _q_cdc_rollback_read,
         "cdc_compacted_read": _q_cdc_compacted_read,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "windowed_counts": _q_windowed_counts,
@@ -2693,6 +2747,38 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY user_id, event_type
                              ORDER BY event_id DESC) rn
                   FROM events) WHERE rn = 1
+        """,
+        "cdc_clustered_scan": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+              AND event_id >= (SELECT min(event_id)
+                                      + (max(event_id) - min(event_id))
+                                        * 15 // 16
+                               FROM events)
+              AND event_id <= (SELECT max(event_id) FROM events)
+        """,
+        "cdc_tag_read": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events WHERE event_id % 3 <= 1)
+            WHERE rn = 1
+        """,
+        "cdc_rollback_read": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events WHERE event_id % 3 <= 1)
+            WHERE rn = 1
         """,
         "cdc_snapshot_bootstrap": """
             SELECT user_id, event_type, round(value, 6) AS value

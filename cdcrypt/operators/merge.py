@@ -128,15 +128,21 @@ def _write_bucketed(
     no_dict_cols: tuple[str, ...] = NO_DICT_COLS,
     bucket_by: str = "conv_id",
     stats_cols: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
 ) -> tuple[list[dict], int]:
     """Write ``df`` as one plain parquet file per bucket; return manifest
     entries. partition_id == bucket (see table/lake.py bucket_col), so the
-    bucket id comes from the ``part-NNNNN`` filename index."""
+    bucket id comes from the ``part-NNNNN`` filename index (which survives
+    ``maxRecordsPerFile`` splitting — split files share the partition's
+    part index with distinct c-suffixes, so bucket attribution holds for
+    many files per bucket)."""
     import time
     t0 = time.monotonic()
     out = df if assume_bucketed else repartition_by_bucket(
         df, bucket_count, bucket_by)
     w = out.write.mode("overwrite").option("compression", codec)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(int(max_records_per_file)))
     for c in no_dict_cols:
         if c in df.columns:
             w = w.option(f"parquet.enable.dictionary#{c}", "false")

@@ -877,11 +877,14 @@ class LakeTable:
         if key_range:
             keyset = set(snap.get("key_cols", DEFAULT_KEY_COLS))
             bad = set(key_range) - keyset
-            if bad:
+            if bad and any(f.get("kind", "base") == "delta"
+                           and not f.get("compacted")
+                           for f in snap.get("files", [])):
                 raise LakeTableError(
                     f"key_range supports key columns only, got {sorted(bad)}"
                     " (non-key ranges under merge-on-read would resolve "
-                    "against partial version history)")
+                    "against partial version history; rewrite_clustered or"
+                    " compact the table first)")
         fs = self.files(buckets, version, key_range=key_range)
         base_fs = [f for f in fs if f.get("kind", "base") == "base"]
         # log-only deltas (compacted=True) were folded into a base file by
