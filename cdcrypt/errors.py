@@ -48,6 +48,21 @@ class RetriableEpochError(Exception):
         self.cause = cause
 
 
+class EpochAuditError(Exception):
+    """An epoch's staged commit failed its write-audit-publish gate
+    (IngestPipeline ``audit=...``, ``audit_action='fail'``). The staged
+    snapshot was abandoned and no checkpoint was written, so fixing the
+    input/transform and re-running replays the SAME epoch — data failing
+    its quality gate never becomes current."""
+
+    def __init__(self, epoch: int, version: int, lineage: dict):
+        super().__init__(
+            f"epoch {epoch} rejected by audit (staged v{version} abandoned)")
+        self.epoch = epoch
+        self.version = version
+        self.lineage = lineage
+
+
 def classify(exc: Exception) -> str:
     """Classify an exception as 'retriable' | 'fatal' (O10 semantics)."""
     if isinstance(exc, ServerErrorException):

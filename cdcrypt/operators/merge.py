@@ -258,8 +258,14 @@ def merge_upsert(
     compact_threshold: int = 8,
     assume_bucketed: bool = False,
     broadcast_threshold_bytes: int = BROADCAST_BATCH_BYTES,
+    stage_only: bool = False,
 ) -> dict:
     """Apply one resolved micro-batch; returns lineage metrics.
+
+    ``stage_only=True`` stages the commit without swapping ``current``
+    (write-audit-publish, table/lake.py): the caller audits the staged
+    version (``table.read(spark, version=lineage['version'])``) and then
+    ``table.publish_staged`` / ``table.abandon_staged``.
 
     ``resolved``: one row per (conv_id, turn_idx) with columns op, op_seq,
     epoch + after-image payload. Idempotent: epochs at or below
@@ -285,7 +291,7 @@ def merge_upsert(
             "just discarded")
     if mode == "mor":
         return _merge_mor(spark, table, resolved, epoch, compact_threshold,
-                          assume_bucketed)
+                          assume_bucketed, stage_only)
 
     target = _aligned_schema(table, resolved)
     tcols = [f.name for f in target.fields]
@@ -341,8 +347,9 @@ def merge_upsert(
     }
     version = table.commit(epoch=epoch, keep_files=keep_files,
                            new_files=new_files, lineage=lineage,
-                           new_schema=target)
+                           new_schema=target, stage_only=stage_only)
     lineage["version"] = version
+    lineage["staged"] = bool(stage_only)
     return lineage
 
 
@@ -353,6 +360,7 @@ def _merge_mor(
     epoch: int,
     compact_threshold: int,
     assume_bucketed: bool,
+    stage_only: bool = False,
 ) -> dict:
     """Merge-on-read apply: append delta files, compact deep buckets.
 
@@ -478,9 +486,11 @@ def _merge_mor(
     t_commit = time.monotonic()
     version = table.commit(epoch=epoch, keep_files=keep,
                            new_files=new_delta + compact_files,
-                           lineage=lineage, new_schema=target)
+                           lineage=lineage, new_schema=target,
+                           stage_only=stage_only)
     timings["commit_sec"] = round(time.monotonic() - t_commit, 3)
     timings["merge_total_sec"] = round(time.monotonic() - t_start, 3)
     lineage["version"] = version
+    lineage["staged"] = bool(stage_only)
     lineage["timings"] = timings
     return lineage

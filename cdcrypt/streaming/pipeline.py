@@ -146,6 +146,18 @@ class IngestPipeline:
     # lineage carries dlq_rows. Mutually exclusive with source_adapter.
     dlq_adapter: object | None = None
     dlq_dir: str | None = None
+    # per-epoch write-audit-publish (table/lake.py staged commits): when
+    # set, each epoch's MERGE is STAGED (snapshot written, pointer not
+    # swapped) and ``audit(spark, table, staged_version, lineage)`` runs
+    # against the staged state (``table.read(spark, version=v)``). Truthy
+    # -> publish_staged (atomic swap); falsy -> the staged snapshot is
+    # abandoned and ``audit_action`` decides: 'fail' (default) raises
+    # EpochAuditError with no checkpoint written, so a re-run replays the
+    # SAME epoch after the operator fixes the input; 'skip' records an
+    # empty commit at this epoch (the floor advances, the rejected
+    # changes are dropped — auditable via lineage mode='audit_skip').
+    audit: object | None = None
+    audit_action: str = "fail"  # 'fail' | 'skip'
 
     @property
     def _bucket_by(self) -> str:
@@ -315,6 +327,13 @@ class IngestPipeline:
         from cdcrypt.table.lake import repartition_by_bucket
 
         t0 = time.monotonic()
+        if self.audit is not None:
+            # crash-recovery: a staged snapshot pending at epoch start is a
+            # leftover from a run that died between staging and its audit
+            # verdict (this pipeline is the table's single writer). Abandon
+            # it — the epoch replays deterministically and re-stages.
+            for sv in table.staged_versions():
+                table.abandon_staged(sv)
         if self.crypto_backend == "jvm":
             self._check_iv_budget(files)
         if self.dlq_adapter is not None and self.source_adapter is not None:
@@ -363,10 +382,28 @@ class IngestPipeline:
         lineage = merge_upsert(
             spark, table, encrypted, epoch, broadcast=self.broadcast_merge,
             mode=self.table_mode, compact_threshold=self.compact_threshold,
-            assume_bucketed=True,
+            assume_bucketed=True, stage_only=self.audit is not None,
         )
         if raw_cached is not None:
             raw_cached.unpersist(blocking=False)
+        if self.audit is not None and not lineage.get("skipped"):
+            v = lineage["version"]
+            if self.audit(spark, table, v, lineage):
+                table.publish_staged(v)
+                lineage["audit"] = "published"
+            else:
+                table.abandon_staged(v)
+                if self.audit_action != "skip":
+                    from cdcrypt.errors import EpochAuditError
+                    raise EpochAuditError(epoch, v, lineage)
+                table.commit(
+                    epoch=epoch, keep_files=list(table.snapshot["files"]),
+                    new_files=[],
+                    lineage={"mode": "audit_skip", "epoch": epoch,
+                             "rejected_version": v,
+                             "batch_rows": lineage.get("batch_rows", 0),
+                             "rows_written": 0})
+                lineage["audit"] = "skipped"
         lineage.update({
             "files": [os.path.basename(f) for f in files],
             "wall_sec": round(time.monotonic() - t0, 3),
