@@ -1575,6 +1575,21 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.8)
 
 
+# decontamination scan: a deterministic slice of the documents table
+# (doc_id % 17 == 0) plays the benchmark/eval set, the rest is the
+# training corpus — the planted near-duplicates in the synthetic corpus
+# straddle the slice, so real 13-gram contamination exists at sf0.01.
+_DECON = dict(k=13, bench_mod=17)
+
+
+def _q_decontamination(spark, sf_dir):
+    from cdcrypt.operators.docdedup import benchmark_contamination
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    bench = docs.where(F.col("doc_id") % _DECON["bench_mod"] == 0)
+    corpus = docs.where(F.col("doc_id") % _DECON["bench_mod"] != 0)
+    return benchmark_contamination(corpus, bench, k=_DECON["k"])
+
+
 def _q_cosine_topk(spark, sf_dir):
     from cdcrypt.operators.similarity import cosine_topk
     emb = _t(spark, sf_dir, "embeddings")
@@ -1951,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": _q_simhash_groups,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "decontamination": _q_decontamination,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2289,6 +2305,39 @@ def _ngram_jaccard_sql() -> str:
           JOIN shs sa ON sa.doc_id = p.id_a
           JOIN shs sb ON sb.doc_id = p.id_b)
         WHERE jaccard >= 0.8
+    """
+
+
+def _decontamination_sql() -> str:
+    """Replicates benchmark_contamination: distinct word-13-shingle h60
+    hashes per doc; left join the corpus side against the benchmark
+    slice's distinct hash set; per-doc totals + ratio."""
+    from cdcrypt.functions.hash64 import h60_sql
+
+    k, mod = _DECON["k"], _DECON["bench_mod"]
+    sh_expr = h60_sql(f"array_to_string(ws[i:i+{k - 1}], ' ')")
+    single = h60_sql("array_to_string(ws, ' ')")
+    return f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        shs AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(ws) >= {k}
+              THEN [{sh_expr} for i in range(1, len(ws) - {k - 2})]
+              ELSE [{single}] END) AS sh
+          FROM w
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % {mod} = 0),
+        corp AS (SELECT doc_id, s FROM ex WHERE doc_id % {mod} <> 0)
+        SELECT c.doc_id,
+               count(*) AS n_ngrams,
+               count(b.s) AS n_contaminated,
+               round(count(b.s)::DOUBLE / count(*), 6) AS contamination
+        FROM corp c LEFT JOIN bench b USING (s)
+        GROUP BY c.doc_id
     """
 
 
@@ -3025,6 +3074,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (" + _minhash_pairs_sql()
             + ") WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "decontamination": _decontamination_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

@@ -363,6 +363,85 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    family: str = "md5",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document n-gram overlap against an eval/benchmark set — the
+    train-test decontamination scan every pretraining pipeline runs before
+    shipping a corpus (GPT-3 appendix C shape: flag any training document
+    sharing a 13-gram with the benchmark).
+
+    Returns one row per corpus document with a non-empty text:
+    ``(id_col, n_ngrams, n_contaminated, contamination)`` where
+    ``n_ngrams`` counts the document's DISTINCT word-k-shingles,
+    ``n_contaminated`` counts those also present anywhere in
+    ``benchmark``, and ``contamination`` is their ratio (rounded to 6
+    decimals, oracle-stable).
+
+    Scale shape: both sides reduce to 60-bit shingle-hash longs at the
+    scan (codegen'd row-level hashing, _shingle_rows) — no shingle string
+    ever shuffles. The benchmark side collapses to its DISTINCT hash set
+    and is broadcast (eval suites are MBs of longs even at thousands of
+    documents); the corpus side is one map-side-combined distinct plus
+    one per-doc count aggregate. For a degenerate "benchmark" the size of
+    a corpus shard, pass ``broadcast_benchmark=False`` to fall back to a
+    shuffle join (same conditional-hint contract as the incremental
+    index lookups, similarity.py).
+    """
+    _check_family(family)
+    doc_sh = _shingle_rows(docs, text_col, id_col, k, family).distinct()
+    bench_sh = (
+        _shingle_rows(benchmark, text_col, id_col, k, family)
+        .select("sh").distinct().withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        doc_sh.join(bench_sh, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    max_hits: int = 0,
+    family: str = "md5",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The corpus with benchmark-contaminated documents removed: any
+    document whose distinct-k-shingle overlap with ``benchmark`` exceeds
+    ``max_hits`` (default 0 — one shared 13-gram disqualifies, the
+    conservative pretraining default) is dropped via a left-anti join on
+    the :func:`benchmark_contamination` stats. Documents with null/empty
+    text have no shingles, are never flagged, and pass through."""
+    flagged = (
+        benchmark_contamination(
+            docs, benchmark, text_col=text_col, id_col=id_col, k=k,
+            family=family, broadcast_benchmark=broadcast_benchmark)
+        .where(F.col("n_contaminated") > int(max_hits))
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", family: str = "md5") -> DataFrame:
     """SimHash fingerprint: per word, the word hash votes +1/-1 on each bit;

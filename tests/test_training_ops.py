@@ -795,3 +795,111 @@ def test_ivf_drift_detected_and_rebuild_restores_recall(spark, tmp_path):
     assert full == want
     # reopen from disk: meta swap was atomic and complete
     assert IvfIndex(root).meta["train_err"] == idx2.meta["train_err"]
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train-test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _brute_shingles(text, k):
+    import re
+
+    ws = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    if len(ws) >= k:
+        return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+    return {" ".join(ws)}
+
+
+_LEAK = ("the capital of france is paris and the capital of spain is "
+         "madrid exactly")  # 13 words — one full benchmark shingle
+
+
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "a training document that quotes verbatim " + _LEAK
+                 + " before continuing with original prose afterwards"),
+            (11, "an entirely original document about parquet bucketing and "
+                 "merge upserts in a distributed lake engine with nothing "
+                 "shared at all here"),
+            (12, None),
+            (13, ""),
+            (14, "short doc"),  # < k words: single whole-doc shingle
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "question: " + _LEAK + " answer: yes"),
+         (101, "which engine merges change events into iceberg tables")],
+        ["doc_id", "text"],
+    )
+    return corpus, benchmark
+
+
+def test_benchmark_contamination_matches_brute_force(decon_frames):
+    from cdcrypt.operators.docdedup import benchmark_contamination
+
+    corpus, benchmark = decon_frames
+    k = 13
+    got = {r.doc_id: r for r in
+           benchmark_contamination(corpus, benchmark, k=k).collect()}
+    bench_sh = set()
+    for r in benchmark.collect():
+        bench_sh |= _brute_shingles(r.text, k)
+    for r in corpus.where("text IS NOT NULL AND length(text) > 0").collect():
+        sh = _brute_shingles(r.text, k)
+        assert got[r.doc_id].n_ngrams == len(sh)
+        assert got[r.doc_id].n_contaminated == len(sh & bench_sh)
+    assert got[10].n_contaminated > 0          # the planted leak is caught
+    assert got[11].n_contaminated == 0
+    assert 12 not in got and 13 not in got     # null/empty: no shingles
+    assert got[14].n_contaminated == 0
+
+
+def test_decontaminate_drops_only_flagged(decon_frames):
+    from cdcrypt.operators.docdedup import decontaminate
+
+    corpus, benchmark = decon_frames
+    kept = {r.doc_id for r in decontaminate(corpus, benchmark).collect()}
+    # 10 is contaminated; null/empty/short docs pass through untouched
+    assert kept == {11, 12, 13, 14}
+    # a loose budget keeps everything (10 shares exactly one 13-gram run)
+    n_hits = 0
+    for r in corpus.where("doc_id = 10").collect():
+        n_hits = len(_brute_shingles(r.text, 13)
+                     & _brute_shingles("question: " + _LEAK + " answer: yes",
+                                       13))
+    loose = {r.doc_id
+             for r in decontaminate(corpus, benchmark,
+                                    max_hits=n_hits).collect()}
+    assert loose == {10, 11, 12, 13, 14}
+
+
+def test_contamination_shuffle_join_path_matches_broadcast(decon_frames):
+    from cdcrypt.operators.docdedup import benchmark_contamination
+
+    corpus, benchmark = decon_frames
+    a = set(map(tuple, benchmark_contamination(
+        corpus, benchmark, broadcast_benchmark=True).collect()))
+    b = set(map(tuple, benchmark_contamination(
+        corpus, benchmark, broadcast_benchmark=False).collect()))
+    assert a == b
+
+
+def test_decontamination_gate_matches_duckdb_oracle(spark):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in entry._q_decontamination(spark, sf_dir)
+           .select("doc_id", "n_ngrams", "n_contaminated", "contamination")
+           .collect()}
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    want = {tuple(r) for r in con.sql(
+        "SELECT doc_id, n_ngrams, n_contaminated, contamination FROM ("
+        + entry._decontamination_sql() + ")").fetchall()}
+    assert got == want
