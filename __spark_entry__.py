@@ -1590,6 +1590,20 @@ def _q_decontamination(spark, sf_dir):
     return benchmark_contamination(corpus, bench, k=_DECON["k"])
 
 
+# intra-corpus boilerplate scan: shingles appearing in >= min_docs distinct
+# documents (the planted near-duplicate families provide real template
+# signal: 70-90 corpus-frequent 7-grams at every sf) — per-doc coverage
+# stats a quality filter cuts on
+_BOILER = dict(k=7, min_docs=3)
+
+
+def _q_boilerplate_scan(spark, sf_dir):
+    from cdcrypt.operators.docdedup import boilerplate_stats
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    return boilerplate_stats(docs, k=_BOILER["k"],
+                             min_docs=_BOILER["min_docs"])
+
+
 def _q_cosine_topk(spark, sf_dir):
     from cdcrypt.operators.similarity import cosine_topk
     emb = _t(spark, sf_dir, "embeddings")
@@ -1967,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "decontamination": _q_decontamination,
+        "boilerplate_scan": _q_boilerplate_scan,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2338,6 +2353,40 @@ def _decontamination_sql() -> str:
                round(count(b.s)::DOUBLE / count(*), 6) AS contamination
         FROM corp c LEFT JOIN bench b USING (s)
         GROUP BY c.doc_id
+    """
+
+
+def _boilerplate_scan_sql() -> str:
+    """Replicates boilerplate_stats: distinct word-7-shingle h60 hashes
+    per doc; shingles in >= min_docs distinct docs are boilerplate; left
+    join the corpus against that set; per-doc totals + coverage ratio."""
+    from cdcrypt.functions.hash64 import h60_sql
+
+    k, min_docs = _BOILER["k"], _BOILER["min_docs"]
+    sh_expr = h60_sql(f"array_to_string(ws[i:i+{k - 1}], ' ')")
+    single = h60_sql("array_to_string(ws, ' ')")
+    return f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        shs AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(ws) >= {k}
+              THEN [{sh_expr} for i in range(1, len(ws) - {k - 2})]
+              ELSE [{single}] END) AS sh
+          FROM w
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        boiler AS (
+          SELECT s FROM ex GROUP BY s HAVING count(*) >= {min_docs}
+        )
+        SELECT e.doc_id,
+               count(*) AS n_ngrams,
+               count(b.s) AS n_boiler,
+               round(count(b.s)::DOUBLE / count(*), 6) AS boiler_frac
+        FROM ex e LEFT JOIN boiler b ON e.s = b.s
+        GROUP BY e.doc_id
     """
 
 
@@ -3075,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
             + ") WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "decontamination": _decontamination_sql(),
+        "boilerplate_scan": _boilerplate_scan_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

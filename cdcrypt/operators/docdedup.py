@@ -442,6 +442,118 @@ def decontaminate(
     return docs.join(flagged, id_col, "left_anti")
 
 
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    min_docs: int = 10,
+    family: str = "md5",
+) -> DataFrame:
+    """Corpus-frequent k-shingles — the INTRA-corpus boilerplate relation
+    (C4 / RefinedWeb-style line-dedup generalized to shingles): a shingle
+    appearing in ``min_docs`` or more DISTINCT documents is boilerplate
+    (cookie banners, license headers, navigation chrome — text that is
+    frequent because it is template, not content). Returns
+    ``(sh, n_docs)`` for every 60-bit shingle hash over the threshold.
+
+    Scale shape: the text reduces to (id, sh) long pairs at the scan
+    (codegen'd row-level hashing, :func:`_shingle_rows`); the per-doc
+    distinct and the per-shingle doc-count are one map-side-combined
+    distinct plus one count aggregate — shuffles carry longs only, never
+    shingle strings, and the threshold filter runs inside the final
+    aggregate stage. Output size is the boilerplate vocabulary (tiny vs
+    the corpus by construction — frequency thresholds are inverse-Zipf).
+    """
+    _check_family(family)
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    return (
+        _shingle_rows(docs, text_col, id_col, k, family).distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    min_docs: int = 10,
+    family: str = "md5",
+    boiler: DataFrame | None = None,
+    broadcast_boiler: bool = False,
+) -> DataFrame:
+    """Per-document boilerplate coverage: for each document with non-empty
+    text, ``(id_col, n_ngrams, n_boiler, boiler_frac)`` where ``n_ngrams``
+    counts its distinct k-shingles, ``n_boiler`` counts those that are
+    corpus-frequent (:func:`boilerplate_ngrams`), and ``boiler_frac`` is
+    their ratio (rounded to 6 decimals, oracle-stable) — the flag a
+    quality filter cuts on ("this page is 80% template").
+
+    ``boiler`` lets the caller pass a PERSISTED boilerplate relation: the
+    shingle scan feeds both the frequency count and the coverage join, and
+    at corpus scale the text re-scan dominates (the round-2 item-10
+    recompute-vs-persist finding) — build once, checkpoint, reuse across
+    the stats pass and future increments. Default recomputes (wins at
+    bench scale). ``broadcast_boiler=True`` broadcasts the boilerplate
+    set for the coverage join; default is a shuffle join because the
+    boilerplate vocabulary, while usually small, is data-dependent and
+    unbounded (same conditional-hint contract as the incremental index
+    lookups, similarity.py)."""
+    _check_family(family)
+    doc_sh = _shingle_rows(docs, text_col, id_col, k, family).distinct()
+    if boiler is None:
+        boiler = boilerplate_ngrams(
+            docs, text_col=text_col, id_col=id_col, k=k,
+            min_docs=min_docs, family=family)
+    hits = boiler.select("sh").withColumn("_hit", F.lit(1))
+    if broadcast_boiler:
+        hits = F.broadcast(hits)
+    return (
+        doc_sh.join(hits, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_boiler") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    min_docs: int = 10,
+    max_frac: float = 0.5,
+    family: str = "md5",
+    boiler: DataFrame | None = None,
+    broadcast_boiler: bool = False,
+) -> DataFrame:
+    """The corpus with template-dominated documents removed: any document
+    whose :func:`boilerplate_stats` coverage EXCEEDS ``max_frac`` is
+    dropped via a left-anti join. Documents with null/empty text have no
+    shingles, are never flagged, and pass through (cut those with the
+    length filters in operators/curation.py — different failure mode)."""
+    if not 0.0 <= max_frac < 1.0:
+        raise ValueError(f"max_frac must be in [0, 1), got {max_frac}")
+    flagged = (
+        boilerplate_stats(
+            docs, text_col=text_col, id_col=id_col, k=k, min_docs=min_docs,
+            family=family, boiler=boiler, broadcast_boiler=broadcast_boiler)
+        .where(F.col("boiler_frac") > float(max_frac))
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", family: str = "md5") -> DataFrame:
     """SimHash fingerprint: per word, the word hash votes +1/-1 on each bit;

@@ -903,3 +903,102 @@ def test_decontamination_gate_matches_duckdb_oracle(spark):
         "SELECT doc_id, n_ngrams, n_contaminated, contamination FROM ("
         + entry._decontamination_sql() + ")").fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# intra-corpus boilerplate (corpus-frequent shingles)
+# ---------------------------------------------------------------------------
+
+_TEMPLATE = ("this site uses cookies to improve your experience accept "
+             "all cookies to continue reading")  # 14 words of chrome
+
+
+@pytest.fixture(scope="module")
+def boiler_frames(spark):
+    # 4 docs carry the template (>= min_docs=3); doc 23 is MOSTLY template
+    corpus = spark.createDataFrame(
+        [
+            (20, _TEMPLATE + " original article about lakehouse compaction "
+                 "strategies and manifest pruning in modern table formats "
+                 "written at length with many unique words in this body"),
+            (21, _TEMPLATE + " a different piece on vectorized crypto "
+                 "envelopes and arrow batch boundaries with entirely "
+                 "distinct prose from the previous article body text"),
+            (22, _TEMPLATE + " third story covering streaming dedup "
+                 "indexes and broadcast probe joins at corpus scale with "
+                 "its own unique vocabulary throughout the body"),
+            (23, _TEMPLATE + " ok"),     # template-dominated
+            (24, "a completely template free document about bucketed "
+                 "merge on read tables and deterministic splits"),
+            (25, None),
+            (26, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    return corpus
+
+
+def test_boilerplate_stats_match_brute_force(boiler_frames):
+    from collections import Counter
+
+    from cdcrypt.operators.docdedup import boilerplate_stats
+
+    k, min_docs = 7, 3
+    got = {r.doc_id: r for r in boilerplate_stats(
+        boiler_frames, k=k, min_docs=min_docs).collect()}
+    per_doc = {r.doc_id: _brute_shingles(r.text, k)
+               for r in boiler_frames
+               .where("text IS NOT NULL AND length(text) > 0").collect()}
+    freq = Counter(s for sh in per_doc.values() for s in sh)
+    boiler = {s for s, n in freq.items() if n >= min_docs}
+    assert boiler                                 # the template IS frequent
+    for doc_id, sh in per_doc.items():
+        assert got[doc_id].n_ngrams == len(sh)
+        assert got[doc_id].n_boiler == len(sh & boiler)
+    assert 25 not in got and 26 not in got        # null/empty: no shingles
+    assert got[24].n_boiler == 0                  # template-free doc clean
+    assert got[23].boiler_frac > 0.5              # template-dominated doc
+
+
+def test_boilerplate_persisted_relation_matches_recompute(boiler_frames):
+    from cdcrypt.operators.docdedup import (
+        boilerplate_ngrams, boilerplate_stats,
+    )
+
+    k, min_docs = 7, 3
+    rel = boilerplate_ngrams(boiler_frames, k=k, min_docs=min_docs)
+    a = set(map(tuple, boilerplate_stats(
+        boiler_frames, k=k, min_docs=min_docs).collect()))
+    b = set(map(tuple, boilerplate_stats(
+        boiler_frames, k=k, min_docs=min_docs, boiler=rel,
+        broadcast_boiler=True).collect()))
+    assert a == b
+
+
+def test_strip_boilerplate_drops_only_dominated(boiler_frames):
+    from cdcrypt.operators.docdedup import strip_boilerplate
+
+    kept = {r.doc_id for r in strip_boilerplate(
+        boiler_frames, k=7, min_docs=3, max_frac=0.5).collect()}
+    # 23 is template-dominated; 20-22 carry the template but are mostly
+    # original; null/empty pass through
+    assert kept == {20, 21, 22, 24, 25, 26}
+
+
+def test_boilerplate_gate_matches_duckdb_oracle(spark):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in entry._q_boilerplate_scan(spark, sf_dir)
+           .select("doc_id", "n_ngrams", "n_boiler", "boiler_frac")
+           .collect()}
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    want = {tuple(r) for r in con.sql(
+        "SELECT doc_id, n_ngrams, n_boiler, boiler_frac FROM ("
+        + entry._boilerplate_scan_sql() + ")").fetchall()}
+    assert got == want
+    assert any(r[2] > 0 for r in got)   # planted dups give real signal
