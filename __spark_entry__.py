@@ -1590,6 +1590,29 @@ def _q_decontamination(spark, sf_dir):
     return benchmark_contamination(corpus, bench, k=_DECON["k"])
 
 
+# token-budget domain mixture: 4 of the corpus's 20 sources with explicit
+# token shares, natural budget scaled 1.9x — src0 binds (largest share over
+# ~equal token masses), so the plan upsamples src0/src1 (~1.9/1.3 epochs)
+# and downsamples src2/src3 — both regimes exercised. The fractions are
+# computed IN-ENGINE on both sides from exact int64 token totals with
+# IEEE-identical op order (see sampling._mixture_fractions contract).
+_MIX = dict(shares={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+            budget_factor=1.9, salt="mix-v1")
+
+
+def _q_mixture_plan(spark, sf_dir):
+    from cdcrypt.functions.sampling import mixture_plan
+    return mixture_plan(_t(spark, sf_dir, "documents"), _MIX["shares"],
+                        budget_factor=_MIX["budget_factor"])
+
+
+def _q_mixture_sample(spark, sf_dir):
+    from cdcrypt.functions.sampling import mixture_by_tokens
+    return mixture_by_tokens(_t(spark, sf_dir, "documents"), _MIX["shares"],
+                             budget_factor=_MIX["budget_factor"],
+                             salt=_MIX["salt"])
+
+
 # intra-corpus boilerplate scan: shingles appearing in >= min_docs distinct
 # documents (the planted near-duplicate families provide real template
 # signal: 70-90 corpus-frequent 7-grams at every sf) — per-doc coverage
@@ -1982,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "decontamination": _q_decontamination,
         "boilerplate_scan": _q_boilerplate_scan,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_sample": _q_mixture_sample,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2353,6 +2378,63 @@ def _decontamination_sql() -> str:
                round(count(b.s)::DOUBLE / count(*), 6) AS contamination
         FROM corp c LEFT JOIN bench b USING (s)
         GROUP BY c.doc_id
+    """
+
+
+def _mixture_cte() -> str:
+    """Shared fraction pipeline for the mixture gates: exact int64 token
+    totals per listed domain -> natural budget T0 = min(tokens/share) ->
+    fraction = (share * (T0 * factor)) / tokens, every double op in the
+    SAME order as sampling._mixture_fractions so the doubles are
+    bit-identical across engines."""
+    shares, factor = _MIX["shares"], _MIX["budget_factor"]
+    domains = ", ".join(f"'{d}'" for d in shares)
+    case = ("CASE source " + " ".join(
+        f"WHEN '{d}' THEN CAST({w!r} AS DOUBLE)"
+        for d, w in shares.items()) + " END")
+    return f"""
+        WITH tok AS (
+          SELECT source, {_tokens_sql('text')} AS t
+          FROM documents WHERE source IN ({domains})
+        ),
+        tot AS (
+          SELECT source, CAST(SUM(t) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_docs
+          FROM tok GROUP BY source
+        ),
+        sh AS (SELECT source, n_tokens, n_docs, {case} AS share FROM tot),
+        t0 AS (SELECT MIN(CAST(n_tokens AS DOUBLE) / share) AS v FROM sh),
+        fr AS (
+          SELECT source, n_tokens, n_docs, share,
+                 (share * (t0.v * CAST({factor!r} AS DOUBLE)))
+                   / CAST(n_tokens AS DOUBLE) AS f
+          FROM sh, t0
+        )
+    """
+
+
+def _mixture_plan_sql() -> str:
+    return _mixture_cte() + """
+        SELECT source, n_docs, n_tokens, share, round(f, 6) AS fraction
+        FROM fr
+    """
+
+
+def _mixture_sample_sql() -> str:
+    from cdcrypt.functions.sampling import unit_hash_sql
+
+    u = unit_hash_sql("doc_id", _MIX["salt"])
+    return _mixture_cte() + f"""
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+               -- kept epochs are a PREFIX 0..n_keep-1 (full copies plus
+               -- the remainder copy), so the count folds into the range
+               -- bound — no epoch filter (DuckDB cannot bind an unnest
+               -- alias from an outer WHERE, and lateral generate_series
+               -- rejects column parameters)
+               unnest(range(0, CAST(floor(fr.f) AS BIGINT)
+                 + CASE WHEN {u} < fr.f - floor(fr.f)
+                        THEN 1 ELSE 0 END)) AS epoch
+        FROM documents d JOIN fr USING (source)
     """
 
 
@@ -3125,6 +3207,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "decontamination": _decontamination_sql(),
         "boilerplate_scan": _boilerplate_scan_sql(),
+        "mixture_plan": _mixture_plan_sql(),
+        "mixture_sample": _mixture_sample_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

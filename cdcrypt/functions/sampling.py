@@ -277,6 +277,141 @@ def shuffle_dataset_sql(id_expr: str, salt: str, num_shards: int) -> str:
             f"CAST(({h}) % {num_shards} AS INTEGER) AS shard")
 
 
+def _check_shares(shares: dict[str, float]) -> None:
+    if not shares:
+        raise ValueError("shares must be a non-empty {domain: share} dict")
+    bad = {k: w for k, w in shares.items() if not w > 0}
+    if bad:
+        raise ValueError(f"shares must be positive, got {bad}")
+    total = sum(shares.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"shares must sum to 1, got {total}")
+
+
+def _mixture_fractions(docs: DataFrame, shares: dict[str, float],
+                       domain_col: str, text_col: str,
+                       token_budget: int | None,
+                       budget_factor: float | None) -> DataFrame:
+    """Per-domain keep/repeat fraction for a token-share mixture:
+    ``fraction_d = share_d * T / tokens_d`` where T is the mix's total
+    token budget. Tiny relation (one row per listed domain) computed
+    IN-PLAN: one aggregation pass over the corpus for the exact per-domain
+    token totals, one 1-row reduction for the natural budget, zero driver
+    collects.
+
+    Float-identity contract with the DuckDB oracle: token totals are
+    EXACT int64 sums; every double op (cast, divide, multiply, min) is an
+    IEEE-754 correctly-rounded primitive written in the SAME order on
+    both sides, so the fractions are bit-identical across engines — the
+    same discipline as the split thresholds above, extended to in-engine
+    arithmetic (no float ACCUMULATION happens: sums are integral, min is
+    selection)."""
+    from cdcrypt.functions.text import token_count
+
+    _check_shares(shares)
+    if token_budget is not None and budget_factor is not None:
+        raise ValueError("pass token_budget OR budget_factor, not both")
+    if token_budget is not None and not token_budget > 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    if budget_factor is not None and not budget_factor > 0:
+        raise ValueError(f"budget_factor must be > 0, got {budget_factor}")
+    share_col = F.lit(None).cast("double")
+    for value, w in shares.items():
+        share_col = F.when(F.col(domain_col) == F.lit(value),
+                           F.lit(float(w))).otherwise(share_col)
+    tot = (docs.where(F.col(domain_col).isin(list(shares)))
+           .groupBy(domain_col)
+           .agg(F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_docs"))
+           .withColumn("share", share_col))
+    ntok_d = F.col("n_tokens").cast("double")
+    if token_budget is not None:
+        budget = F.lit(float(token_budget))
+        tot = tot.withColumn("_T", budget)
+    else:
+        # natural budget: the largest mix needing no upsampling, scaled
+        nat = tot.agg(F.min(ntok_d / F.col("share")).alias("_t0"))
+        tot = tot.crossJoin(F.broadcast(nat)).withColumn(
+            "_T", F.col("_t0") * F.lit(float(budget_factor or 1.0))
+        ).drop("_t0")
+    return tot.withColumn(
+        "fraction", F.col("share") * F.col("_T") / ntok_d).drop("_T")
+
+
+def mixture_plan(docs: DataFrame, shares: dict[str, float],
+                 domain_col: str = "source", text_col: str = "text",
+                 token_budget: int | None = None,
+                 budget_factor: float | None = None) -> DataFrame:
+    """The mixture's resolved sampling plan, one row per listed domain:
+    ``(domain_col, n_docs, n_tokens, share, fraction)`` — inspect/record
+    this before a training export (the LLaMA-style "what got up/downsampled
+    how much" table). ``fraction`` is rounded to 6 decimals for display
+    and oracle stability; :func:`mixture_by_tokens` decides on the
+    unrounded value. Domains absent from ``shares`` are excluded; listed
+    domains with no rows simply don't appear (they contribute no tokens —
+    validate upstream if absence is an error)."""
+    fr = _mixture_fractions(docs, shares, domain_col, text_col,
+                            token_budget, budget_factor)
+    return fr.select(domain_col, "n_docs", "n_tokens", "share",
+                     F.round(F.col("fraction"), 6).alias("fraction"))
+
+
+def mixture_by_tokens(docs: DataFrame, shares: dict[str, float],
+                      domain_col: str = "source", text_col: str = "text",
+                      id_col: str = "doc_id", token_budget: int | None = None,
+                      budget_factor: float | None = None,
+                      salt: str = "mix-v1", max_epochs: int = 64) -> DataFrame:
+    """Token-budget domain mixture — the data-mixing step of a pretraining
+    pipeline ("40% web, 30% code, 2.4 epochs of wikipedia"): resample the
+    corpus so each listed domain contributes ``shares[d]`` of the mix's
+    TOKENS, down- OR up-sampling as needed. Returns the mixed corpus:
+    ``docs.*`` + ``epoch`` (0-based copy index — a document kept ``c``
+    times appears with epochs ``0..c-1``).
+
+    Budget: ``token_budget`` fixes the mix's total tokens T absolutely;
+    ``budget_factor`` scales the natural budget T0 = min_d(tokens_d /
+    share_d) (the largest T needing no upsampling — factor 1.0 makes the
+    binding domain keep everything, 2.0 trains ~2 epochs of it). With
+    ``fraction_d = share_d * T / tokens_d``, every document of domain d
+    appears ``floor(fraction_d)`` times plus one more iff its unit hash
+    falls under the remainder — so realized token mass is unbiased per
+    domain with binomial deviation only, and the decision is a pure
+    function of (id, salt): engine/layout/ingest-stable like every
+    sampler here, and nested across budgets under one salt (a bigger
+    budget never drops a copy a smaller one kept). NULL ids raise at
+    execution; fractions over ``max_epochs`` raise at execution (a
+    fat-finger share on a tiny domain would otherwise explode the
+    corpus).
+
+    Scale shape: one aggregation pass for exact per-domain token totals
+    (map-side combined, #domains rows), a broadcast join of the fraction
+    relation onto the corpus, and a per-row ``explode(sequence(0,
+    floor(f)))`` whose output is exactly the mix — no shuffle of the
+    corpus itself, no driver-side arithmetic."""
+    fr = _mixture_fractions(docs, shares, domain_col, text_col,
+                            token_budget, budget_factor)
+    f = F.when(
+        F.col("fraction") <= F.lit(float(max_epochs)), F.col("fraction")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"mixture_by_tokens: fraction for domain "),
+        F.col(domain_col),
+        F.lit(f" exceeds max_epochs={max_epochs} — share vs domain size "
+              "implies a runaway upsample; raise max_epochs if intended"))))
+    u = unit_hash(checked_id(id_col, "mixture_by_tokens"), salt)
+    full = F.floor(F.col("_f"))
+    return (
+        docs.join(F.broadcast(fr.select(domain_col, "fraction")),
+                  domain_col, "inner")
+        .withColumn("_f", f)
+        .withColumn("_u", u)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0).cast("long"),
+                                                  full)))
+        .where((F.col("epoch") < full)
+               | (F.col("_u") < F.col("_f") - full.cast("double")))
+        .drop("fraction", "_f", "_u")
+    )
+
+
 def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
                        weights: dict[str, float], id_col: str = "doc_id",
                        salt: str = "split-v1",

@@ -247,3 +247,124 @@ def test_write_shuffled_sorted_shard_files(spark, tmp_path):
         t = pq.read_table(files[0])
         got = list(zip(t["sort_key"].to_pylist(), t["doc_id"].to_pylist()))
         assert got == rows  # file order IS the shuffled order
+
+
+# ---------------------------------------------------------------------------
+# token-budget domain mixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # 3 domains, ~equal doc counts, distinct token masses: web docs are
+    # 8 tokens, code 6, wiki 4 — exact totals web 80, code 60, wiki 20
+    rows = []
+    for i in range(10):
+        rows.append((i, "w " * 8, "web"))
+    for i in range(10, 20):
+        rows.append((i, "c " * 6, "code"))
+    for i in range(20, 25):
+        rows.append((i, "k " * 4, "wiki"))
+    rows.append((25, "x", "other"))            # unlisted domain: dropped
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+_MIX_SHARES = {"web": 0.5, "code": 0.3, "wiki": 0.2}
+
+
+def test_mixture_plan_fractions_match_python(mix_docs):
+    from cdcrypt.functions.sampling import mixture_plan
+
+    got = {r.source: r for r in
+           mixture_plan(mix_docs, _MIX_SHARES, budget_factor=2.0).collect()}
+    toks = {"web": 80, "code": 60, "wiki": 20}
+    # identical op order as the engine: T0 = min(tokens/share), then
+    # (share * (T0 * factor)) / tokens — python floats are the same
+    # IEEE doubles, so equality is exact (after the plan's round-6)
+    t0 = min(toks[d] / _MIX_SHARES[d] for d in toks)
+    for d, tk in toks.items():
+        assert got[d].n_tokens == tk
+        assert got[d].fraction == round(
+            (_MIX_SHARES[d] * (t0 * 2.0)) / tk, 6)
+    assert "other" not in got
+    # wiki binds (20/.2=100 < 160, 200): factor 2 => 2 epochs of wiki
+    assert got["wiki"].fraction == 2.0
+
+
+def test_mixture_sample_copies_and_epochs(mix_docs):
+    from cdcrypt.functions.sampling import mixture_by_tokens, mixture_plan
+
+    out = mixture_by_tokens(mix_docs, _MIX_SHARES, budget_factor=2.0)
+    rows = out.collect()
+    frac = {r.source: r.fraction for r in mixture_plan(
+        mix_docs, _MIX_SHARES, budget_factor=2.0).collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    import math
+    for (doc_id, src), epochs in by_doc.items():
+        lo = math.floor(frac[src])
+        assert len(epochs) in (lo, lo + 1)          # floor or ceil copies
+        assert sorted(epochs) == list(range(len(epochs)))  # prefix 0..c-1
+    # every wiki doc appears exactly twice (fraction exactly 2.0)
+    wiki = [k for k in by_doc if k[1] == "wiki"]
+    assert len(wiki) == 5 and all(len(by_doc[k]) == 2 for k in wiki)
+    # unlisted domain excluded entirely
+    assert not [k for k in by_doc if k[1] == "other"]
+
+
+def test_mixture_sample_deterministic_and_nested(mix_docs):
+    from cdcrypt.functions.sampling import mixture_by_tokens
+
+    key = lambda r: (r.doc_id, r.epoch)  # noqa: E731
+    a = sorted(map(key, mixture_by_tokens(
+        mix_docs, _MIX_SHARES, budget_factor=1.3).collect()))
+    b = sorted(map(key, mixture_by_tokens(
+        mix_docs.repartition(7), _MIX_SHARES,
+        budget_factor=1.3).collect()))
+    assert a == b                       # layout-invariant
+    big = set(map(key, mixture_by_tokens(
+        mix_docs, _MIX_SHARES, budget_factor=1.9).collect()))
+    # nested: a bigger budget never drops a (doc, epoch) the smaller kept
+    assert set(a) <= big
+
+
+def test_mixture_validation_and_guards(mix_docs):
+    from cdcrypt.functions.sampling import mixture_by_tokens
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_by_tokens(mix_docs, {"web": 0.5, "code": 0.3})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_by_tokens(mix_docs, {"web": 1.5, "code": -0.5})
+    with pytest.raises(ValueError, match="not both"):
+        mixture_by_tokens(mix_docs, _MIX_SHARES, token_budget=100,
+                          budget_factor=2.0)
+    with pytest.raises(Exception, match="max_epochs"):
+        # wiki has 20 tokens; a 10k-token budget implies 100 epochs of it
+        mixture_by_tokens(mix_docs, _MIX_SHARES,
+                          token_budget=10_000).collect()
+
+
+def test_mixture_token_budget_absolute(mix_docs):
+    from cdcrypt.functions.sampling import mixture_plan
+
+    got = {r.source: r.fraction for r in mixture_plan(
+        mix_docs, _MIX_SHARES, token_budget=100).collect()}
+    # fraction = share * 100 / tokens
+    assert got == {"web": round(0.5 * 100.0 / 80, 6),
+                   "code": round(0.3 * 100.0 / 60, 6),
+                   "wiki": round(0.2 * 100.0 / 20, 6)}
+
+
+def test_mixture_realized_token_shares(spark):
+    from cdcrypt.functions.sampling import mixture_by_tokens
+    from cdcrypt.functions.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    shares = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = mixture_by_tokens(docs, shares, budget_factor=1.9)
+    toks = {r["source"]: r["t"] for r in out.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("t")).collect()}
+    total = sum(toks.values())
+    for d, w in shares.items():
+        # binomial remainder noise on ~25 docs/domain: generous tolerance
+        assert abs(toks[d] / total - w) < 0.08, (d, toks[d] / total)
