@@ -1148,6 +1148,58 @@ def _q_cdc_schema_evolution(spark, sf_dir):
         "source")
 
 
+def _q_cdc_txn_align(spark, sf_dir):
+    # Transaction-boundary-consistent apply (streaming/txn.py TxnAligner),
+    # driven through the REAL hold-and-release state machine — pending and
+    # retired parquet state included — over 3 synthetic epochs derived from
+    # `events`: delivery epoch = event_id % 3; txns = runs of 10 consecutive
+    # event_ids, 3 of every 4 runs tagged (txn_total = actual member
+    # count); every 7th delivery redelivered one epoch late, which
+    # exercises BOTH duplicate-insensitive completeness counting and the
+    # retired-window straggler release. Closed-form oracle: a txn releases
+    # at the max first-delivery epoch of its members; each delivered row
+    # releases at greatest(txn release, its own delivery epoch); untagged
+    # rows release at their delivery epoch. Debezium transaction-block
+    # semantics per the reference's source contract (README.md:20).
+    import hashlib
+    import os
+    import tempfile
+
+    from cdcrypt.streaming.txn import TxnAligner
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("op_seq"),
+        "user_id", "event_type",
+        F.round("value", 6).alias("value"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("epoch"),
+        F.when(F.pmod(F.expr("event_id div 10"), F.lit(4)) < 3,
+               F.concat(F.lit("txn"), F.expr("event_id div 10"))
+               ).alias("txn_id"),
+    )
+    tot = ev.where(F.col("txn_id").isNotNull()).groupBy("txn_id").agg(
+        F.count(F.lit(1)).alias("txn_total"))
+    ev = ev.join(tot, "txn_id", "left")
+    dup = (ev.where(F.pmod(F.col("op_seq"), F.lit(7)) == 0)
+           .withColumn("epoch", F.least(F.col("epoch") + 1, F.lit(2))))
+    full = ev.unionByName(dup)
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":txnalign:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    # deterministic on-disk state (NOT cleaned before return: the returned
+    # plan lazily re-reads pending/released parquet at collect time); each
+    # call overwrites epochs 0..2 idempotently — the replay contract
+    state = os.path.join(tempfile.gettempdir(), f"cdcrypt_txn_{key}")
+    al = TxnAligner(state)
+    outs = []
+    for e in range(3):
+        batch = full.where(F.col("epoch") == e)
+        outs.append(al.align(spark, batch, e).withColumn(
+            "release_epoch", F.lit(e).cast("long")))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("op_seq", "user_id", "event_type", "value",
+                      "release_epoch")
+
+
 def _q_debezium_parse(spark, sf_dir):
     # P1 breadth: Debezium envelope adapter (sources/debezium.py). The
     # events table is re-encoded as Debezium change envelopes (to_json:
@@ -1982,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollback_read": _q_cdc_rollback_read,
         "cdc_compacted_read": _q_cdc_compacted_read,
         "cdc_incremental_read": _q_cdc_incremental_read,
+        "cdc_txn_align": _q_cdc_txn_align,
         "windowed_counts": _q_windowed_counts,
         "session_windows": _q_session_windows,
         "debezium_parse": _q_debezium_parse,
@@ -2835,6 +2888,39 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN cut USING (user_id, event_type)
             WHERE e.op <> 'D' AND e.op_seq > cut.cut
             GROUP BY 1, 2
+        """,
+        # Closed-form of the hold-and-release state machine (txn.py module
+        # docstring): a txn releases at the max FIRST-delivery epoch of its
+        # members (duplicates never add distinct op_seqs earlier than
+        # originals); each delivered copy releases at greatest(txn release,
+        # its own delivery epoch) — below R it pends, above R the
+        # retired-window path releases it on arrival (max redelivery delay
+        # is 1 epoch < retire_window=2). Untagged rows pass through.
+        "cdc_txn_align": """
+            WITH ev AS (
+              SELECT event_id AS op_seq, user_id, event_type,
+                     round(value, 6) AS value,
+                     CAST(event_id % 3 AS BIGINT) AS epoch,
+                     CASE WHEN (event_id // 10) % 4 < 3
+                          THEN 'txn' || CAST(event_id // 10 AS VARCHAR)
+                     END AS txn_id
+              FROM events),
+            rel AS (
+              SELECT txn_id, max(epoch) AS txn_rel
+              FROM ev WHERE txn_id IS NOT NULL GROUP BY txn_id),
+            deliv AS (
+              SELECT op_seq, user_id, event_type, value,
+                     epoch AS d, txn_id
+              FROM ev
+              UNION ALL
+              SELECT op_seq, user_id, event_type, value,
+                     least(epoch + 1, 2) AS d, txn_id
+              FROM ev WHERE op_seq % 7 = 0)
+            SELECT v.op_seq, v.user_id, v.event_type, v.value,
+                   CAST(CASE WHEN v.txn_id IS NULL THEN v.d
+                             ELSE greatest(r.txn_rel, v.d)
+                        END AS BIGINT) AS release_epoch
+            FROM deliv v LEFT JOIN rel r ON v.txn_id = r.txn_id
         """,
         "cdc_changelog": """
             WITH b AS (

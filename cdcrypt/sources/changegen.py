@@ -62,6 +62,15 @@ class GenSpec:
     long_text_ratio: float = 0.002  # >16 KB texts
     null_text_ratio: float = 0.01
     text_repeat: int = 1  # filler repetitions (scales avg text bytes)
+    # Debezium transaction metadata (streaming/txn.py consumer): fraction
+    # of multi-event logical runs tagged with a shared txn_id + the
+    # event-count txn_total. 0.0 (default) omits the columns entirely —
+    # byte-identical output to the pre-txn generator. Tagged runs are
+    # CONSECUTIVE in logical order, so boundary txns straddle epochs
+    # (the hold-and-release case) and duplicates redeliver the metadata
+    # verbatim (exact redelivery, incl. retired-txn stragglers).
+    txn_ratio: float = 0.0
+    txn_max: int = 8  # max events per transaction
     seed: int = 42
 
 
@@ -175,6 +184,29 @@ def generate_change_events(spec: GenSpec) -> dict:
     model[is_d] = None
     model[epoch < evolve_epoch] = None  # pre-evolution events carry no model
 
+    # --- transaction tagging (Debezium transaction block): consecutive
+    # logical runs of size 1..txn_max; runs of >= 2 events are tagged with
+    # probability txn_ratio. Arrays are in logical order here (op_seq ==
+    # position), so a tagged run is a contiguous op_seq range and epoch
+    # assignment below naturally leaves some txns straddling boundaries.
+    txn_id_arr = txn_total_arr = None
+    if spec.txn_ratio > 0:
+        run_sizes = rng.integers(1, spec.txn_max + 1, n)  # overshoot, cut
+        ends = np.cumsum(run_sizes)
+        k = int(np.searchsorted(ends, n)) + 1
+        run_sizes = run_sizes[:k].copy()
+        covered_before_last = int(ends[k - 2]) if k > 1 else 0
+        run_sizes[-1] = n - covered_before_last
+        starts = np.concatenate([[0], np.cumsum(run_sizes)[:-1]])
+        tagged_run = (rng.random(k) < spec.txn_ratio) & (run_sizes >= 2)
+        run_of = np.repeat(np.arange(k), run_sizes)
+        txn_id_arr = np.full(n, None, dtype=object)
+        txn_total_arr = np.full(n, None, dtype=object)
+        pos = np.flatnonzero(tagged_run[run_of])
+        txn_id_arr[pos] = [f"txn{int(s):010d}"
+                           for s in starts[run_of[pos]].tolist()]
+        txn_total_arr[pos] = run_sizes[run_of[pos]].tolist()
+
     # --- duplicates: exact redelivery (same op_seq & payload), half next epoch
     n_dup = int(n * spec.dup_ratio)
     di = rng.integers(0, n, n_dup)
@@ -197,6 +229,13 @@ def generate_change_events(spec: GenSpec) -> dict:
     conv_id_table = np.array(
         [f"conv{i:08d}" for i in range(spec.n_convs)], dtype=object)
     cols["conv_id"] = conv_id_table[conv_all]
+    if txn_id_arr is not None:
+        # duplicates carry the txn block verbatim — exact redelivery; the
+        # half pushed one epoch late includes post-release stragglers
+        # (the aligner's retired-window case)
+        cols["txn_id"] = np.concatenate([txn_id_arr, txn_id_arr[di]])
+        cols["txn_total"] = np.concatenate(
+            [txn_total_arr, txn_total_arr[di]])
 
     # duplicates that landed in a later epoch keep pre-evolution nulls only if
     # their ORIGINAL epoch was pre-evolution — exact redelivery, same payload.
@@ -225,6 +264,8 @@ def write_epoch_files(cols: dict, out_dir: str, shuffle_seed: int = 7,
     paths = []
     base_fields = ["op", "conv_id", "turn_idx", "op_seq", "epoch",
                    "role", "text", "tool", "ts"]
+    if "txn_id" in cols:
+        base_fields += ["txn_id", "txn_total"]
     for e in epochs:
         m = cols["epoch"] == e
         idx = np.flatnonzero(m)
@@ -243,7 +284,7 @@ def write_epoch_files(cols: dict, out_dir: str, shuffle_seed: int = 7,
                     arrays.append(pa.array(v, type=pa.timestamp("us")))
                 elif f == "turn_idx":
                     arrays.append(pa.array(v, type=pa.int32()))
-                elif f in ("op_seq", "epoch"):
+                elif f in ("op_seq", "epoch", "txn_total"):
                     arrays.append(pa.array(v, type=pa.int64()))
                 else:
                     arrays.append(pa.array(v, type=pa.string()))

@@ -158,6 +158,14 @@ class IngestPipeline:
     # changes are dropped — auditable via lineage mode='audit_skip').
     audit: object | None = None
     audit_action: str = "fail"  # 'fail' | 'skip'
+    # transaction-boundary alignment (streaming/txn.py TxnAligner): when
+    # set, each epoch's batch is aligned BEFORE resolution — only complete
+    # source transactions reach the table; boundary-straddling txns are
+    # held in the aligner's pending state and re-presented next epoch.
+    # The aligner's state writes precede the table commit, so the crash
+    # contract is the pipeline's own: replaying an epoch recomputes the
+    # identical release set. lineage carries txn_pending_rows.
+    aligner: object | None = None
 
     @property
     def _bucket_by(self) -> str:
@@ -371,6 +379,8 @@ class IngestPipeline:
                 df = reader.json(*files)
             else:
                 df = reader.parquet(*files)
+        if self.aligner is not None:
+            df = self.aligner.align(spark, df, epoch)
         if self.cluster_strategy == "fused":
             resolved = self._resolve(
                 repartition_by_bucket(df, self.bucket_count, self._bucket_by))
@@ -410,6 +420,8 @@ class IngestPipeline:
         })
         if self.dlq_adapter is not None:
             lineage["dlq_rows"] = dlq_rows
+        if self.aligner is not None:
+            lineage["txn_pending_rows"] = self.aligner.last_pending_rows
         if encryptor.last_wrapped_deks:
             # per-epoch wrapped DEKs (jvm backend): decrypt-side jobs read
             # these from lineage instead of running key discovery
