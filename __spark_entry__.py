@@ -1249,6 +1249,47 @@ def _q_debezium_parse(spark, sf_dir):
     )
 
 
+def _q_debezium_emit(spark, sf_dir):
+    # CDC-out symmetry (sources/debezium.py emit_debezium): engine change
+    # events encoded as Debezium envelope JSON and parsed back on the
+    # consumer side — the chained sink-connector deployment. The oracle
+    # computes the mapping directly from the raw columns, so any encode
+    # OR decode defect (op mapping, image side, lsn routing, microsecond
+    # timestamp truncation — to_json's default format silently drops
+    # micros, DBZ_TS_FMT is the fix) hash-mismatches. ts_us proves the
+    # image timestamp survives the wire at full precision.
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from cdcrypt.sources.debezium import emit_debezium, parse_debezium
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.pmod("event_id", F.lit(3)) == 0, F.lit("I"))
+        .when(F.pmod("event_id", F.lit(3)) == 1, F.lit("U"))
+        .otherwise(F.lit("D")).alias("op"),
+        F.col("event_id").cast("long").alias("op_seq"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "ts",
+    )
+    wire = emit_debezium(
+        ev, ["user_id", "event_type", "value", "ts"],
+        key_cols=["user_id"], wrap_payload=True)
+    row_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts", TimestampType()),
+    ])
+    out = parse_debezium(wire.select("value"), "value", row_schema)
+    return out.select(
+        "op", F.col("op_seq").alias("event_id"), "user_id", "event_type",
+        "value", F.unix_micros("ts").alias("ts_us"))
+
+
 def _q_debezium_parse_dlq(spark, sf_dir):
     # Source-stage error tolerance (r4): parse_debezium_dlq routes poison
     # envelopes (here: unknown op 'x' for event_id % 43 == 0) to a dead
@@ -2038,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": _q_windowed_counts,
         "session_windows": _q_session_windows,
         "debezium_parse": _q_debezium_parse,
+        "debezium_emit": _q_debezium_emit,
         "debezium_parse_dlq": _q_debezium_parse_dlq,
         "pii_scan": _q_pii_scan,
         "smt_encrypt_pii": _q_smt_encrypt_pii,
@@ -2796,6 +2838,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CASE WHEN event_type = 'click' THEN round(value * 2, 6)
                         ELSE round(value, 6) END AS value_out
+            FROM events
+        """,
+        "debezium_emit": """
+            SELECT CASE CAST(event_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+                   event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+                   round(value, 6) AS value,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
             FROM events
         """,
         "cdc_window_dedup": """

@@ -201,3 +201,171 @@ def parse_debezium_dlq(
     as ``transform.split_dlq``."""
     events, dead = _parse(df, json_col, row_schema, tolerant=True)
     return events, dead
+
+
+# ---------------------------------------------------------------------------
+# sink side: engine changes -> Debezium envelopes (CDC-out)
+# ---------------------------------------------------------------------------
+
+# to_json's DEFAULT timestamp format truncates to milliseconds — image
+# columns would silently lose microsecond precision over the wire (the
+# events fixture carries us timestamps). These formats round-trip exactly
+# through from_json's lenient default parser. TIMESTAMP_NTZ columns (what
+# Spark infers from parquet us-timestamps without tz metadata) are
+# governed by the SEPARATE timestampNTZFormat option — without it they
+# truncate even when timestampFormat is set.
+DBZ_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+DBZ_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+_EMIT_OPTS = {"timestampFormat": DBZ_TS_FMT,
+              "timestampNTZFormat": DBZ_TS_NTZ_FMT}
+
+
+def _emit_value(before: Column, after: Column, op: Column, ts_ms: Column,
+                lsn: Column, source_name: str, wrap: bool) -> Column:
+    env = F.struct(
+        before.alias("before"),
+        after.alias("after"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.struct(F.lit(source_name).alias("name"),
+                 lsn.alias("lsn")).alias("source"),
+    )
+    if wrap:
+        env = F.struct(env.alias("payload"))
+    return F.to_json(env, _EMIT_OPTS)
+
+
+def emit_debezium(
+    events: DataFrame,
+    row_cols: list[str] | None = None,
+    *,
+    key_cols: list[str] | None = None,
+    op_col: str = "op",
+    seq_col: str = "op_seq",
+    ts_col: str = "ts",
+    source_name: str = "cdcrypt",
+    wrap_payload: bool = True,
+    emit_tombstones: bool = False,
+) -> DataFrame:
+    """Engine change events -> Debezium envelope JSON lines (the exact
+    inverse of :func:`parse_debezium`): the CDC-out role, so a lake
+    table's change stream can feed ANOTHER Debezium-speaking consumer.
+
+    ``events`` carries the engine contract: ``op_col`` in I/U/D,
+    ``seq_col`` (LWW order, becomes ``source.lsn``), plus the row columns
+    (``row_cols``, default = everything except op/seq; ``ts_col`` stays
+    INSIDE the image when present and additionally populates the
+    envelope's ``ts_ms``). Mapping mirrors the parser: I -> ``c``,
+    U -> ``u`` (after-image only — the engine contract carries no before
+    image; REPLICA IDENTITY DEFAULT shape; use
+    :func:`changelog_to_debezium` for true before/after envelopes),
+    D -> ``d`` (before-image). Any other op value fails the job at
+    execution with the offending value (DataException contract, same as
+    the parse side).
+
+    Output: one ``value`` JSON line per event; with ``key_cols``, also a
+    ``key`` JSON column (the Connect message key — Debezium partitions
+    topics by it, so a downstream Kafka producer keeps per-key order).
+    ``emit_tombstones`` (requires ``key_cols``) appends a null-value
+    (key, NULL) row AFTER each delete — the log-compaction marker
+    Debezium emits so compacted topics drop the key; :func:`parse_debezium`
+    drops them on the way back in.
+
+    Everything is one pure-Column ``to_json`` projection — no UDF, no
+    shuffle; Catalyst fuses it into the upstream scan, and timestamps are
+    written at microsecond precision (``DBZ_TS_FMT``) so a
+    parse(emit(x)) round trip is lossless.
+    """
+    if row_cols is None:
+        row_cols = [c for c in events.columns if c not in (op_col, seq_col)]
+    opc = F.col(op_col)
+    bad = opc.isNull() | ~opc.isin("I", "U", "D")
+    dbz_op = (
+        F.when(bad, F.raise_error(F.concat(
+            F.lit("emit: unknown engine op "),
+            F.coalesce(opc, F.lit("<null>")))))
+        .when(opc == "I", F.lit("c"))
+        .when(opc == "U", F.lit("u"))
+        .otherwise(F.lit("d")))
+    image = F.struct(*[F.col(c).alias(c) for c in row_cols])
+    before = F.when(opc == "D", image)
+    after = F.when(opc != "D", image)
+    ts_ms = (F.unix_millis(F.col(ts_col).cast("timestamp"))
+             if ts_col in events.columns else F.lit(None).cast("long"))
+    value = _emit_value(before, after, dbz_op, ts_ms,
+                        F.col(seq_col).cast("long"), source_name,
+                        wrap_payload)
+    if key_cols is None:
+        if emit_tombstones:
+            raise ValueError("emit_tombstones requires key_cols (a "
+                             "tombstone is a keyed null value)")
+        return events.select(value.alias("value"))
+    key = F.to_json(F.struct(*[F.col(c).alias(c) for c in key_cols]))
+    out = events.select(key.alias("key"), value.alias("value"))
+    if emit_tombstones:
+        tomb = events.where(opc == "D").select(
+            key.alias("key"), F.lit(None).cast("string").alias("value"))
+        out = out.unionByName(tomb)
+    return out
+
+
+def changelog_to_debezium(
+    changelog: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str = "op_seq",
+    ts_col: str = "ts",
+    source_name: str = "cdcrypt",
+    wrap_payload: bool = True,
+    emit_tombstones: bool = False,
+) -> DataFrame:
+    """``LakeTable.read_changelog`` output -> Debezium envelopes with TRUE
+    before/after images (the resolved per-key diff carries both sides,
+    unlike the raw event stream): insert -> ``c`` (after only),
+    update -> ``u`` (both images), delete -> ``d`` (before only).
+
+    Image rows are the FULL row (key columns + the changelog's payload
+    struct fields), matching what a Debezium source with REPLICA IDENTITY
+    FULL publishes. ``source.lsn`` is the image row's ``seq_col`` (after
+    side wins — it is the change's own LWW position; the before side
+    serves deletes), ``ts_ms`` likewise from ``ts_col``; either is null
+    when the payload lacks the column (parse falls back per its contract).
+    Output is always keyed (``key``/``value``) — the changelog IS per-key.
+    One pure-Column projection, no UDF, no shuffle.
+    """
+    payload_fields = changelog.schema["before"].dataType.fieldNames()
+
+    def full(side: str) -> Column:
+        img = F.struct(
+            *[F.col(k).alias(k) for k in key_cols],
+            *[F.col(side).getField(f).alias(f) for f in payload_fields])
+        return F.when(F.col(side).isNotNull(), img)
+
+    before, after = full("before"), full("after")
+    opc = F.col("change_op")
+    dbz_op = (
+        F.when(opc == "insert", F.lit("c"))
+        .when(opc == "update", F.lit("u"))
+        .when(opc == "delete", F.lit("d"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("changelog: unknown change_op "),
+            F.coalesce(opc, F.lit("<null>"))))))
+
+    def payload_of(name: str, cast: str) -> Column:
+        if name not in payload_fields:
+            return F.lit(None).cast(cast)
+        return F.coalesce(F.col("after").getField(name),
+                          F.col("before").getField(name)).cast(cast)
+
+    ts_ms = (F.unix_millis(payload_of(ts_col, "timestamp"))
+             if ts_col in payload_fields else F.lit(None).cast("long"))
+    value = _emit_value(before, after, dbz_op, ts_ms,
+                        payload_of(seq_col, "long"), source_name,
+                        wrap_payload)
+    key = F.to_json(F.struct(*[F.col(c).alias(c) for c in key_cols]))
+    out = changelog.select(key.alias("key"), value.alias("value"))
+    if emit_tombstones:
+        tomb = changelog.where(opc == "delete").select(
+            key.alias("key"), F.lit(None).cast("string").alias("value"))
+        out = out.unionByName(tomb)
+    return out

@@ -15,7 +15,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
     TimestampType,
 )
 
@@ -459,3 +459,189 @@ def test_dlq_requeue_recovers_after_adapter_fix(spark, tmp_path):
                            str(tmp_path / "c2"), key_id=key,
                            dlq_dir=str(tmp_path / "nodlq"))
     assert empty.requeue_dlq() == {"requeued": 0, "epoch": None}
+
+
+# ---------------------------------------------------------------------------
+# sink side: emit_debezium / changelog_to_debezium (CDC-out)
+# ---------------------------------------------------------------------------
+
+def _engine_events(spark):
+    import datetime
+
+    us = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    rows = [
+        ("I", 10, 1, "héllo \U0001F30D", us),
+        ("U", 12, 1, None, us.replace(microsecond=654321)),
+        ("D", 13, 2, "bye", us.replace(second=6)),
+    ]
+    return spark.createDataFrame(
+        rows, "op string, op_seq long, k long, v string, ts timestamp")
+
+
+def test_emit_parse_round_trip_lossless(spark):
+    # parse(emit(x)) == x, both wire shapes, incl. microsecond timestamps,
+    # NULL payload values, and non-ASCII text
+    from cdcrypt.sources.debezium import emit_debezium
+
+    ev = _engine_events(spark)
+    schema = StructType([
+        StructField("k", LongType()), StructField("v", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    for wrap in (True, False):
+        lines = emit_debezium(ev, wrap_payload=wrap)
+        back = parse_debezium(lines, "value", schema)
+        want = {tuple(r) for r in ev.select(
+            "op", "op_seq", "k", "v", "ts").collect()}
+        got = {tuple(r) for r in back.select(
+            "op", "op_seq", "k", "v", "ts").collect()}
+        assert got == want, f"wrap={wrap}"
+
+
+def test_emit_op_mapping_and_images(spark):
+    import json as _json
+
+    from cdcrypt.sources.debezium import emit_debezium
+
+    lines = emit_debezium(_engine_events(spark), wrap_payload=True)
+    envs = [_json.loads(r.value)["payload"] for r in lines.collect()]
+    by_op = {e["op"]: e for e in envs}
+    assert set(by_op) == {"c", "u", "d"}
+    assert by_op["c"]["after"]["k"] == 1 and "before" not in by_op["c"]
+    assert by_op["d"]["before"]["k"] == 2 and "after" not in by_op["d"]
+    assert by_op["u"]["after"]["k"] == 1
+    assert by_op["c"]["source"] == {"name": "cdcrypt", "lsn": 10}
+    # envelope ts_ms is millis of the row ts
+    assert by_op["d"]["ts_ms"] % 1000 == 6123456 // 1000 % 1000
+
+
+def test_emit_unknown_op_fails_loud(spark):
+    from cdcrypt.sources.debezium import emit_debezium
+
+    bad = spark.createDataFrame(
+        [("X", 1, 1)], "op string, op_seq long, k long")
+    with pytest.raises(Exception, match="unknown engine op X"):
+        emit_debezium(bad).collect()
+
+
+def test_emit_keys_and_tombstones(spark):
+    import json as _json
+
+    from cdcrypt.sources.debezium import emit_debezium
+
+    ev = _engine_events(spark)
+    out = emit_debezium(ev, key_cols=["k"], emit_tombstones=True)
+    rows = out.collect()
+    assert len(rows) == 4  # 3 events + 1 tombstone for the delete
+    tombs = [r for r in rows if r.value is None]
+    assert len(tombs) == 1 and _json.loads(tombs[0].key) == {"k": 2}
+    # the tombstone is dropped on the way back in (compaction marker)
+    schema = StructType([
+        StructField("k", LongType()), StructField("v", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    back = parse_debezium(out.select("value"), "value", schema)
+    assert back.count() == 3
+    with pytest.raises(ValueError, match="requires key_cols"):
+        emit_debezium(ev, emit_tombstones=True)
+
+
+def _mk_mor_table(spark, tmp_path):
+    import datetime
+
+    from cdcrypt.operators.dedup import resolve_latest_agg
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.streaming.pipeline import BASE_TABLE_SCHEMA
+    from cdcrypt.table.lake import LakeTable
+
+    ts = datetime.datetime(2024, 1, 1, microsecond=31337)
+    cols = ("op string, conv_id string, turn_idx int, op_seq long, "
+            "epoch long, role string, text string, tool string, "
+            "ts timestamp")
+    t = LakeTable.create(str(tmp_path / "src"), BASE_TABLE_SCHEMA,
+                         bucket_count=4)
+    e0 = spark.createDataFrame([
+        ("I", "A", 0, 1, 0, "user", "a1", None, ts),
+        ("I", "B", 0, 2, 0, "user", "b1", '{"x":1}', ts),
+        ("I", "C", 1, 3, 0, "tool", "c1", None, ts),
+    ], cols)
+    e1 = spark.createDataFrame([
+        ("U", "A", 0, 10, 1, "user", "a2", None, ts),
+        ("D", "B", 0, 11, 1, None, None, None, ts),
+        ("I", "D", 2, 12, 1, "assistant", "d1", None, ts),
+    ], cols)
+    vs = [0]
+    for ep, df in enumerate([e0, e1]):
+        merge_upsert(spark, t, resolve_latest_agg(df), epoch=ep, mode="mor")
+        vs.append(t.version)
+    return t, vs
+
+
+def test_incremental_feed_replicates_over_debezium_wire(spark, tmp_path):
+    """CDC-out chaining: table A's raw incremental feed, emitted as
+    Debezium JSON and parsed back on the consumer side, merge-applies
+    into table B — B converges to A's exact state (the sink-connector
+    deployment the reference sits inside, closed end-to-end)."""
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.sources.debezium import emit_debezium
+    from cdcrypt.streaming.pipeline import BASE_TABLE_SCHEMA
+    from cdcrypt.table.lake import LakeTable
+
+    a, vs = _mk_mor_table(spark, tmp_path)
+    b = LakeTable.create(str(tmp_path / "dst"), BASE_TABLE_SCHEMA,
+                         bucket_count=4)
+    row_schema = StructType([f for f in BASE_TABLE_SCHEMA.fields
+                             if f.name != "op_seq"])
+    row_cols = [f.name for f in row_schema.fields]
+    for i in range(len(vs) - 1):
+        feed = a.read_incremental(spark, vs[i], vs[i + 1])
+        wire = emit_debezium(feed, row_cols,
+                             key_cols=["conv_id", "turn_idx"])
+        got = parse_debezium(wire.select("value"), "value", row_schema)
+        merge_upsert(spark, b, got.withColumn("epoch", F.lit(i)),
+                     epoch=i, mode="mor")
+    key = ["conv_id", "turn_idx"]
+    sa = sorted(tuple(r) for r in a.read(spark).collect())
+    sb = sorted(tuple(r) for r in b.read(spark).select(
+        *a.read(spark).columns).collect())
+    assert sa == sb and len(sa) == 3  # A updated, B deleted, C + D live
+
+
+def test_changelog_to_debezium_images(spark, tmp_path):
+    """Resolved changelog -> envelopes with TRUE before/after images
+    (REPLICA IDENTITY FULL shape): update carries both sides, insert
+    after-only, delete before-only; lsn = after-side op_seq (before for
+    deletes); round-trips through parse_debezium as the image row."""
+    import json as _json
+
+    from cdcrypt.sources.debezium import changelog_to_debezium
+
+    a, vs = _mk_mor_table(spark, tmp_path)
+    cl = a.read_changelog(spark, vs[1], vs[2])
+    wire = changelog_to_debezium(cl, key_cols=["conv_id", "turn_idx"])
+    envs = {}
+    for r in wire.collect():
+        k = _json.loads(r.key)
+        envs[(k["conv_id"], k["turn_idx"])] = _json.loads(r.value)["payload"]
+    assert {k: e["op"] for k, e in envs.items()} == {
+        ("A", 0): "u", ("B", 0): "d", ("D", 2): "c"}
+    u = envs[("A", 0)]
+    assert u["before"]["text"] == "a1" and u["after"]["text"] == "a2"
+    assert u["source"]["lsn"] == 10 and u["before"]["op_seq"] == 1
+    d = envs[("B", 0)]
+    assert d["before"]["text"] == "b1" and "after" not in d
+    assert d["source"]["lsn"] == 2  # before side serves deletes
+    c = envs[("D", 2)]
+    assert "before" not in c and c["after"]["role"] == "assistant"
+    # consumer side: the image rows parse back with full fidelity
+    row_schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    back = parse_debezium(wire.select("value"), "value", row_schema)
+    got = {(r.conv_id, r.turn_idx): r.op for r in back.collect()}
+    assert got == {("A", 0): "U", ("B", 0): "D", ("D", 2): "I"}
