@@ -158,6 +158,13 @@ class StructuredIngest(IngestPipeline):
             from pyspark.sql import functions as F
             batch_df = batch_df.withColumn(
                 "epoch", F.lit(batch_id).cast("long"))
+        if self.aligner is not None:
+            # txn hold-and-release under SS: batch ids are contiguous from
+            # the checkpointed offset log, so the aligner's epoch-chain
+            # contract (align(e) reads pending(e-1)) holds; its state
+            # writes precede the merge commit, and an SS redelivery either
+            # skips above (already committed) or re-aligns idempotently
+            batch_df = self.aligner.align(spark, batch_df, batch_id)
         if self.cluster_strategy == "fused":
             resolved = self._resolve(repartition_by_bucket(
                 batch_df, self.bucket_count, self._bucket_by))

@@ -216,3 +216,79 @@ def test_session_windows_batch_gap_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1, plan
+
+
+def test_structured_stream_with_txn_alignment_converges(spark, tmp_path):
+    """TxnAligner under the SS runtime: misaligned micro-batches (batch ids
+    != generator epochs) still satisfy the aligner's contiguous-epoch
+    contract via SS batch ids; no snapshot exposes a partial transaction,
+    pending stragglers drain across batches, and the final decrypted
+    state equals the txn-free oracle (alignment changes visibility
+    timing, never convergence)."""
+    from pyspark.sql import functions as F
+
+    from cdcrypt.streaming.txn import TxnAligner
+
+    src = str(tmp_path / "src")
+    generate_to_dir(src, GenSpec(n_convs=60, avg_turns=4, n_epochs=5,
+                                 txn_ratio=0.6, dup_ratio=0.04, seed=31))
+    troot, ckpt = str(tmp_path / "t"), str(tmp_path / "c")
+    al = TxnAligner(str(tmp_path / "txn_state"))
+    ing = StructuredIngest(src, troot, ckpt, key_id=KEY, bucket_count=4,
+                           aligner=al)
+    schema = infer_stream_schema(src)
+    assert "txn_id" in schema.fieldNames()
+    ing.run_stream(spark, schema, available_now=True,
+                   max_files_per_trigger=1)
+    t = LakeTable(troot)
+    assert t.committed_epoch >= 1  # misaligned batches happened
+
+    # per-snapshot invariant: every txn with ANY applied member is fully
+    # applied (applied = source op_seqs of batches <= snapshot's epoch,
+    # minus rows the aligner still held at that batch)
+    ev = spark.read.schema(schema).parquet(os.path.join(src, "*.parquet"))
+    txn_of = {r.op_seq: (r.txn_id, r.txn_total)
+              for r in ev.where(F.col("txn_id").isNotNull())
+              .select("op_seq", "txn_id", "txn_total").distinct().collect()}
+    held_any = False
+    for v in range(1, t.version + 1):
+        ep = t.snapshot_at(v)["committed_epoch"]
+        if ep is None:
+            continue
+        pend = al.read_pending(spark, ep)
+        pend_seqs = (set() if pend is None else
+                     {r.op_seq for r in pend.select("op_seq").collect()})
+        held_any = held_any or bool(pend_seqs)
+        # released through batch ep = everything the stream delivered in
+        # batches 0..ep minus pending; batch composition is SS-internal,
+        # so recover it from the aligner's own released/pending closure:
+        # a txn is applied iff at least one member op_seq is in the table
+        # changelog up to this snapshot. Simpler and implementation-
+        # independent: read the table AT v and check member counts of
+        # every txn with a visible member (visible rows carry op_seq).
+        seen: dict = {}
+        for r in t.read(spark, version=v).select("op_seq").collect():
+            if r.op_seq in txn_of:
+                tid, tot = txn_of[r.op_seq]
+                seen.setdefault((tid, tot), set()).add(r.op_seq)
+        for (tid, tot), seqs in seen.items():
+            # a txn member may be LWW-superseded by a later op within the
+            # same released set, so "visible count == total" is too strong;
+            # instead assert NO txn is visible while the aligner still
+            # holds one of its members
+            assert not (seqs & pend_seqs), \
+                f"snapshot {v}: txn {tid} visible while members pending"
+    assert held_any, "fixture must exercise holdback under SS"
+
+    # convergence vs the no-txn manual pipeline on the same stream
+    from cdcrypt.streaming.pipeline import IngestPipeline
+
+    plain = IngestPipeline(
+        source_dir=src, table_root=str(tmp_path / "p"),
+        checkpoint_dir=str(tmp_path / "pc"), bucket_count=4, key_id=KEY)
+    plain.run(spark)
+    cols = ["conv_id", "turn_idx", "op_seq"]
+    a = sorted(tuple(r) for r in t.read(spark).select(*cols).collect())
+    b = sorted(tuple(r) for r in LakeTable(str(tmp_path / "p"))
+               .read(spark).select(*cols).collect())
+    assert a == b and len(a) > 0
