@@ -517,6 +517,46 @@ def _q_cdc_aggregate_engine(spark, sf_dir):
         "user_id", "event_type", "v_sum", "v_max", "tag", "op_seq")
 
 
+def _q_cdc_scd2_history(spark, sf_dir):
+    # P5 extension: SCD Type 2 history resolution (operators/scd2.py) —
+    # one interval row per (key, version), deletes close without reopening.
+    # Derived stream: key (user_id, event_type), op_seq = event_id
+    # (unique), deletes every 17th id. Oracle: lead() window in DuckDB.
+    from cdcrypt.operators.scd2 import scd2_resolve
+
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 17 == 0
+    e = ev.select(
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type",
+        F.col("event_id").alias("op_seq"),
+        F.when(~is_del, F.round("value", 6)).alias("value"),
+    )
+    out = scd2_resolve(e, key_cols=["user_id", "event_type"])
+    return out.select("user_id", "event_type", "value",
+                      "valid_from_seq", "valid_to_seq", "is_current")
+
+
+def _q_cdc_scd2_asof(spark, sf_dir):
+    # as-of read over the same history: latest state at the mid-sequence
+    # point, with SCD2 gaps (deleted keys) absent. The point is derived
+    # from the data (max event_id / 2) so the gate is sf-independent.
+    from cdcrypt.operators.scd2 import scd2_as_of, scd2_resolve
+
+    ev = _t(spark, sf_dir, "events")
+    point = ev.agg(F.max("event_id")).first()[0] // 2
+    is_del = F.col("event_id") % 17 == 0
+    e = ev.select(
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_type",
+        F.col("event_id").alias("op_seq"),
+        F.when(~is_del, F.round("value", 6)).alias("value"),
+    )
+    hist = scd2_resolve(e, key_cols=["user_id", "event_type"])
+    return scd2_as_of(hist, point).select(
+        "user_id", "event_type", "value", "valid_from_seq")
+
+
 def _mor_table_for(spark, sf_dir, tag="mor", compact_threshold=999,
                    require_delta=True):
     """The shared MoR lake artifact for the cdc_* lake-read gates: three
@@ -2061,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
         "cdc_partial_update": _q_cdc_partial_update,
         "cdc_aggregate_engine": _q_cdc_aggregate_engine,
+        "cdc_scd2_history": _q_cdc_scd2_history,
+        "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_changelog": _q_cdc_changelog,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
         "cdc_changefeed_chain": _q_cdc_changefeed_chain,
@@ -2913,6 +2955,43 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE live_seq IS NOT NULL
               AND (del_seq IS NULL OR live_seq > del_seq)
+        """,
+        "cdc_scd2_history": """
+            WITH e AS (
+              SELECT user_id, event_type, event_id AS seq,
+                     CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+                     CASE WHEN event_id % 17 <> 0
+                          THEN round(value, 6) END AS value
+              FROM events),
+            w AS (
+              SELECT *, lead(seq) OVER (
+                  PARTITION BY user_id, event_type ORDER BY seq
+              ) AS valid_to_seq
+              FROM e)
+            SELECT user_id, event_type, value,
+                   seq AS valid_from_seq, valid_to_seq,
+                   (valid_to_seq IS NULL) AS is_current
+            FROM w WHERE op <> 'D'
+        """,
+        "cdc_scd2_asof": """
+            WITH e AS (
+              SELECT user_id, event_type, event_id AS seq,
+                     CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+                     CASE WHEN event_id % 17 <> 0
+                          THEN round(value, 6) END AS value
+              FROM events),
+            w AS (
+              SELECT *, lead(seq) OVER (
+                  PARTITION BY user_id, event_type ORDER BY seq
+              ) AS valid_to_seq
+              FROM e),
+            s AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS pt
+                  FROM events)
+            SELECT w.user_id, w.event_type, w.value,
+                   w.seq AS valid_from_seq
+            FROM w, s
+            WHERE w.op <> 'D' AND w.seq <= s.pt
+              AND (w.valid_to_seq IS NULL OR w.valid_to_seq > s.pt)
         """,
         "cdc_aggregate_engine": """
             WITH e AS (
