@@ -517,6 +517,63 @@ def _q_cdc_aggregate_engine(spark, sf_dir):
         "user_id", "event_type", "v_sum", "v_max", "tag", "op_seq")
 
 
+def _q_cdc_multi_table(spark, sf_dir):
+    # multi-table fan-out (operators/multitable.py): ONE derived change
+    # stream routed into two differently-shaped, differently-keyed lake
+    # tables in one pass (even ids -> 'clicks' keyed (user_id, event_type),
+    # odd ids -> 'views' keyed (user_id)); output is the union of both
+    # final table states. Oracle: two LWW branches UNION ALL in DuckDB.
+    import tempfile
+
+    from cdcrypt.operators.multitable import TableRoute, apply_multi
+    from cdcrypt.table.lake import LakeTable
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 13 == 0
+    stream = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("clicks"))
+        .otherwise(F.lit("views")).alias("table"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.lit(0).cast("long").alias("epoch"),
+        "user_id", "event_type",
+        F.when(~is_del, F.round("value", 6)).alias("value"),
+        F.when(~is_del, F.col("props")).alias("props"),
+    )
+    clicks_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("op_seq", LongType()),
+    ])
+    views_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("props", StringType()),
+        StructField("op_seq", LongType()),
+    ])
+    root = tempfile.mkdtemp(prefix="cdcrypt_multi_")
+    routes = {
+        "clicks": TableRoute(LakeTable.create(
+            f"{root}/clicks", clicks_schema, bucket_count=8,
+            bucket_by="user_id", key_cols=("user_id", "event_type"))),
+        "views": TableRoute(LakeTable.create(
+            f"{root}/views", views_schema, bucket_count=8,
+            bucket_by="user_id", key_cols=("user_id",))),
+    }
+    apply_multi(spark, stream, routes, epoch=0)
+    cl = routes["clicks"].table.read(spark).select(
+        F.lit("clicks").alias("tbl"), "user_id", "event_type", "value",
+        F.lit(None).cast("string").alias("props"))
+    vw = routes["views"].table.read(spark).select(
+        F.lit("views").alias("tbl"), "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"), "props")
+    return cl.unionByName(vw)
+
+
 def _q_cdc_scd2_history(spark, sf_dir):
     # P5 extension: SCD Type 2 history resolution (operators/scd2.py) —
     # one interval row per (key, version), deletes close without reopening.
@@ -2101,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
         "cdc_partial_update": _q_cdc_partial_update,
         "cdc_aggregate_engine": _q_cdc_aggregate_engine,
+        "cdc_multi_table": _q_cdc_multi_table,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_changelog": _q_cdc_changelog,
@@ -2955,6 +3013,37 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE live_seq IS NOT NULL
               AND (del_seq IS NULL OR live_seq > del_seq)
+        """,
+        "cdc_multi_table": """
+            WITH clicks AS (
+              SELECT user_id, event_type, event_id AS op_seq,
+                     CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                     CASE WHEN event_id % 13 <> 0
+                          THEN round(value, 6) END AS value
+              FROM events WHERE event_id % 2 = 0),
+            cl AS (
+              SELECT user_id, event_type, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY op_seq DESC) rn
+                FROM clicks)
+              WHERE rn = 1 AND op <> 'D'),
+            views AS (
+              SELECT user_id, event_id AS op_seq,
+                     CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                     CASE WHEN event_id % 13 <> 0 THEN props END AS props
+              FROM events WHERE event_id % 2 = 1),
+            vw AS (
+              SELECT user_id, props FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY op_seq DESC) rn
+                FROM views)
+              WHERE rn = 1 AND op <> 'D')
+            SELECT 'clicks' AS tbl, user_id, event_type, value,
+                   CAST(NULL AS VARCHAR) AS props FROM cl
+            UNION ALL
+            SELECT 'views' AS tbl, user_id, CAST(NULL AS VARCHAR), NULL,
+                   props FROM vw
         """,
         "cdc_scd2_history": """
             WITH e AS (

@@ -49,7 +49,8 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 def debezium_envelope_schema(row_schema: StructType) -> StructType:
     """The from_json read schema: nested payload plus the same fields flat
     (schemas.enable=false), so one parse handles both wire shapes."""
-    source = StructType([StructField("lsn", LongType(), True)])
+    source = StructType([StructField("lsn", LongType(), True),
+                         StructField("table", StringType(), True)])
     inner = [
         StructField("before", row_schema, True),
         StructField("after", row_schema, True),
@@ -78,7 +79,8 @@ _CORRUPT = "__cdcrypt_corrupt"
 
 
 def _parse(df: DataFrame, json_col: str, row_schema: StructType,
-           tolerant: bool) -> tuple[DataFrame, DataFrame | None]:
+           tolerant: bool,
+           with_table: bool = False) -> tuple[DataFrame, DataFrame | None]:
     """Shared envelope classifier. Strict mode fails loud on any
     malformed line; tolerant mode returns (events, dead_letter)."""
     schema = debezium_envelope_schema(row_schema)
@@ -151,6 +153,8 @@ def _parse(df: DataFrame, json_col: str, row_schema: StructType,
         F.coalesce(env.getField("source").getField("lsn"),
                    env.getField("ts_ms")).alias("op_seq"),
         F.timestamp_millis(env.getField("ts_ms")).alias("_dbz_ts"),
+        *([env.getField("source").getField("table").alias("table")]
+          if with_table else []),
     )
     cols = [F.col("_img").getField(f.name).alias(f.name)
             for f in row_schema.fields]
@@ -158,7 +162,9 @@ def _parse(df: DataFrame, json_col: str, row_schema: StructType,
               else [F.col("_dbz_ts").alias("ts")])
     events = (classified
               .where(~F.col("_tomb") & F.col("_err").isNull())
-              .select("op", "op_seq", *cols, *ts_col))
+              .select("op", "op_seq",
+                      *(["table"] if with_table else []),
+                      *cols, *ts_col))
     if not tolerant:
         return events, None
     dead = (classified.where(F.col("_err").isNotNull())
@@ -201,6 +207,48 @@ def parse_debezium_dlq(
     as ``transform.split_dlq``."""
     events, dead = _parse(df, json_col, row_schema, tolerant=True)
     return events, dead
+
+
+def merged_row_schema(row_schemas: dict[str, StructType]) -> StructType:
+    """Union of every routed table's row schema, for the ONE-parse
+    multi-table read. A column name shared by two tables must carry the
+    same type (one from_json read schema per scan); conflicting shapes
+    need separate topics/parses, same constraint Connect's single-converter
+    -per-topic model imposes."""
+    fields: dict[str, object] = {}
+    owner: dict[str, str] = {}
+    for tname, sch in row_schemas.items():
+        for f in sch.fields:
+            if f.name in fields and fields[f.name] != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} has conflicting types across "
+                    f"routed tables {owner[f.name]!r} ({fields[f.name]}) "
+                    f"and {tname!r} ({f.dataType}); parse those topics "
+                    "separately")
+            fields.setdefault(f.name, f.dataType)
+            owner.setdefault(f.name, tname)
+    return StructType([StructField(n, t, True)
+                       for n, t in fields.items()])
+
+
+def parse_debezium_multi(
+    df: DataFrame,
+    json_col: str,
+    row_schemas: dict[str, StructType],
+) -> DataFrame:
+    """Multi-table Debezium stream -> routed change events, ONE parse.
+
+    A Debezium connector emits every captured table's envelopes, each
+    naming its origin in ``source.table``; this parses the whole stream
+    once against the merged row schema (columns owned by other tables
+    null-fill) and emits a ``table`` routing column for
+    ``operators/multitable.apply_multi``. Strict error semantics
+    (malformed line fails the job, :func:`parse_debezium`); unknown or
+    missing ``source.table`` values are NOT an error here — routing
+    policy (fail vs DLQ) belongs to the fan-out operator."""
+    events, _ = _parse(df, json_col, merged_row_schema(row_schemas),
+                       tolerant=False, with_table=True)
+    return events
 
 
 # ---------------------------------------------------------------------------
