@@ -1611,6 +1611,27 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+def _q_line_dedup(spark, sf_dir):
+    # RefinedWeb-style line-level corpus dedup: rewrite every document with
+    # corpus-duplicated lines (>=2 distinct docs, >=5 chars) removed. The
+    # engine decides on h60(line) hashes (shuffles longs, never text); the
+    # oracle groups by the raw line string — identical absent a 60-bit
+    # collision, which the hash_match would flag.
+    from cdcrypt.operators.docdedup import dedup_lines
+    return dedup_lines(_t(spark, sf_dir, "documents"),
+                       min_docs=2, min_line_chars=5).select("doc_id", "text")
+
+
+def _q_line_dedup_keep_first(spark, sf_dir):
+    # C4-style keep-one semantics: the globally first (doc_id, pos)
+    # occurrence of each duplicated line survives, deterministic under any
+    # partitioning (min(struct) on both engines).
+    from cdcrypt.operators.docdedup import dedup_lines
+    return dedup_lines(_t(spark, sf_dir, "documents"), min_docs=2,
+                       min_line_chars=5,
+                       keep="first").select("doc_id", "text")
+
+
 def _q_text_stats(spark, sf_dir):
     from cdcrypt.functions.text import (
         digit_ratio, fingerprint64, lang_id, punct_ratio, quality_score,
@@ -2187,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_agg": _q_tpch_q1_agg,
         "tpch_join_revenue": _q_tpch_join_revenue,
         "dedup_exact": _q_dedup_exact,
+        "line_dedup": _q_line_dedup,
+        "line_dedup_keep_first": _q_line_dedup_keep_first,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
@@ -3376,6 +3399,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents WHERE text IS NOT NULL
             GROUP BY md5(text)
+        """,
+        "line_dedup": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS pos
+              FROM documents WHERE text IS NOT NULL),
+            freq AS (
+              SELECT line FROM l WHERE length(line) >= 5
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l LEFT JOIN freq f USING (line)
+              WHERE f.line IS NULL),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(r.t, '') END AS text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "line_dedup_keep_first": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS pos
+              FROM documents WHERE text IS NOT NULL),
+            freq AS (
+              SELECT line,
+                     min(struct_pack(i := doc_id, p := pos)) AS first
+              FROM l WHERE length(line) >= 5
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l LEFT JOIN freq f USING (line)
+              WHERE f.line IS NULL
+                 OR (l.doc_id = f.first.i AND l.pos = f.first.p)),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(r.t, '') END AS text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "text_stats": f"""
             SELECT doc_id,

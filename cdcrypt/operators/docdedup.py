@@ -554,6 +554,87 @@ def strip_boilerplate(
     return docs.join(flagged, id_col, "left_anti")
 
 
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep: str = "none",
+    sep: str = "\n",
+    min_line_chars: int = 1,
+    family: str = "md5",
+) -> DataFrame:
+    """Line-level exact dedup ACROSS the corpus (C4 / RefinedWeb-style):
+    documents are rewritten with corpus-duplicated lines removed, the rest
+    preserved in order — finer-grained than document dedup (dedup_near
+    drops whole docs) and than strip_boilerplate (which drops
+    template-DOMINATED docs); this strips the shared header/footer/banner
+    lines every crawl carries while keeping the unique prose around them.
+
+    A line is a duplicate when it appears in >= ``min_docs`` DISTINCT
+    documents (lines shorter than ``min_line_chars`` are never dup-eligible
+    — blank lines and bullets survive). ``keep='none'`` removes every
+    occurrence (RefinedWeb); ``keep='first'`` retains the single globally
+    first occurrence by (doc, position) (C4's keep-one semantics),
+    deterministic under any partitioning.
+
+    Scale shape: lines shuffle as 60-bit HASHES, never text — one
+    map-side-combined count-distinct per line hash, one hash-equi join
+    back (duplicate-line vocabulary is data-dependent and unbounded, so no
+    broadcast hint — the strip_boilerplate contract), one regroup by doc
+    for the ordered reassembly. The h60 family keeps every decision
+    DuckDB-replayable; a 60-bit collision merges two distinct lines'
+    counts (~n^2/2^61 — odds of one false strip at 10^9 distinct lines are
+    ~40%, acceptable for training-data curation; raise to xx64+md5 double
+    hashing if ever not). Null-text documents pass through unchanged;
+    a document whose EVERY line strips rewrites to the empty string."""
+    _check_family(family)
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    base = docs.where(F.col(text_col).isNotNull())
+    lines = base.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    hcol = (h60(F.col("line")) if family == "md5"
+            else F.xxhash64(F.col("line")))
+    lines = lines.withColumn(
+        "_lh", F.when(F.length("line") >= min_line_chars, hcol))
+    dup = (
+        lines.where(F.col("_lh").isNotNull())
+        .groupBy("_lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"),
+             F.min(F.struct(F.col(id_col).alias("i"),
+                            F.col("pos").alias("p"))).alias("_first"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_lh", "_first")
+    )
+    j = lines.join(dup, "_lh", "left")
+    survive = F.col("_first").isNull()
+    if keep == "first":
+        survive = survive | ((F.col(id_col) == F.col("_first.i"))
+                             & (F.col("pos") == F.col("_first.p")))
+    rebuilt = (
+        j.where(survive)
+        .groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line),
+            sep).alias("_rebuilt"))
+    )
+    keep_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .select(*keep_cols,
+                F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+                .otherwise(F.coalesce("_rebuilt", F.lit("")))
+                .alias(text_col))
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", family: str = "md5") -> DataFrame:
     """SimHash fingerprint: per word, the word hash votes +1/-1 on each bit;
