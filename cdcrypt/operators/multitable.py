@@ -54,12 +54,24 @@ class TableRoute:
     deployment). ``resolver``: events -> one row per key; defaults to the
     table's merge-engine apply-side resolver. ``mode``: merge mode per
     table (default: 'cow' for lww tables, 'mor' for partial/aggregate
-    engines, whose state lives in the delta log)."""
+    engines, whose state lives in the delta log). ``apply``: 'merge'
+    (latest-state upsert) or 'scd2' (type-2 history — the table must be
+    keyed ``(key..., valid_from_seq)``, operators/scd2.py; resolution is
+    interval-building, so ``resolver`` must stay None)."""
 
     table: LakeTable
     transform: Callable[[DataFrame], DataFrame] | None = None
     resolver: Callable[[DataFrame], DataFrame] | None = None
     mode: str | None = None  # None: 'cow' for lww tables, 'mor' otherwise
+    apply: str = "merge"
+
+    def __post_init__(self) -> None:
+        if self.apply not in ("merge", "scd2"):
+            raise ValueError(f"apply must be 'merge' or 'scd2', "
+                             f"got {self.apply!r}")
+        if self.apply == "scd2" and self.resolver is not None:
+            raise ValueError("apply='scd2' owns its resolution (interval "
+                             "building); a custom resolver cannot compose")
 
     @property
     def merge_mode(self) -> str:
@@ -132,10 +144,15 @@ def apply_multi(
                 batch.where(F.col(table_col) == name).drop(table_col), route)
             if route.transform is not None:
                 sub = route.transform(sub)
-            resolved = _resolve(route, sub)
-            lineages[name] = merge_upsert(
-                spark, route.table, resolved, epoch, mode=route.merge_mode,
-                **merge_kw)
+            if route.apply == "scd2":
+                from cdcrypt.operators.scd2 import scd2_apply
+                lineages[name] = scd2_apply(
+                    spark, route.table, sub, epoch, **merge_kw)
+            else:
+                resolved = _resolve(route, sub)
+                lineages[name] = merge_upsert(
+                    spark, route.table, resolved, epoch,
+                    mode=route.merge_mode, **merge_kw)
         return {
             "epoch": epoch,
             "tables": lineages,

@@ -132,3 +132,38 @@ def test_multi_stream_unknown_to_dlq(spark, tmp_path):
     assert dead.count() == 1 and dead.first()["table"] == "ghost"
     conv, met = states(spark, ing)
     assert conv == {("A", 0): "hi v2"} and met == {7: 0.9}
+
+
+def test_multi_stream_scd2_route(spark, tmp_path):
+    # convs routed as a TYPE-2 history table, metrics as latest-state:
+    # the same stream materializes both shapes in one fan-out
+    from cdcrypt.operators.scd2 import create_scd2_table, scd2_as_of
+
+    src = write_epochs(tmp_path)
+    conv_rows = StructType(
+        list(CONV_ROWS.fields) + [StructField("op_seq", LongType())])
+    metric_schema = StructType(
+        list(METRIC_ROWS.fields) + [StructField("op_seq", LongType())])
+    routes = {
+        "convs": TableRoute(create_scd2_table(
+            str(tmp_path / "convs_hist"), conv_rows, bucket_count=4),
+            apply="scd2"),
+        "metrics": TableRoute(LakeTable.create(
+            str(tmp_path / "metrics"), metric_schema, bucket_count=4,
+            bucket_by="user_id", key_cols=("user_id",))),
+    }
+    ing = MultiTableIngest(
+        source_dir=src, checkpoint_dir=str(tmp_path / "ckpt"),
+        routes=routes,
+        row_schemas={"convs": CONV_ROWS, "metrics": METRIC_ROWS})
+    ing.run(spark)
+    hist = routes["convs"].table.refresh().read(spark)
+    ivs = {(r["conv_id"], r["turn_idx"], r["valid_from_seq"]):
+           (r["valid_to_seq"], r["is_current"], r["text"])
+           for r in hist.collect()}
+    assert ivs[("A", 0, 1)] == (3, False, "hi")
+    assert ivs[("A", 0, 3)] == (None, True, "hi v2")
+    assert {r["text"] for r in scd2_as_of(hist, 2).collect()} == {"hi"}
+    met = {r["user_id"]: r["score"]
+           for r in routes["metrics"].table.refresh().read(spark).collect()}
+    assert met == {7: 0.9}
