@@ -832,11 +832,14 @@ class LakeTable:
         prune_only: bool = False,
         key_range: dict | None = None,
         tag: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-traveled).
 
         ``tag`` time-travels to a named snapshot (:meth:`create_tag`);
-        mutually exclusive with ``version``.
+        ``as_of_ms`` to the newest snapshot committed at or before the
+        wall-clock timestamp (:meth:`resolve_as_of`). version / tag /
+        as_of_ms are mutually exclusive.
 
         ``key_range``: {key_col: (lo, hi)} point/range lookup — files are
         pruned from the manifest's recorded column bounds (no footers
@@ -866,10 +869,13 @@ class LakeTable:
         Iceberg MoR semantics. Tables maintained copy-on-write never have
         deltas and skip all of this (plain scan, no shuffle).
         """
+        if sum(x is not None for x in (version, tag, as_of_ms)) > 1:
+            raise LakeTableError(
+                "pass at most one of version / tag / as_of_ms")
         if tag is not None:
-            if version is not None:
-                raise LakeTableError("pass version OR tag, not both")
             version = self.resolve_ref(tag)
+        elif as_of_ms is not None:
+            version = self.resolve_as_of(as_of_ms)
         snap = self.snapshot if version is None else self.snapshot_at(version)
         snap_schema = StructType.fromJson(
             next(s["spark"] for s in snap["schemas"]
@@ -1076,6 +1082,26 @@ class LakeTable:
             raise LakeTableError(
                 f"unknown tag {name!r}; known: {sorted(refs)}")
         return refs[name]
+
+    def resolve_as_of(self, ms: int) -> int:
+        """Timestamp time-travel (Iceberg ``TIMESTAMP AS OF``): the newest
+        snapshot whose ``created_ms`` <= ``ms``. Driver-side metadata walk
+        from the current version downward — snapshot JSONs are local and
+        commit timestamps are monotone (commits serialize under the table
+        lock), so the first hit is the answer. Retention-expired versions
+        surface as the same missing-snapshot error a version read gives."""
+        v = self.version
+        while v >= 0:
+            try:
+                snap = self.snapshot_at(v)
+            except LakeTableError:
+                break  # fell off retained history
+            if int(snap.get("created_ms", 0)) <= ms:
+                return v
+            v -= 1
+        raise LakeTableError(
+            f"no snapshot at or before ts {ms} ms (oldest retained is "
+            f"newer, or history was expired)")
 
     def _write_refs(self, refs: dict[str, int]) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.meta_dir, prefix=".refs-")

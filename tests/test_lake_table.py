@@ -350,7 +350,7 @@ def test_tag_read_survives_expiration(spark, tmp_path):
     got = t.refresh().read(spark, tag="corpus-run-7")
     assert got.count() == want
     # version and tag are mutually exclusive
-    with pytest.raises(LakeTableError, match="version OR tag"):
+    with pytest.raises(LakeTableError, match="at most one"):
         t.read(spark, version=tagged_v, tag="corpus-run-7")
     # untagged version below the keep window is expired
     with pytest.raises(Exception):
@@ -519,3 +519,18 @@ def test_rollback_then_continue_ingest(spark, tmp_path):
     t2 = pipe2.table()
     assert t2.committed_epoch == 4
     assert t2.read(spark).count() > 0
+
+
+def test_as_of_timestamp_travel(tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, bucket_count=2)
+    t.commit(epoch=0, keep_files=[], new_files=[], lineage={})
+    t.commit(epoch=1, keep_files=[], new_files=[], lineage={})
+    ts = {v: int(t.snapshot_at(v)["created_ms"]) for v in (0, 1, 2)}
+    assert t.resolve_as_of(ts[1]) == 1          # exact commit instant
+    assert t.resolve_as_of(ts[2] + 10_000) == 2  # after head -> head
+    # strictly before the table existed
+    with pytest.raises(LakeTableError, match="no snapshot"):
+        t.resolve_as_of(ts[0] - 1)
+    # read() plumbing + exclusivity
+    with pytest.raises(LakeTableError, match="at most one"):
+        t.read(None, version=1, as_of_ms=ts[1])
