@@ -614,6 +614,27 @@ def _q_cdc_scd2_asof(spark, sf_dir):
         "user_id", "event_type", "value", "valid_from_seq")
 
 
+def _q_asof_join_enrich(spark, sf_dir):
+    # Temporal enrichment (operators/asof.py): each click event picks up
+    # the user's latest purchase at or before it — pandas merge_asof /
+    # DuckDB ASOF JOIN semantics, implemented as ONE union + keyed-window
+    # pass (no join node in the plan; hot keys cannot cross-product).
+    # Oracle: DuckDB's native ASOF LEFT JOIN — an independent engine
+    # implementation, so a window-ordering or side-marker bug mismatches.
+    from cdcrypt.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("seq"),
+        F.round("value", 6).alias("click_value"))
+    dims = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("vseq"),
+        F.round("value", 6).alias("purchase_value"))
+    return asof_join(
+        facts, dims, key_cols=["user_id"], on="seq", right_on="vseq",
+        payload_cols=["purchase_value"], matched_col="purchase_seq")
+
+
 def _mor_table_for(spark, sf_dir, tag="mor", compact_threshold=999,
                    require_delta=True):
     """The shared MoR lake artifact for the cdc_* lake-read gates: three
@@ -2182,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
+        "asof_join_enrich": _q_asof_join_enrich,
         "cdc_changelog": _q_cdc_changelog,
         "cdc_merge_mor_read": _q_cdc_merge_mor_read,
         "cdc_changefeed_chain": _q_cdc_changefeed_chain,
@@ -3104,6 +3126,19 @@ def oracle_sql() -> dict[str, str]:
             FROM w, s
             WHERE w.op <> 'D' AND w.seq <= s.pt
               AND (w.valid_to_seq IS NULL OR w.valid_to_seq > s.pt)
+        """,
+        "asof_join_enrich": """
+            WITH f AS (
+              SELECT user_id, event_id AS seq, round(value, 6) AS click_value
+              FROM events WHERE event_type = 'click'),
+            d AS (
+              SELECT user_id, event_id AS vseq,
+                     round(value, 6) AS purchase_value
+              FROM events WHERE event_type = 'purchase')
+            SELECT f.user_id, f.seq, f.click_value,
+                   d.purchase_value, d.vseq AS purchase_seq
+            FROM f ASOF LEFT JOIN d
+              ON f.user_id = d.user_id AND f.seq >= d.vseq
         """,
         "cdc_aggregate_engine": """
             WITH e AS (
