@@ -239,9 +239,10 @@ def make_decrypt_udf(
     if per_aad_context and not use_aad:
         raise ValueError("per_aad_context requires use_aad")
 
-    def _dec(v, a, ctx):
+    def _dec(v, a, ctx, cache=None):
         return decrypt_batch(v, kms_inst, aad=a, output=output,
-                             dek_cache=_cache(), context=ctx,
+                             dek_cache=_cache() if cache is None else cache,
+                             context=ctx,
                              expect_key_id=expect_key_id)
 
     def core(vals, aad, gate):
@@ -250,7 +251,17 @@ def make_decrypt_udf(
 
             def per_group(sv, sa, av):
                 try:
-                    return _dec(sv, sa, _shred_context(context, av))
+                    # shreddable reads MUST NOT trust the cross-batch
+                    # executor DEK cache: a DEK unwrapped before a
+                    # revocation would keep decrypting the revoked
+                    # identity (observed as a flaky leak in
+                    # test_crypto_shred). A fresh per-group dict keeps
+                    # the one-unwrap-per-distinct-wrapped-DEK
+                    # amortization inside the group (a group shares its
+                    # DEK by construction) while making every
+                    # micro-batch re-validate revocation with the KMS.
+                    return _dec(sv, sa, _shred_context(context, av),
+                                cache={})
                 except KeyRevokedException:
                     if revoked_to_null:
                         return [None] * len(sv)
