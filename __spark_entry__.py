@@ -460,6 +460,60 @@ def _q_cdc_merge_full_outer(spark, sf_dir):
     )
 
 
+def _q_cdc_reconcile(spark, sf_dir):
+    # P1/P5 extension (round 4): source-vs-lake anti-entropy repair
+    # (operators/reconcile.py — Debezium ad-hoc incremental snapshot /
+    # DBLog re-read semantics). Stale lake state = LWW over events that
+    # skipped every event_id % 4 == 3 delivery; fresh source snapshot =
+    # LWW over ALL events minus keys deleted at the source (user_id %
+    # 11 == 3). reconcile_events must emit exactly the corrective set:
+    # 'U' with the snapshot after-image for missing/drifted keys, 'D'
+    # for keys the source no longer has — at the snapshot watermark.
+    # The oracle recomputes both states and diffs them with a full
+    # outer join; a fingerprint that misses a null shift, leaks an
+    # unchanged key, or misclassifies a side hash-mismatches.
+    from cdcrypt.operators.reconcile import reconcile_events
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(side):
+        return (side.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("user_id", "event_type", "event_id",
+                        F.round("value", 6).alias("value")))
+
+    stale = latest(ev.where(F.col("event_id") % 4 != 3))
+    snap = latest(ev).where(F.col("user_id") % 11 != 3)
+    return reconcile_events(stale, snap, ["user_id", "event_type"],
+                            op_seq=1000, epoch=9)
+
+
+def _q_cdc_stream_audit(spark, sf_dir):
+    # Stream integrity audit (operators/audit.py): op/seq derived
+    # deterministically from events (op by event_id % 5, position by
+    # event_id % 97 so busy keys collide into redeliveries/conflicts),
+    # then classified per (key, position, kind). The oracle replicates
+    # the taxonomy with a GROUP BY + lag window; a fingerprint that
+    # confuses epoch with payload, a nondeterministic conflict
+    # representative, or a missed transition hash-mismatches.
+    from cdcrypt.operators.audit import audit_changes
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id", "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.lit("I"))
+        .when(F.col("event_id") % 5 == 4, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        (F.col("event_id") % 97).cast("long").alias("op_seq"),
+        (F.col("event_id") % 3).cast("long").alias("epoch"),
+        F.col("value"),
+    )
+    return audit_changes(changes, ["user_id", "event_type"],
+                         payload_cols=["value"])
+
+
 def _q_cdc_partial_update(spark, sf_dir):
     # P5 extension (round 4): per-column last-writer-wins resolution
     # (merge_engine='partial', the Paimon partial-update analogue —
@@ -2198,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_window_dedup": _q_cdc_window_dedup,
         "cdc_last_writer_wins": _q_cdc_last_writer_wins,
         "cdc_merge_full_outer": _q_cdc_merge_full_outer,
+        "cdc_reconcile": _q_cdc_reconcile,
+        "cdc_stream_audit": _q_cdc_stream_audit,
         "cdc_partial_update": _q_cdc_partial_update,
         "cdc_aggregate_engine": _q_cdc_aggregate_engine,
         "cdc_multi_table": _q_cdc_multi_table,
@@ -3028,6 +3084,72 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(b.value, t.value), 6) AS value
             FROM state t FULL OUTER JOIN change b
               USING (user_id, event_type)
+        """,
+        "cdc_reconcile": """
+            WITH latest_all AS (
+              SELECT user_id, event_type, event_id, round(value, 6) AS value
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts DESC, event_id DESC) rn
+                    FROM events)
+              WHERE rn = 1),
+            stale AS (
+              SELECT user_id, event_type, event_id, round(value, 6) AS value
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts DESC, event_id DESC) rn
+                    FROM events WHERE event_id % 4 <> 3)
+              WHERE rn = 1),
+            snap AS (SELECT * FROM latest_all WHERE user_id % 11 <> 3)
+            SELECT CASE WHEN s.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+                   CAST(1000 AS BIGINT) AS op_seq,
+                   CAST(9 AS BIGINT) AS epoch,
+                   COALESCE(l.user_id, s.user_id) AS user_id,
+                   COALESCE(l.event_type, s.event_type) AS event_type,
+                   s.event_id AS event_id,
+                   s.value AS value
+            FROM stale l FULL OUTER JOIN snap s
+              ON l.user_id = s.user_id AND l.event_type = s.event_type
+            WHERE l.user_id IS NULL OR s.user_id IS NULL
+               OR l.event_id <> s.event_id
+               OR l.value IS DISTINCT FROM s.value
+        """,
+        "cdc_stream_audit": """
+            WITH c AS (
+              SELECT user_id, event_type,
+                     CASE event_id % 5 WHEN 0 THEN 'I' WHEN 4 THEN 'D'
+                          ELSE 'U' END AS op,
+                     CAST(event_id % 97 AS BIGINT) AS op_seq,
+                     value
+              FROM events),
+            per_pos AS (
+              SELECT user_id, event_type, op_seq,
+                     count(*) AS n,
+                     count(DISTINCT (op, value)) AS nd,
+                     max(op) AS op
+              FROM c GROUP BY 1, 2, 3),
+            trans AS (
+              SELECT user_id, event_type, op_seq,
+                     CASE WHEN prev IS NULL AND op <> 'I'
+                               THEN 'first_op_not_insert'
+                          WHEN prev = 'D' AND op = 'U'
+                               THEN 'update_after_delete'
+                          WHEN prev = 'D' AND op = 'D'
+                               THEN 'double_delete'
+                          WHEN prev IN ('I', 'U') AND op = 'I'
+                               THEN 'reinsert'
+                     END AS kind
+              FROM (SELECT *, lag(op) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY op_seq) AS prev
+                    FROM per_pos))
+            SELECT user_id, event_type, op_seq,
+                   CASE WHEN nd > 1 THEN 'conflict'
+                        ELSE 'redelivery' END AS kind
+            FROM per_pos WHERE n > 1
+            UNION ALL
+            SELECT user_id, event_type, op_seq, kind
+            FROM trans WHERE kind IS NOT NULL
         """,
         "cdc_partial_update": """
             WITH e AS (
