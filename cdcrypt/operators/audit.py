@@ -57,6 +57,7 @@ def audit_changes(
     seq_col: str = "op_seq",
     op_col: str = "op",
     payload_cols: list[str] | None = None,
+    include_transitions: bool = True,
 ) -> DataFrame:
     """Audit a raw change stream; returns ``*key_cols, op_seq, kind``
     (see module docstring for the kind taxonomy). ``payload_cols``
@@ -64,6 +65,14 @@ def audit_changes(
     or ``epoch`` (delivery bookkeeping — a redelivered event lands in a
     later epoch by definition, so epoch must not count as a payload
     difference).
+
+    ``include_transitions=False`` restricts the audit to the positional
+    kinds (conflict / redelivery) and skips the lag window entirely —
+    the right scope for a single micro-batch, where a key's earlier
+    history lives in previous epochs and every transition kind would be
+    a false positive (the per-epoch mode of
+    streaming/pipeline.py ``integrity_audit``). Transition kinds are
+    only meaningful over the full stream (or a from-the-birth replay).
     """
     keys = list(key_cols)
     if payload_cols is None:
@@ -90,6 +99,8 @@ def audit_changes(
         F.when(F.col("__fmin") != F.col("__fmax"), F.lit("conflict"))
         .otherwise(F.lit("redelivery")).alias("kind"),
     )
+    if not include_transitions:
+        return dup
 
     # stage 2: per-key op transitions over the reduced frame
     w = Window.partitionBy(*keys).orderBy("op_seq")

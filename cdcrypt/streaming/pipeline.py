@@ -158,6 +158,20 @@ class IngestPipeline:
     # changes are dropped — auditable via lineage mode='audit_skip').
     audit: object | None = None
     audit_action: str = "fail"  # 'fail' | 'skip'
+    # per-epoch change-stream integrity audit (operators/audit.py): when
+    # True, each epoch's PARSED events are scanned for positional
+    # anomalies — conflict (two writers at one (key, op_seq) position)
+    # and redelivery — and the counts land in lineage['integrity'].
+    # Transition kinds are deliberately excluded: within one micro-batch
+    # a key's earlier history lives in previous epochs, so every
+    # first-op/after-delete classification would be a false positive;
+    # run audit_changes over the full source for stream-wide forensics.
+    # integrity_audit_dir additionally persists the anomaly rows as
+    # parquet under dir/epoch=NNNNNN (hidden-tmp + atomic rename, same
+    # replay-idempotent crash contract as the DLQ sink — written BEFORE
+    # the table commit). Costs one extra aggregation job per epoch.
+    integrity_audit: bool = False
+    integrity_audit_dir: str | None = None
     # transaction-boundary alignment (streaming/txn.py TxnAligner): when
     # set, each epoch's batch is aligned BEFORE resolution — only complete
     # source transactions reach the table; boundary-straddling txns are
@@ -379,6 +393,23 @@ class IngestPipeline:
                 df = reader.json(*files)
             else:
                 df = reader.parquet(*files)
+        integrity: dict | None = None
+        if self.integrity_audit:
+            # pre-alignment: the audit sees the epoch AS DELIVERED (held
+            # transaction fragments included) — the delivery-quality view
+            from cdcrypt.operators.audit import audit_changes
+
+            anomalies = audit_changes(df, list(self.key_cols),
+                                      include_transitions=False).persist()
+            by_kind = {r["kind"]: int(r["count"]) for r in
+                       anomalies.groupBy("kind").count().collect()}
+            integrity = {"anomalies": sum(by_kind.values()), **by_kind}
+            if self.integrity_audit_dir is not None:
+                # before the table commit, like the DLQ: a crash between
+                # them replays the epoch and overwrites idempotently
+                self._write_epoch_parquet(
+                    anomalies, self.integrity_audit_dir, epoch)
+            anomalies.unpersist(blocking=False)
         if self.aligner is not None:
             df = self.aligner.align(spark, df, epoch)
         if self.cluster_strategy == "fused":
@@ -420,6 +451,8 @@ class IngestPipeline:
         })
         if self.dlq_adapter is not None:
             lineage["dlq_rows"] = dlq_rows
+        if integrity is not None:
+            lineage["integrity"] = integrity
         if self.aligner is not None:
             lineage["txn_pending_rows"] = self.aligner.last_pending_rows
         if encryptor.last_wrapped_deks:
@@ -441,17 +474,27 @@ class IngestPipeline:
         poison records are recorded exactly once per committed epoch. Row
         count comes from the written footers (driver-side metadata) — no
         second job."""
+        return self._write_epoch_parquet(
+            dead.withColumn("epoch", F.lit(epoch).cast("long")),
+            self.dlq_dir, epoch)
+
+    @staticmethod
+    def _write_epoch_parquet(df: DataFrame, out_dir: str,
+                             epoch: int) -> int:
+        """Idempotent per-epoch parquet sink: hidden tmp + atomic rename
+        into ``out_dir/epoch=NNNNNN``; an epoch replay overwrites its own
+        output. Shared by the DLQ and integrity-audit sinks. Returns the
+        row count from the written footers (no second job)."""
         import shutil
 
         import pyarrow.parquet as pq
 
-        os.makedirs(self.dlq_dir, exist_ok=True)
-        tmp = os.path.join(self.dlq_dir, f".epoch_{epoch:06d}.tmp")
-        final = os.path.join(self.dlq_dir, f"epoch={epoch:06d}")
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f".epoch_{epoch:06d}.tmp")
+        final = os.path.join(out_dir, f"epoch={epoch:06d}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        dead.withColumn("epoch", F.lit(epoch).cast("long")) \
-            .write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         rows = 0
         for name in os.listdir(tmp):
             if name.endswith(".parquet"):
