@@ -164,3 +164,65 @@ def test_reconcile_table_end_to_end(spark, tmp_path):
     assert lin3["reconcile"]["upserts"] == 1  # A looks drifted vs old snap
     [a] = table.refresh().read(spark).where(F.col("conv_id") == "A").collect()
     assert a["text"] == "a-v3"  # op_seq 60 > watermark 50: stream wins
+
+
+def test_reconcile_chunked_equals_one_shot_and_resumes(spark, tmp_path):
+    from cdcrypt.operators.reconcile import reconcile_table_chunked
+    from cdcrypt.table.lake import bucket_col
+
+    table = LakeTable.create(str(tmp_path / "tc"), TABLE_SCHEMA,
+                             bucket_count=4)
+    seen = spark.createDataFrame([
+        ("I", f"conv-{i}", 0, i, 0, "user", f"old-{i}", None, TS)
+        for i in range(20)
+    ], EV)
+    merge_upsert(spark, table, seen, epoch=0)
+
+    # source truth: evens updated, odds deleted, five new keys
+    snap_rows = ([(f"conv-{i}", 0, 0, "user", f"new-{i}", None, TS)
+                  for i in range(0, 20, 2)]
+                 + [(f"conv-{i}", 0, 0, "user", f"new-{i}", None, TS)
+                    for i in range(20, 25)])
+    snap = spark.createDataFrame(snap_rows, TABLE_SCHEMA)
+
+    calls = []
+
+    def snapshot_for(bucket_ids):
+        calls.append(tuple(bucket_ids))
+        # per-chunk watermark advances as the chunks are read
+        return (snap.where(bucket_col(4, "conv_id").isin(*bucket_ids)),
+                100 + len(calls))
+
+    lineages = reconcile_table_chunked(
+        spark, table, snapshot_for, epoch_start=1, chunk_buckets=2,
+        max_chunks=1)
+    assert len([l for l in lineages if not l.get("skipped")]) == 1
+    assert calls == [(0, 1)]
+
+    # resume: chunk 0's epoch is committed, so it is skipped without a
+    # snapshot read; chunk 1 completes the repair
+    lineages2 = reconcile_table_chunked(
+        spark, LakeTable(str(tmp_path / "tc")), snapshot_for,
+        epoch_start=1, chunk_buckets=2)
+    assert lineages2[0]["skipped"] and lineages2[0]["chunk"] == (0, 1)
+    assert lineages2[1]["reconcile"]["chunk"] == (2, 3)
+    assert calls == [(0, 1), (2, 3)]  # no re-read of the repaired chunk
+
+    state = {(r["conv_id"], r["text"]) for r in
+             LakeTable(str(tmp_path / "tc")).read(spark).collect()}
+    expect = {(f"conv-{i}", f"new-{i}") for i in range(0, 20, 2)}
+    expect |= {(f"conv-{i}", f"new-{i}") for i in range(20, 25)}
+    assert state == expect
+
+    # a sloppy snapshot_for returning out-of-chunk rows cannot create
+    # spurious corrections: rerun with the FULL snapshot every chunk
+    t2 = LakeTable.create(str(tmp_path / "tc2"), TABLE_SCHEMA,
+                          bucket_count=4)
+    merge_upsert(spark, t2, seen, epoch=0)
+    lineages3 = reconcile_table_chunked(
+        spark, t2, lambda ids: (snap, 100), epoch_start=1, chunk_buckets=2)
+    state2 = {(r["conv_id"], r["text"]) for r in
+              LakeTable(str(tmp_path / "tc2")).read(spark).collect()}
+    assert state2 == expect
+    total_up = sum(l["reconcile"]["upserts"] for l in lineages3)
+    assert total_up == 15  # each key corrected exactly once across chunks
