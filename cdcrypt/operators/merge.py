@@ -116,6 +116,20 @@ def _footer_bounds(md, stats_cols: tuple[str, ...]) -> dict:
     return out
 
 
+def _staging_dir(table: LakeTable) -> str:
+    """Per-ATTEMPT unique staging directory for a commit's data files:
+    ``data/v{N+1}-{token}``. The version prefix is for humans; the token
+    is correctness — two writers racing off the same parent both target
+    version N+1, and a deterministic path would let the loser's
+    ``mode('overwrite')`` delete files the WINNER's committed snapshot
+    references (observed as a lost-update in the commit-race test). A
+    failed attempt's directory is referenced by no snapshot and is
+    reaped by ``expire_snapshots``' orphan grace pass."""
+    import uuid
+    return os.path.join(table.root, "data",
+                        f"v{table.version + 1}-{uuid.uuid4().hex[:8]}")
+
+
 def _write_bucketed(
     df: DataFrame,
     staging: str,
@@ -318,8 +332,7 @@ def merge_upsert(
         use_broadcast = bool(broadcast)
     merged = _cow_merged(current, batch, key_cols, tcols, use_broadcast)
 
-    next_version = table.version + 1
-    staging = os.path.join(table.root, "data", f"v{next_version}")
+    staging = _staging_dir(table)
     new_files, new_rows = _write_bucketed(
         merged, staging, table.root, table.bucket_count, "base",
         bucket_by=table.bucket_by, stats_cols=_stats_cols(table, merged))
@@ -379,8 +392,8 @@ def _merge_mor(
          else F.lit(epoch).cast("long")).alias("epoch"),
     )
 
-    next_version = table.version + 1
-    staging_delta = os.path.join(table.root, "data", f"v{next_version}", "delta")
+    staging_root = _staging_dir(table)
+    staging_delta = os.path.join(staging_root, "delta")
     new_delta, appended_rows = _write_bucketed(
         delta_df, staging_delta, table.root, table.bucket_count, "delta",
         assume_bucketed=assume_bucketed, timings=timings,
@@ -451,8 +464,7 @@ def _merge_mor(
             .where(F.col("op") != "D")
             .select(*tcols)
         )
-        staging_compact = os.path.join(
-            table.root, "data", f"v{next_version}", "compact")
+        staging_compact = os.path.join(staging_root, "compact")
         compact_files, compacted_rows = _write_bucketed(
             live, staging_compact, table.root, table.bucket_count, "base",
             assume_bucketed=True, timings=timings,
@@ -494,3 +506,46 @@ def _merge_mor(
     lineage["staged"] = bool(stage_only)
     lineage["timings"] = timings
     return lineage
+
+
+def merge_upsert_retrying(
+    spark: SparkSession,
+    table: LakeTable,
+    resolved: DataFrame,
+    epoch: int,
+    max_conflict_retries: int = 3,
+    **merge_kwargs,
+) -> dict:
+    """:func:`merge_upsert` with the optimistic-concurrency retry loop
+    the commit conflict error asks for (table/lake.py
+    ``_persist_snapshot``: "refresh() and retry") — the multi-writer
+    entry point, e.g. a chunked reconciliation (operators/reconcile.py)
+    racing the live ingest pipeline, or two pipelines feeding disjoint
+    epoch ranges of one table.
+
+    On ``commit conflict`` the table handle is refreshed and the merge
+    RECOMPUTED against the new snapshot — keep-files / dirty-bucket
+    selection and the MoR delta baseline are all snapshot-derived, so a
+    simple re-commit of the stale attempt would drop the other writer's
+    files (Iceberg's validate-and-retry, not blind re-commit). The
+    orphaned data files of the failed attempt are unreferenced by any
+    snapshot and reaped by ``expire_snapshots``' orphan grace pass.
+
+    Exactly-once composes: if the conflicting writer committed the SAME
+    epoch (two replayers racing), the refreshed retry sees
+    ``epoch <= committed_epoch`` and returns skipped — the normal replay
+    guard, not an error.
+    """
+    last: LakeTableError | None = None
+    for _ in range(max_conflict_retries + 1):
+        try:
+            return merge_upsert(spark, table.refresh(), resolved, epoch,
+                                **merge_kwargs)
+        except LakeTableError as e:
+            if "commit conflict" not in str(e):
+                raise
+            last = e
+    raise LakeTableError(
+        f"merge at epoch {epoch} lost {max_conflict_retries + 1} commit "
+        "races in a row; raise max_conflict_retries or serialize the "
+        "writers") from last

@@ -319,9 +319,14 @@ def reconcile_table_chunked(
     ``snapshot_for`` cannot turn out-of-chunk rows into spurious
     'missing' corrections.
 
+    Commits go through :func:`~cdcrypt.operators.merge.merge_upsert_retrying`:
+    a repair job racing the live ingest pipeline is exactly the
+    multi-writer commit-conflict case, and losing a race must recompute
+    the chunk against the stream's new snapshot, not error out.
+
     Returns one lineage per processed chunk (skipped chunks included,
     marked)."""
-    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.operators.merge import merge_upsert_retrying
     from cdcrypt.table.lake import bucket_col
 
     if chunk_buckets < 1:
@@ -349,8 +354,8 @@ def reconcile_table_chunked(
             compare_cols, broadcast_max_diff).localCheckpoint()
         by_op = {r["op"]: r["n"] for r in
                  events.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        lineage = merge_upsert(spark, table, events, epoch, mode=mode,
-                               **merge_kwargs)
+        lineage = merge_upsert_retrying(spark, table, events, epoch,
+                                        mode=mode, **merge_kwargs)
         lineage["reconcile"] = {
             "upserts": int(by_op.get("U", 0)),
             "deletes": int(by_op.get("D", 0)),

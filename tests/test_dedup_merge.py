@@ -198,3 +198,36 @@ def test_cow_auto_broadcast_by_batch_size(spark, tmp_path):
     assert r2["join"] == "smj"
     [row] = table.read(spark).where("conv_id='A'").collect()
     assert row["text"] == "a-new"
+
+
+def test_merge_retrying_recovers_from_commit_race(spark, tmp_path):
+    from cdcrypt.operators.merge import merge_upsert_retrying
+    from cdcrypt.table.lake import LakeTableError
+    import pytest as _pytest
+
+    root = str(tmp_path / "race")
+    LakeTable.create(root, BASE_TABLE_SCHEMA, bucket_count=4)
+    h1, h2 = LakeTable(root), LakeTable(root)  # two writer handles
+
+    b1 = resolve_latest_window(spark.createDataFrame(
+        [("I", "A", 0, 1, 0, "user", "from-w1", None, TS)], COLS))
+    b2 = resolve_latest_window(spark.createDataFrame(
+        [("I", "B", 0, 2, 0, "user", "from-w2", None, TS)], COLS))
+
+    # writer 2 commits epoch 1 while writer 1's handle is still at v1:
+    # writer 1's plain merge computes v2 too -> commit conflict
+    merge_upsert(spark, h2, b2, epoch=1)
+    with _pytest.raises(LakeTableError, match="commit conflict"):
+        merge_upsert(spark, h1, b1, epoch=2)
+
+    # the retrying merge refreshes and RECOMPUTES: both writers' rows
+    # survive (a blind re-commit would have dropped writer 2's file)
+    lin = merge_upsert_retrying(spark, h1, b1, epoch=2)
+    assert not lin.get("skipped")
+    got = {(r["conv_id"], r["text"])
+           for r in LakeTable(root).read(spark).collect()}
+    assert got == {("A", "from-w1"), ("B", "from-w2")}
+
+    # same-epoch race resolves to the replay guard, not an error
+    lin2 = merge_upsert_retrying(spark, LakeTable(root), b1, epoch=2)
+    assert lin2["skipped"]

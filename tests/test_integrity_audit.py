@@ -95,3 +95,35 @@ def test_integrity_audit_without_sink_is_lineage_only(spark, tmp_path):
                           key_id=KEY, bucket_count=4, integrity_audit=True)
     [lin] = pipe.run(spark)
     assert lin["integrity"] == {"anomalies": 1, "redelivery": 1}
+
+
+def test_lineage_metrics_surface(spark, tmp_path):
+    from cdcrypt.streaming.metrics import lineage_df, throughput_summary
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_epoch(spark, src, 0, [
+        ("I", "A", 0, 1, 0, "user", "v1", None, TS),
+        ("I", "A", 0, 1, 0, "user", "v1", None, TS),   # redelivery
+        ("I", "B", 0, 2, 0, "user", "w1", None, TS),
+    ])
+    _write_epoch(spark, src, 1, [
+        ("U", "A", 0, 3, 1, "user", "v2", None, TS),
+    ])
+    ck = str(tmp_path / "c")
+    IngestPipeline(src, str(tmp_path / "t"), ck, key_id=KEY,
+                   bucket_count=4, integrity_audit=True).run(spark)
+
+    raw = lineage_df(spark, ck)
+    assert raw.count() == 2
+
+    rows = {r["epoch"]: r for r in throughput_summary(spark, ck).collect()}
+    # batch_rows is the RESOLVED batch (redelivery collapsed 3 -> 2)
+    assert rows[0]["batch_rows"] == 2 and rows[1]["batch_rows"] == 1
+    assert rows[0]["integrity_anomalies"] == 1
+    assert rows[1]["integrity_anomalies"] == 0
+    # no epoch ever recorded a conflict -> typed-null column, not an error
+    assert rows[0]["integrity_conflicts"] is None
+    # dlq disabled -> null, and the rate column computes
+    assert rows[0]["dlq_rows"] is None
+    assert rows[0]["rows_per_sec"] and rows[0]["rows_per_sec"] > 0
