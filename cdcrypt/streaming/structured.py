@@ -158,6 +158,20 @@ class StructuredIngest(IngestPipeline):
             from pyspark.sql import functions as F
             batch_df = batch_df.withColumn(
                 "epoch", F.lit(batch_id).cast("long"))
+        if self.integrity_audit:
+            # SS has no per-epoch lineage JSON to carry counts, so the
+            # audit tap REQUIRES the parquet sink here; the epoch=batch_id
+            # dir is overwritten idempotently under SS redelivery, same
+            # crash contract as the DLQ above
+            if self.integrity_audit_dir is None:
+                raise ValueError(
+                    "integrity_audit under Structured Streaming requires "
+                    "integrity_audit_dir (no lineage JSON to carry counts)")
+            from cdcrypt.operators.audit import audit_changes
+            self._write_epoch_parquet(
+                audit_changes(batch_df, list(self.key_cols),
+                              include_transitions=False),
+                self.integrity_audit_dir, batch_id)
         if self.aligner is not None:
             # txn hold-and-release under SS: batch ids are contiguous from
             # the checkpointed offset log, so the aligner's epoch-chain

@@ -292,3 +292,31 @@ def test_structured_stream_with_txn_alignment_converges(spark, tmp_path):
     b = sorted(tuple(r) for r in LakeTable(str(tmp_path / "p"))
                .read(spark).select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_structured_integrity_audit_sink(spark, stream_dir, tmp_path):
+    troot, ckpt = str(tmp_path / "iat"), str(tmp_path / "iac")
+    adir = str(tmp_path / "ianom")
+    ing = StructuredIngest(stream_dir, troot, ckpt, key_id=KEY,
+                           bucket_count=8, integrity_audit=True,
+                           integrity_audit_dir=adir)
+    ing.run_stream(spark, infer_stream_schema(stream_dir),
+                   available_now=True, max_files_per_trigger=2)
+    n_batches = LakeTable(troot).committed_epoch + 1
+    # one anomaly dir per micro-batch, written before each commit
+    dirs = sorted(os.listdir(adir))
+    assert dirs == [f"epoch={i:06d}" for i in range(n_batches)]
+    audited = spark.read.parquet(*[os.path.join(adir, d) for d in dirs])
+    assert set(audited.columns) == {"conv_id", "turn_idx", "op_seq", "kind"}
+    # the generator redelivers events across epochs but positions are
+    # unique within one delivery batch here; the tap must be silent, not
+    # full of false positives
+    assert audited.where("kind = 'conflict'").count() == 0
+
+    # lineage-only mode is a config error under SS (no lineage JSON)
+    bad = StructuredIngest(stream_dir, str(tmp_path / "x"),
+                           str(tmp_path / "xc"), key_id=KEY,
+                           bucket_count=8, integrity_audit=True)
+    with pytest.raises(Exception, match="integrity_audit_dir"):
+        bad.run_stream(spark, infer_stream_schema(stream_dir),
+                       available_now=True, max_files_per_trigger=2)
