@@ -326,6 +326,25 @@ class IngestPipeline:
                 "jvm-backend DEK (NIST SP 800-38D); split the epoch or use "
                 "crypto_backend='udf'")
 
+    def _epoch_era(self, files: list[str]) -> str:
+        """Schema-era fingerprint of one source epoch, for the adaptive
+        loop's group-boundary rule. Adapter sources (Debezium lines, DLQ
+        splitters) are schema-free text tails — one era. Parquet: the
+        first file's arrow schema string (driver-side footer, sub-ms —
+        files within an epoch share a schema by the binlog contract, see
+        :meth:`_epoch_schema`). JSONL without an adapter: the sorted key
+        set of the first line (types are pinned by ``_epoch_schema``
+        anyway, so key-set identity is schema identity)."""
+        if self.source_adapter is not None or self.dlq_adapter is not None:
+            return "adapter"
+        if files[0].endswith(".jsonl"):
+            with open(files[0]) as f:
+                line = f.readline()
+            return ",".join(sorted(json.loads(line).keys())) if line else ""
+        import pyarrow.parquet as pq
+
+        return str(pq.ParquetFile(files[0]).schema_arrow)
+
     # ---------- one epoch ----------
     def process_epoch(self, spark: SparkSession, table: LakeTable,
                       epoch: int, files: list[str]) -> dict:
@@ -590,6 +609,100 @@ class IngestPipeline:
                             attempt += 1
                             continue  # replay the epoch (idempotent sink)
                         raise
+        finally:
+            spark.conf.set(aqe_key, prev_aqe)
+        return results
+
+    def run_adaptive(
+        self,
+        spark: SparkSession,
+        target_batch_sec: float = 8.0,
+        max_epochs_per_batch: int = 64,
+        controller=None,
+        max_batches: int | None = None,
+    ) -> list[dict]:
+        """:meth:`run` with adaptive micro-batch sizing (backpressure):
+        pending source epochs are COALESCED into grouped commits whose
+        size a deterministic AIMD controller (streaming/backpressure.py)
+        steers toward ``target_batch_sec`` of wall per commit — the
+        engine-native form of the measured big-batch win (resizing the r3
+        bench stream 6->3 micro-batches was 2.9-3.8x events/s; fixed
+        per-epoch costs amortize over the group).
+
+        Semantics are unchanged by construction: resolution is a pure
+        function of (key, op_seq), so ANY grouping of the stream into
+        micro-batches converges to the same table (the batch-misalignment
+        invariant), and a grouped commit is ONE atomic table commit whose
+        ``committed_epoch`` is the group's max source epoch — the replay
+        guard and crash-resume work exactly as for singleton epochs (a
+        replayed group is skipped wholesale; resume continues after the
+        last committed group, re-deriving any uncommitted tail under a
+        possibly different, equally valid grouping). The learned size
+        persists in the checkpoint dir and seeds the next run (or the
+        Structured driver via ``max_files_per_trigger='auto'``).
+
+        jvm-backend note: the 2^32 rows-per-DEK IV budget is checked on
+        the GROUP (process_epoch already sums footer counts over the file
+        list), so an over-budget coalesced batch fails fast exactly like
+        an over-budget source epoch.
+
+        Schema-evolution boundary: ``_epoch_schema`` reads each batch with
+        ONE schema ("the binlog emits one schema per position; add-column
+        evolution changes it only at an epoch boundary"), so a group must
+        never straddle an evolution — grouping epochs 3..5 when the
+        ``model`` column appears at 4 would read 4-5 under the OLD schema
+        and silently drop the column. Groups are therefore cut at schema-
+        era boundaries, detected from driver-side per-epoch fingerprints
+        (one parquet footer / one JSON line each — no Spark job). Adapter
+        sources own their parsing (schema-free text tail), so no cut.
+        """
+        from cdcrypt.streaming.backpressure import BatchSizeController
+
+        table = self.table()
+        epochs = list_epochs(self.source_dir)
+        pending = sorted(e for e in epochs if e > table.committed_epoch)
+        ctl = controller or BatchSizeController(
+            target_sec=target_batch_sec, max_size=max_epochs_per_batch)
+        ctl.load(self.checkpoint_dir)
+        era = {e: self._epoch_era(epochs[e]) for e in pending}
+        results: list[dict] = []
+        aqe_key = "spark.sql.adaptive.enabled"
+        prev_aqe = spark.conf.get(aqe_key, "true")
+        spark.conf.set(aqe_key, "false")
+        try:
+            i, batches = 0, 0
+            while i < len(pending) and (
+                    max_batches is None or batches < max_batches):
+                group = pending[i:i + max(1, ctl.size)]
+                cut = next((j for j in range(1, len(group))
+                            if era[group[j]] != era[group[0]]), len(group))
+                group = group[:cut]
+                files = [f for e in group for f in epochs[e]]
+                label = group[-1]
+                attempt = 0
+                while True:
+                    try:
+                        lineage = self.process_epoch(
+                            spark, table, label, files)
+                        break
+                    except Exception as exc:  # noqa: BLE001 - classified
+                        if _is_retriable(exc) and attempt < self.max_retries:
+                            attempt += 1
+                            continue  # replay the group (idempotent sink)
+                        raise
+                if len(group) > 1:
+                    # re-stamp the lineage with the group extent (the
+                    # checkpoint writer is atomic and idempotent, so the
+                    # rewrite is safe); metrics readers see how the
+                    # controller grouped the source
+                    lineage["epoch_range"] = [group[0], group[-1]]
+                    lineage["batch_epochs"] = len(group)
+                    self._write_checkpoint(label, lineage)
+                results.append(lineage)
+                ctl.observe(len(group), float(lineage.get("wall_sec", 0.0)))
+                ctl.save(self.checkpoint_dir)
+                i += len(group)
+                batches += 1
         finally:
             spark.conf.set(aqe_key, prev_aqe)
         return results

@@ -201,14 +201,24 @@ class StructuredIngest(IngestPipeline):
         *,
         available_now: bool = True,
         processing_time: str | None = None,
-        max_files_per_trigger: int | None = None,
+        max_files_per_trigger: int | str | None = None,
     ):
         """Start (and for ``available_now`` await) the streaming query.
 
         With ``source_adapter`` set (e.g. Debezium envelopes), the source
         is tailed as JSON text lines and the adapter owns parsing —
         ``schema`` is then optional; otherwise it is the post-evolution
-        parquet read schema."""
+        parquet read schema.
+
+        ``max_files_per_trigger='auto'`` reads the learned batch size from
+        the checkpoint dir's backpressure state (written by
+        :meth:`IngestPipeline.run_adaptive` or a previous stream run) —
+        Structured Streaming fixes the per-trigger cap at stream start, so
+        adaptation happens across restarts rather than within a run."""
+        if max_files_per_trigger == "auto":
+            from cdcrypt.streaming.backpressure import BatchSizeController
+            max_files_per_trigger = BatchSizeController().load(
+                self.checkpoint_dir).files_per_trigger()
         self.table()  # create on first run
         # a tolerant adapter (dlq_adapter) splits inside foreachBatch, so
         # the stream itself tails raw text with NO adapter applied
