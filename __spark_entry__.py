@@ -690,7 +690,8 @@ def _q_asof_join_enrich(spark, sf_dir):
 
 
 def _mor_table_for(spark, sf_dir, tag="mor", compact_threshold=999,
-                   require_delta=True):
+                   require_delta=True, bloom_cols=(), epoch_by="op_seq",
+                   bucket_count=8):
     """The shared MoR lake artifact for the cdc_* lake-read gates: three
     event epochs (op_seq % 3) applied as MoR delta appends. The default
     variant keeps every file an uncompacted delta (compact_threshold
@@ -729,9 +730,10 @@ def _mor_table_for(spark, sf_dir, tag="mor", compact_threshold=999,
     except LakeTableNotFound:
         import shutil
         shutil.rmtree(root, ignore_errors=True)
-        table = LakeTable.create(root, schema, bucket_count=8,
+        table = LakeTable.create(root, schema, bucket_count=bucket_count,
                                  bucket_by="user_id",
-                                 key_cols=["user_id", "event_type"])
+                                 key_cols=["user_id", "event_type"],
+                                 bloom_cols=tuple(bloom_cols))
         ev = _t(spark, sf_dir, "events").select(
             F.lit("U").alias("op"),
             F.col("user_id").cast("long").alias("user_id"),
@@ -740,7 +742,7 @@ def _mor_table_for(spark, sf_dir, tag="mor", compact_threshold=999,
             F.col("value").cast("double").alias("value"),
             "ts")
         for e in range(3):
-            batch = (ev.where(F.pmod(F.col("op_seq"), F.lit(3)) == e)
+            batch = (ev.where(F.pmod(F.col(epoch_by), F.lit(3)) == e)
                      .withColumn("epoch", F.lit(e).cast("long")))
             merge_upsert(
                 spark, table,
@@ -1258,6 +1260,63 @@ def _q_cdc_clustered_scan(spark, sf_dir):
         F.round("value", 6).alias("value"))
 
 
+def _q_cdc_zorder_scan(spark, sf_dir):
+    # Z-order clustered rewrite (operators/maintenance.py zorder_key):
+    # the MoR artifact is rewritten with the Morton interleave of
+    # (user_id, op_seq), then scanned with ranges on BOTH dimensions —
+    # the key column AND the non-key change position (legal: the
+    # rewritten snapshot is delta-free). Files are pruned from manifest
+    # bounds alone, which only tighten on both dims simultaneously under
+    # the z-layout; a linear layout cannot serve the trailing dim (the
+    # property test proves that separation). Oracle = LWW resolution of
+    # the raw events restricted to the same two ranges; a z-key bit
+    # error that REORDERS rows can't corrupt this (bounds stay
+    # conservative), but dropped/duplicated rows hash-mismatch.
+    # 2 buckets + a file size targeting ~16 base files: pruning must be
+    # demonstrable at EVERY gate sf (at sf0.01 the default 2048-row files
+    # never split — one file per bucket prunes nothing, whatever the
+    # layout). mrpf is derived from the resolved row count, so the
+    # rebuild check below is idempotent per dataset.
+    table = _mor_table_for(spark, sf_dir, tag="rwz2", bucket_count=2)
+    lin = table.snapshot.get("lineage", {})
+    n = sum(f["rows"] for f in table.files()
+            if f.get("kind", "base") == "base") or None
+    if n is None:  # first run: still all-delta
+        n = table.read(spark).count()
+    mrpf = max(64, -(-int(n) // 16))
+    if any(f.get("kind") == "delta" and not f.get("compacted")
+           for f in table.files()) \
+            or lin.get("layout") != "zorder" \
+            or lin.get("max_records_per_file") != mrpf:
+        from cdcrypt.operators.maintenance import rewrite_clustered
+        rewrite_clustered(spark, table, ["user_id", "op_seq"],
+                          layout="zorder", max_records_per_file=mrpf)
+    ev = _t(spark, sf_dir, "events")
+    mnu, mxu, mns, mxs = ev.agg(
+        F.min(F.col("user_id").cast("long")),
+        F.max(F.col("user_id").cast("long")),
+        F.min(F.col("event_id").cast("long")),
+        F.max(F.col("event_id").cast("long"))).first()
+    hi_user = (int(mnu) + int(mxu)) // 2
+    lo_seq = int(mns) + (int(mxs) - int(mns)) * 3 // 4
+    sel = table.files(key_range={"user_id": (None, hi_user),
+                                 "op_seq": (lo_seq, None)})
+    n_base = sum(1 for f in table.files()
+                 if f.get("kind", "base") == "base")
+    # pruning is only demonstrable with enough z-cells per bucket; the
+    # tiny-sf gate run (sf0.001 resolves to ~75 rows) checks result
+    # correctness only — the layout property itself is proven on a
+    # controlled grid in tests/test_zorder.py
+    if n_base >= 8:
+        assert len(sel) < len(table.files()), (
+            f"z-order pruned nothing ({len(sel)} of {len(table.files())})")
+    return table.read(spark, key_range={"user_id": (None, hi_user),
+                                        "op_seq": (lo_seq, None)}).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
 def _q_cdc_tag_read(spark, sf_dir):
     # Snapshot tags (table/lake.py create_tag): pin the epoch-1 snapshot
     # under a name and time-travel by tag — the auditable-release
@@ -1296,6 +1355,46 @@ def _q_cdc_point_lookup(spark, sf_dir):
     table = _mor_table_for(spark, sf_dir)
     k = _t(spark, sf_dir, "events").agg(
         F.min(F.col("user_id").cast("long"))).first()[0]
+    return table.read(spark, key_range={"user_id": (k, k)}).select(
+        "user_id", "event_type",
+        F.col("op_seq").alias("event_id"),
+        F.round("value", 6).alias("value"))
+
+
+def _q_cdc_bloom_lookup(spark, sf_dir):
+    # P6 scan planning, bloom tier (table/bloom.py): the same MoR stream
+    # applied into a table created with bloom_cols=('user_id',), so every
+    # delta file carries a sidecar key bloom. A point lookup then prunes
+    # by bucket -> bounds -> bloom membership before MoR LWW resolution.
+    # The fixture asserts the bloom tier actually pruned files that
+    # bucket+bounds kept (user_id is dense, so per-epoch delta bounds all
+    # straddle any mid-range key) — a bloom layer that stopped working
+    # would fail loudly here, and one that pruned WRONGLY (false
+    # negative = dropped delta holding the key's newest version)
+    # hash-mismatches against the oracle's LWW over the raw events.
+    # Epochs split by user (user_id % 3), not by op_seq: each key's rows
+    # then live in exactly ONE epoch's delta, so for any probed key the
+    # other two deltas in its bucket are bloom-prunable while their
+    # user_id BOUNDS straddle it (each epoch's users span the id range).
+    # The final LWW state is independent of the batching (op_seq total-
+    # orders each key), so the oracle is the same row_number replay.
+    table = _mor_table_for(spark, sf_dir, tag="morb",
+                           bloom_cols=("user_id",), epoch_by="user_id")
+    ev = _t(spark, sf_dir, "events")
+    m, mx = ev.agg(F.min(F.col("user_id").cast("long")),
+                   F.max(F.col("user_id").cast("long"))).first()
+    half = (m + mx) // 2
+    k = ev.where(F.col("user_id").cast("long") > half).agg(
+        F.min(F.col("user_id").cast("long"))).first()[0]
+    with_bloom = table.files(key_range={"user_id": (k, k)})
+    import copy
+    t2 = copy.deepcopy(table)
+    for f in t2.snapshot["files"]:
+        f.pop("bloom", None)
+    bounds_only = t2.files(key_range={"user_id": (k, k)})
+    assert len(with_bloom) < len(bounds_only), (
+        "bloom tier pruned nothing beyond bounds "
+        f"({len(with_bloom)} vs {len(bounds_only)})")
     return table.read(spark, key_range={"user_id": (k, k)}).select(
         "user_id", "event_type",
         F.col("op_seq").alias("event_id"),
@@ -2269,7 +2368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
         "cdc_partition_evolution": _q_cdc_partition_evolution,
         "cdc_point_lookup": _q_cdc_point_lookup,
+        "cdc_bloom_lookup": _q_cdc_bloom_lookup,
         "cdc_clustered_scan": _q_cdc_clustered_scan,
+        "cdc_zorder_scan": _q_cdc_zorder_scan,
         "cdc_tag_read": _q_cdc_tag_read,
         "cdc_rollback_read": _q_cdc_rollback_read,
         "cdc_compacted_read": _q_cdc_compacted_read,
@@ -3404,6 +3505,20 @@ def oracle_sql() -> dict[str, str]:
                   WHERE user_id = (SELECT min(user_id) FROM events))
             WHERE rn = 1
         """,
+        "cdc_bloom_lookup": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events
+                  WHERE user_id = (
+                      SELECT min(user_id) FROM events
+                      WHERE user_id > (SELECT (min(user_id) + max(user_id))
+                                              // 2
+                                       FROM events)))
+            WHERE rn = 1
+        """,
         "cdc_partition_evolution": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value
             FROM (SELECT user_id, event_type, event_id, value,
@@ -3425,6 +3540,21 @@ def oracle_sql() -> dict[str, str]:
                                         * 15 // 16
                                FROM events)
               AND event_id <= (SELECT max(event_id) FROM events)
+        """,
+        "cdc_zorder_scan": """
+            SELECT user_id, event_type, event_id, round(value, 6) AS value
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+              AND user_id <= (SELECT (min(user_id) + max(user_id)) // 2
+                              FROM events)
+              AND event_id >= (SELECT min(event_id)
+                                      + (max(event_id) - min(event_id))
+                                        * 3 // 4
+                               FROM events)
         """,
         "cdc_tag_read": """
             SELECT user_id, event_type, event_id, round(value, 6) AS value

@@ -30,12 +30,74 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdcrypt.operators.merge import (
     LAKE_CODEC, _stats_cols, _write_bucketed,
 )
 from cdcrypt.table.lake import LakeTable, LakeTableError, repartition_by_bucket
+
+# dtypes a z-order dimension may have: anything with a meaningful linear
+# order under cast-to-double. Strings/binary hash away their locality and
+# are rejected loudly (cluster linearly on them instead).
+_ZORDERABLE = ("tinyint", "smallint", "int", "bigint", "float", "double",
+               "date", "timestamp", "boolean", "decimal")
+
+
+def zorder_key(cols: list[str], ranges: dict[str, tuple[float, float]],
+               bits: int) -> Column:
+    """Morton (Z-order) key: each column is range-normalized to ``bits``
+    bits against its global [min, max], then the columns' bits are
+    interleaved LSB-first into one long. Two rows close in the key are
+    close in EVERY dimension, so sorting by it makes per-file manifest
+    bounds tight on all ``cols`` at once (multi-dimensional pruning) —
+    Iceberg's `rewrite_data_files(strategy => 'sort', sort_order =>
+    zorder(...))` analogue, built from shiftleft/shiftright/bitwiseOR
+    Column ops so the whole key stays inside whole-stage codegen
+    (bits * len(cols) OR-terms; 32 at the 2-column default).
+
+    The key is a SORT key, not data: float normalization error can only
+    reorder rows between adjacent cells, never corrupt results — pruning
+    correctness always comes from the recorded per-file bounds.
+
+    NULLs normalize to the column minimum (cell 0): they cluster
+    together at the low corner and their files' bounds stay tight for
+    the non-null range."""
+    d = len(cols)
+    if bits * d > 63:
+        raise LakeTableError(
+            f"zorder bits({bits}) * dims({d}) must fit a long")
+    top = (1 << bits) - 1
+    parts = []
+    for c in cols:
+        mn, mx = ranges[c]
+        if mn is None or mx is None or not mx > mn:
+            parts.append(F.lit(0).cast("long"))
+            continue
+        col = F.coalesce(F.col(c).cast("double"), F.lit(float(mn)))
+        scaled = F.floor(
+            (col - F.lit(float(mn))) / F.lit(float(mx - mn))
+            * F.lit(float(top))).cast("long")
+        parts.append(F.least(F.greatest(scaled, F.lit(0)),
+                             F.lit(top).cast("long")))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, s in enumerate(parts):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(s, j).bitwiseAND(F.lit(1)), j * d + i))
+    return z
+
+
+def _zorder_ranges(live: DataFrame, cols: list[str]) -> dict:
+    """Global [min, max] per dimension (one aggregate job — the only
+    driver-visible data in the rewrite, 2 doubles per column)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    row = live.agg(*aggs).first()
+    return {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
 
 
 def rewrite_clustered(
@@ -46,6 +108,9 @@ def rewrite_clustered(
     max_records_per_file: int | None = None,
     stage_only: bool = False,
     codec: str = LAKE_CODEC,
+    bloom_cols: tuple[str, ...] | None = None,
+    layout: str = "linear",
+    zorder_bits: int | None = None,
 ) -> dict:
     """Rewrite every live row of ``table`` into base files clustered by
     ``sort_by`` within each bucket; commit as one new snapshot.
@@ -66,7 +131,23 @@ def rewrite_clustered(
       (operators/merge.py); replaced base files are dropped and reclaimed
       by the next ``expire_snapshots``;
     - ``committed_epoch`` is preserved: a rewrite is data movement, not a
-      logical change, and must not disturb exactly-once ingest resume.
+      logical change, and must not disturb exactly-once ingest resume;
+    - per-file bloom sidecars (table/bloom.py) are attached for
+      ``bloom_cols`` (default: the table's own ``bloom_cols`` property) —
+      maintenance is the natural place to pay the key-column read-back,
+      so a table created without write-time blooms can still gain
+      point-lookup file skipping from one rewrite.
+
+    ``layout``: 'linear' (default) sorts by ``sort_by`` left-to-right —
+    bounds become tight on the LEADING column, trailing columns prune
+    only within leading-column ties. 'zorder' sorts by the Morton
+    interleave of ALL ``sort_by`` columns (:func:`zorder_key`): every
+    dimension's bounds tighten simultaneously (each ~bits/d effective
+    bits), so range scans on ANY of the columns — or several at once —
+    prune from the manifest. Pick zorder when queries filter on more
+    than one independent column (user + time, key + position); linear
+    when one column dominates. ``zorder_bits`` caps per-dimension
+    resolution (default: 63 // len(sort_by), max 16).
 
     Returns the commit lineage (version, rows, file counts, timings).
     """
@@ -79,12 +160,32 @@ def rewrite_clustered(
         raise LakeTableError(
             f"sort_by columns {missing} not in table schema {tcols}")
 
+    if layout not in ("linear", "zorder"):
+        raise LakeTableError(
+            f"layout must be 'linear' or 'zorder', got {layout!r}")
     t0 = time.monotonic()
     snap = table.snapshot
     live = table.read(spark).select(*tcols)
+    if layout == "zorder":
+        if len(sort_by) < 2:
+            raise LakeTableError(
+                "zorder needs >= 2 sort_by columns (use linear for one)")
+        dtypes = dict(live.dtypes)
+        bad = [c for c in sort_by
+               if not dtypes[c].startswith(_ZORDERABLE)]
+        if bad:
+            raise LakeTableError(
+                f"zorder columns {bad} are not linearly orderable "
+                f"({[dtypes[c] for c in bad]}); cluster linearly or "
+                "z-order on numeric/date/timestamp dimensions")
+        bits = zorder_bits or min(16, 63 // len(sort_by))
+        sort_key = [zorder_key(sort_by, _zorder_ranges(live, sort_by),
+                               bits)]
+    else:
+        sort_key = list(sort_by)
     clustered = repartition_by_bucket(
         live, table.bucket_count, table.bucket_by
-    ).sortWithinPartitions(*sort_by)
+    ).sortWithinPartitions(*sort_key)
 
     next_version = table.version + 1
     staging = os.path.join(table.root, "data", f"v{next_version}", "rewrite")
@@ -94,7 +195,9 @@ def rewrite_clustered(
         clustered, staging, table.root, table.bucket_count, "base",
         assume_bucketed=True, codec=codec, timings=timings,
         bucket_by=table.bucket_by, stats_cols=stats,
-        max_records_per_file=max_records_per_file)
+        max_records_per_file=max_records_per_file,
+        bloom_cols=(tuple(table.bloom_cols) if bloom_cols is None
+                    else tuple(bloom_cols)))
 
     # keep uncompacted deltas as log-only feed history; drop replaced bases
     keep = [dict(f, compacted=True)
@@ -106,6 +209,7 @@ def rewrite_clustered(
     lineage = {
         "mode": "rewrite",
         "sort_by": sort_by,
+        "layout": layout,
         "batch_rows": 0,
         "rows_written": int(rows),
         "files_before": len([f for f in old_files

@@ -143,6 +143,8 @@ def _write_bucketed(
     bucket_by: str = "conv_id",
     stats_cols: tuple[str, ...] = (),
     max_records_per_file: int | None = None,
+    bloom_cols: tuple[str, ...] = (),
+    bloom_bits_per_key: int = 10,
 ) -> tuple[list[dict], int]:
     """Write ``df`` as one plain parquet file per bucket; return manifest
     entries. partition_id == bucket (see table/lake.py bucket_col), so the
@@ -163,8 +165,10 @@ def _write_bucketed(
     w.parquet(staging)
     t1 = time.monotonic()
     entries, total = [], 0
+    want_bloom = tuple(c for c in bloom_cols if c in df.columns)
     for p in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        md = pq.ParquetFile(p).metadata
+        pf = pq.ParquetFile(p)
+        md = pf.metadata
         nrows = md.num_rows
         if nrows == 0:
             continue
@@ -174,6 +178,24 @@ def _write_bucketed(
         bounds = _footer_bounds(md, stats_cols)
         if bounds:
             entry["bounds"] = bounds
+        if want_bloom:
+            # opt-in (table bloom_cols): one key-column read-back per
+            # written file -> sidecar bloom for exact-key file skipping
+            # (table/bloom.py). Cost is proportional to the file just
+            # written; enable on lookup-heavy tables or build during
+            # rewrite_clustered where it amortizes into maintenance.
+            from cdcrypt.table.bloom import (build_bloom,
+                                             write_bloom_sidecar)
+            cols = pf.read(columns=list(want_bloom))
+            blooms = {}
+            for c in want_bloom:
+                bl = build_bloom(cols.column(c).to_pylist(),
+                                 bits_per_key=bloom_bits_per_key)
+                if bl is not None:
+                    blooms[c] = bl
+            if blooms:
+                side = write_bloom_sidecar(p, blooms)
+                entry["bloom"] = os.path.relpath(side, root)
         entries.append(entry)
         total += nrows
     if timings is not None:
@@ -335,7 +357,8 @@ def merge_upsert(
     staging = _staging_dir(table)
     new_files, new_rows = _write_bucketed(
         merged, staging, table.root, table.bucket_count, "base",
-        bucket_by=table.bucket_by, stats_cols=_stats_cols(table, merged))
+        bucket_by=table.bucket_by, stats_cols=_stats_cols(table, merged),
+        bloom_cols=tuple(table.bloom_cols))
     # keep = NOT the files read above — the same spec-aware selection, so
     # an old-partition-spec file whose rows were just rewritten (its keys
     # overlap the dirty buckets under the current spec) is dropped, never
@@ -397,7 +420,8 @@ def _merge_mor(
     new_delta, appended_rows = _write_bucketed(
         delta_df, staging_delta, table.root, table.bucket_count, "delta",
         assume_bucketed=assume_bucketed, timings=timings,
-        bucket_by=table.bucket_by, stats_cols=_stats_cols(table, delta_df))
+        bucket_by=table.bucket_by, stats_cols=_stats_cols(table, delta_df),
+        bloom_cols=tuple(table.bloom_cols))
 
     keep = list(table.snapshot["files"])
 
@@ -468,7 +492,8 @@ def _merge_mor(
         compact_files, compacted_rows = _write_bucketed(
             live, staging_compact, table.root, table.bucket_count, "base",
             assume_bucketed=True, timings=timings,
-            stats_cols=_stats_cols(table, live))
+            stats_cols=_stats_cols(table, live),
+            bloom_cols=tuple(table.bloom_cols))
         compacted_away = {f["path"] for f in in_scope}
         keep = [f for f in keep if f["path"] not in compacted_away]
         # the epoch's own delta rows are folded into the compacted base,

@@ -107,6 +107,10 @@ class LakeTable:
     def __init__(self, root: str):
         self.root = root
         self._snapshot: dict | None = None
+        # sidecar-path -> parsed {col: bloom} (or None for unreadable).
+        # Safe across refresh(): a data/sidecar path is written once by
+        # one commit attempt (unique staging dirs) and never mutated.
+        self._bloom_cache: dict[str, dict | None] = {}
         self._load()
 
     # ---------- metadata ----------
@@ -261,6 +265,13 @@ class LakeTable:
         return dict(self.snapshot.get("agg_spec", {}))
 
     @property
+    def bloom_cols(self) -> list[str]:
+        """Columns the writers attach per-file bloom sidecars for
+        (table/bloom.py) — point-lookup file skipping beyond min/max
+        bounds. Empty (the default) keeps the write path bloom-free."""
+        return list(self.snapshot.get("bloom_cols", []))
+
+    @property
     def schema(self) -> StructType:
         sid = self.snapshot["schema_id"]
         for s in self.snapshot["schemas"]:
@@ -316,12 +327,17 @@ class LakeTable:
                bucket_by: str = DEFAULT_BUCKET_BY,
                key_cols=DEFAULT_KEY_COLS,
                merge_engine: str = "lww",
-               agg_spec: dict | None = None) -> "LakeTable":
+               agg_spec: dict | None = None,
+               bloom_cols: tuple = ()) -> "LakeTable":
         names = {f.name for f in schema.fields}
         missing = [c for c in [bucket_by, *key_cols] if c not in names]
         if missing:
             raise LakeTableError(
                 f"bucket/key columns {missing} not in table schema")
+        bad_bloom = [c for c in bloom_cols if c not in names]
+        if bad_bloom:
+            raise LakeTableError(
+                f"bloom_cols {bad_bloom} not in table schema")
         if merge_engine not in ("lww", "partial", "aggregate"):
             raise LakeTableError(
                 "merge_engine must be 'lww', 'partial' or 'aggregate', "
@@ -359,6 +375,7 @@ class LakeTable:
             "key_cols": list(key_cols),
             "merge_engine": merge_engine,
             **({"agg_spec": dict(agg_spec)} if agg_spec else {}),
+            **({"bloom_cols": list(bloom_cols)} if bloom_cols else {}),
             "bucket_count": bucket_count,
             "files": [],
             "committed_epoch": -1,
@@ -515,6 +532,8 @@ class LakeTable:
             "key_cols": list(prev.get("key_cols", DEFAULT_KEY_COLS)),
             "merge_engine": prev.get("merge_engine", "lww"),
             **({"agg_spec": prev["agg_spec"]} if "agg_spec" in prev else {}),
+            **({"bloom_cols": prev["bloom_cols"]}
+               if "bloom_cols" in prev else {}),
             "bucket_count": prev["bucket_count"],
             **({"partition_specs": prev["partition_specs"],
                 "default_spec_id": prev["default_spec_id"]}
@@ -712,12 +731,22 @@ class LakeTable:
         may be None for half-open) against the per-file column bounds the
         writer recorded from parquet footer stats — Iceberg-style scan
         planning from the manifest alone, no file footers opened. A file
-        without bounds for a requested column is never pruned."""
+        without bounds for a requested column is never pruned.
+
+        Exact-key probes (``lo == hi``) additionally consult the per-file
+        bloom sidecars when the writer recorded them (table/bloom.py):
+        bounds say "key inside [min, max]", the bloom says "key provably
+        absent" — the discriminating test for high-entropy keys over
+        arrival-ordered delta files whose bounds all straddle the probe.
+        A file without a sidecar (or an unreadable one) is never pruned."""
         snap = self.snapshot if version is None else self.snapshot_at(version)
         out = snap["files"]
         if buckets is not None:
             out = list(filter(self._file_bucket_filter(snap, buckets), out))
         if key_range:
+            exact = {c: lo for c, (lo, hi) in key_range.items()
+                     if lo is not None and lo == hi}
+
             def hit(f: dict) -> bool:
                 for c, (lo, hi) in key_range.items():
                     b = f.get("bounds", {}).get(c)
@@ -726,9 +755,27 @@ class LakeTable:
                     if (hi is not None and b[0] > hi) or \
                             (lo is not None and b[1] < lo):
                         return False
+                if exact and f.get("bloom"):
+                    blooms = self._blooms_for(f["bloom"])
+                    if blooms:
+                        from cdcrypt.table.bloom import bloom_might_contain
+                        for c, v in exact.items():
+                            bl = blooms.get(c)
+                            if bl is not None and \
+                                    not bloom_might_contain(bl, v):
+                                return False
                 return True
             out = [f for f in out if hit(f)]
         return out
+
+    def _blooms_for(self, rel: str) -> dict | None:
+        """Cached parse of a bloom sidecar referenced from a manifest
+        entry (relative path). None = unreadable -> no pruning."""
+        if rel not in self._bloom_cache:
+            from cdcrypt.table.bloom import read_bloom_sidecar
+            self._bloom_cache[rel] = read_bloom_sidecar(
+                os.path.join(self.root, rel))
+        return self._bloom_cache[rel]
 
     def scan_projected(
         self,
@@ -1275,6 +1322,8 @@ class LakeTable:
                 "merge_engine": old.get("merge_engine", "lww"),
                 **({"agg_spec": old["agg_spec"]}
                    if "agg_spec" in old else {}),
+                **({"bloom_cols": old["bloom_cols"]}
+                   if "bloom_cols" in old else {}),
                 "bucket_count": old["bucket_count"],
                 **({"partition_specs": prev["partition_specs"],
                     "default_spec_id": self._partition_specs(old)[1]}
@@ -1479,7 +1528,18 @@ class LakeTable:
                 for n in names:
                     full = os.path.join(dirpath, n)
                     rel = os.path.relpath(full, self.root)
-                    if not n.endswith(".parquet") or rel in retained_ref:
+                    if n.endswith(".bloom") or n.endswith(".bloom.tmp"):
+                        # sidecar lifecycle follows its data file: keep
+                        # while the parquet is referenced by a retained
+                        # snapshot, else fall through to the same
+                        # expired/orphan-grace decision (torn .tmp files
+                        # are never referenced and age out via grace)
+                        data_rel = rel[:-6] if rel.endswith(".bloom") \
+                            else rel[:-10]
+                        if data_rel in retained_ref:
+                            continue
+                        rel = data_rel
+                    elif not n.endswith(".parquet") or rel in retained_ref:
                         continue
                     if rel not in expired_ref:
                         # referenced by no snapshot: possibly an in-flight
