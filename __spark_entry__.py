@@ -1835,6 +1835,18 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_corpus_profile(spark, sf_dir):
+    # one-pass per-column profile with a cross-engine-deterministic HLL
+    # (operators/profile.py): stack-unpivot inside the scan stage, two
+    # map-side-combining aggs whose post-shuffle size is O(n_cols * 2^p),
+    # independent of corpus row count
+    from cdcrypt.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def _q_pack_sequences(spark, sf_dir):
     # sharded cumulative-sum sequence packing (operators/packing.py): pack
     # assignment is a pure function of (id, salt, budget, shards) via the
@@ -2389,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "line_dedup": _q_line_dedup,
         "line_dedup_keep_first": _q_line_dedup_keep_first,
+        "corpus_profile": _q_corpus_profile,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
@@ -3094,6 +3107,7 @@ def _pii_oracle_entries() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from cdcrypt.operators.profile import profile_columns_sql
     return {
         **_pii_oracle_entries(),
         "repetition_stats": (
@@ -3734,6 +3748,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE coalesce(r.t, '') END AS text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
+        "corpus_profile": profile_columns_sql(
+            "documents", ["doc_id", "text", "lang", "source", "n_chars"]),
         "text_stats": f"""
             SELECT doc_id,
               length(text) AS n_chars,
