@@ -1847,6 +1847,44 @@ def _q_corpus_profile(spark, sf_dir):
         ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_numeric_histogram(spark, sf_dir):
+    # equi-width histogram over exact min/max: bounds agg broadcast back,
+    # (col, bin) agg — post-shuffle n_cols * bins rows at any corpus size
+    from cdcrypt.operators.profile import numeric_histogram
+
+    return numeric_histogram(
+        _t(spark, sf_dir, "documents"), ["doc_id", "n_chars"])
+
+
+def _q_numeric_quantiles(spark, sf_dir):
+    # histogram-interpolated quantiles — deterministic (oracle-replicable)
+    # where percentile_approx/approx_quantile sketches are engine-private
+    from cdcrypt.operators.profile import numeric_quantiles
+
+    return numeric_quantiles(
+        _t(spark, sf_dir, "documents"), ["doc_id", "n_chars"])
+
+
+def _q_profile_incremental(spark, sf_dir):
+    # bounded-state incremental profile: three ingest ticks over disjoint
+    # thirds of the corpus, then a read from persisted sketch state only;
+    # sketch-union exactness makes the result BIT-identical to a one-shot
+    # profile, so the same DuckDB oracle gates it
+    import tempfile
+
+    from cdcrypt.operators.profile import (
+        build_profile_index, read_profile, update_profile_index,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="cdcrypt_gate_pidx_")
+    idx = build_profile_index(d.where(F.col("doc_id") % 3 == 0), root, cols)
+    idx = update_profile_index(idx, d.where(F.col("doc_id") % 3 == 1))
+    idx = update_profile_index(idx, d.where(F.col("doc_id") % 3 == 2))
+    return read_profile(spark, idx)
+
+
 def _q_pack_sequences(spark, sf_dir):
     # sharded cumulative-sum sequence packing (operators/packing.py): pack
     # assignment is a pure function of (id, salt, budget, shards) via the
@@ -2402,6 +2440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "line_dedup_keep_first": _q_line_dedup_keep_first,
         "corpus_profile": _q_corpus_profile,
+        "numeric_histogram": _q_numeric_histogram,
+        "numeric_quantiles": _q_numeric_quantiles,
+        "profile_incremental": _q_profile_incremental,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
@@ -3107,7 +3148,9 @@ def _pii_oracle_entries() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from cdcrypt.operators.profile import profile_columns_sql
+    from cdcrypt.operators.profile import (
+        numeric_histogram_sql, numeric_quantiles_sql, profile_columns_sql,
+    )
     return {
         **_pii_oracle_entries(),
         "repetition_stats": (
@@ -3749,6 +3792,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "corpus_profile": profile_columns_sql(
+            "documents", ["doc_id", "text", "lang", "source", "n_chars"]),
+        "numeric_histogram": numeric_histogram_sql(
+            "documents", ["doc_id", "n_chars"]),
+        "numeric_quantiles": numeric_quantiles_sql(
+            "documents", ["doc_id", "n_chars"]),
+        # the incremental profile is bit-identical to the one-shot by
+        # sketch-union exactness, so it shares the one-shot's oracle
+        "profile_incremental": profile_columns_sql(
             "documents", ["doc_id", "text", "lang", "source", "n_chars"]),
         "text_stats": f"""
             SELECT doc_id,

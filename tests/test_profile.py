@@ -9,10 +9,17 @@ from pyspark.sql import functions as F
 
 from cdcrypt.operators.profile import (
     DEFAULT_P,
+    build_profile_index,
     hll_estimate_from_registers,
     hll_registers,
+    numeric_histogram,
+    numeric_histogram_sql,
+    numeric_quantiles,
+    numeric_quantiles_sql,
     profile_columns,
     profile_columns_sql,
+    read_profile,
+    update_profile_index,
 )
 
 
@@ -74,6 +81,95 @@ def test_oracle_sql_equivalence(spark, tmp_path):
     con.sql(f"CREATE VIEW t AS SELECT * FROM '{pq}/*.parquet'")
     want = sorted(tuple(r)
                   for r in con.sql(profile_columns_sql("t", cols)).fetchall())
+    assert got == want
+
+
+def test_numeric_histogram_shape_and_mass(spark):
+    df = spark.range(10_000).select(F.col("id").cast("long").alias("x"))
+    h = numeric_histogram(df, ["x"], bins=16).collect()
+    assert len(h) == 16
+    assert sum(r.cnt for r in h) == 10_000
+    assert min(r.bin_lo for r in h) == 0.0
+    assert max(r.bin_hi for r in h) == 9_999.0
+    # uniform data -> near-uniform bins
+    assert all(575 <= r.cnt <= 675 for r in h)
+
+    const = spark.range(50).select(F.lit(7).alias("x"))
+    hc = numeric_histogram(const, ["x"]).collect()
+    assert len(hc) == 1 and hc[0].cnt == 50
+    assert hc[0].bin_lo == 7.0 and hc[0].bin_hi == 7.0
+
+
+def test_numeric_quantiles_accuracy(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("x"))
+    got = {r.q: r.est for r in
+           numeric_quantiles(df, ["x"], qs=(0.25, 0.5, 0.75, 1.0),
+                             bins=64).collect()}
+    # interpolation error bounded by one bin width (n/64)
+    for q in (0.25, 0.5, 0.75):
+        assert abs(got[q] - q * n) <= n / 64 + 1
+    assert got[1.0] <= n - 1 + n / 64
+
+    with pytest.raises(ValueError):
+        numeric_quantiles(df, ["x"], qs=(0.0, 0.5))
+
+
+def test_numeric_oracle_equivalence(spark, tmp_path):
+    pq = str(tmp_path / "n.parquet")
+    (spark.range(7_000).select(
+        (F.col("id") % 997).alias("a"),
+        (F.col("id") * F.col("id") % 5_003).alias("b"),
+        F.when(F.col("id") % 5 == 0, F.col("id")).alias("nullable"))
+     .coalesce(1).write.mode("overwrite").parquet(pq))
+    df = spark.read.parquet(pq)
+    cols = ["a", "b", "nullable"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{pq}/*.parquet'")
+    got_h = sorted(tuple(r) for r in numeric_histogram(df, cols).collect())
+    want_h = sorted(tuple(r) for r in
+                    con.sql(numeric_histogram_sql("t", cols)).fetchall())
+    assert got_h == want_h
+    got_q = sorted(tuple(r) for r in numeric_quantiles(df, cols).collect())
+    want_q = sorted(tuple(r) for r in
+                    con.sql(numeric_quantiles_sql("t", cols)).fetchall())
+    assert got_q == want_q
+
+
+def test_incremental_profile_equals_oneshot(spark, tmp_path):
+    root = str(tmp_path / "pidx")
+    full = spark.range(9_000).select(
+        F.concat(F.lit("d"), (F.col("id") % 4_000).cast("string"))
+        .alias("s"),
+        (F.col("id") % 13).alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("x")).alias("nullable"))
+    cols = ["s", "k", "nullable"]
+    chunks = [full.where(F.col("k") % 3 == i) for i in range(3)]
+    idx = build_profile_index(chunks[0], root, cols)
+    idx = update_profile_index(idx, chunks[1])
+    idx = update_profile_index(root, chunks[2])  # str form resolves too
+    got = sorted(tuple(r) for r in read_profile(spark, idx).collect())
+    want = sorted(tuple(r) for r in profile_columns(full, cols).collect())
+    assert got == want
+    assert idx.meta["ticks"] == 2 and idx.meta["version"] == 2
+    # superseded versions reclaimed
+    import os
+    assert sorted(d for d in os.listdir(root) if d.startswith("v=")) \
+        == ["v=2"]
+
+
+def test_incremental_profile_from_empty_seed(spark, tmp_path):
+    root = str(tmp_path / "pidx0")
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("v"))
+    idx = build_profile_index(df.limit(0), root, ["v"])
+    # empty corpus -> empty profile, same as one-shot profile_columns
+    # on an empty frame (groupBy over zero rows emits zero groups)
+    assert read_profile(spark, idx).count() == 0
+    idx = update_profile_index(idx, df)
+    got = sorted(tuple(r) for r in read_profile(spark, idx).collect())
+    want = sorted(tuple(r) for r in profile_columns(df, ["v"]).collect())
     assert got == want
 
 
