@@ -1835,6 +1835,16 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_hot_keys(spark, sf_dir):
+    # exact heavy hitters with the pigeonhole local prune: the exchange is
+    # proportional to hot mass + candidates, never |distinct keys| — the
+    # detector that sizes salt_buckets for the MERGE/LWW salting tier
+    from cdcrypt.operators.skew import hot_keys
+
+    return hot_keys(_t(spark, sf_dir, "events"), "user_id",
+                    min_share=0.005)
+
+
 def _q_corpus_profile(spark, sf_dir):
     # one-pass per-column profile with a cross-engine-deterministic HLL
     # (operators/profile.py): stack-unpivot inside the scan stage, two
@@ -2440,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "line_dedup_keep_first": _q_line_dedup_keep_first,
         "corpus_profile": _q_corpus_profile,
+        "hot_keys": _q_hot_keys,
         "numeric_histogram": _q_numeric_histogram,
         "numeric_quantiles": _q_numeric_quantiles,
         "profile_incremental": _q_profile_incremental,
@@ -3151,7 +3162,9 @@ def oracle_sql() -> dict[str, str]:
     from cdcrypt.operators.profile import (
         numeric_histogram_sql, numeric_quantiles_sql, profile_columns_sql,
     )
+    from cdcrypt.operators.skew import hot_keys_sql
     return {
+        "hot_keys": hot_keys_sql("events", "user_id", 0.005),
         **_pii_oracle_entries(),
         "repetition_stats": (
             f"SELECT doc_id, {_dup_ngram_sql(1)} AS dup_token, "
