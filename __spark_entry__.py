@@ -1835,6 +1835,37 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+_MESSY_PREFIX = '<p class="c">'
+_MESSY_SUFFIX = " &amp;&lt;x&gt;‘q’—z<!--c--> end  "
+# decomposed e + COMBINING ACUTE: NFC must compose it to U+00E9
+_NFC_SUFFIX = " e\u0301"
+
+
+def _q_text_normalize(spark, sf_dir):
+    # full curation cleanup chain (markup -> entities -> control ->
+    # punctuation fold -> whitespace), pure Column / codegen; the messy
+    # wrapper is synthesized identically on both engines so the gate
+    # exercises every step, not the near-clean corpus text
+    from cdcrypt.functions.textnorm import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(F.lit(_MESSY_PREFIX), F.col("text"),
+                     F.lit(_MESSY_SUFFIX))
+    return d.select("doc_id", normalize_text(messy).alias("norm"))
+
+
+def _q_text_nfc(spark, sf_dir):
+    # unicode NFC (UAX #15) — the one normalization step that needs the
+    # Python boundary (Arrow-batched pandas UDF); DuckDB's nfc_normalize
+    # implements the same algorithm, so even this gates
+    from cdcrypt.functions.textnorm import nfc
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        nfc(F.concat(F.col("text"), F.lit(_NFC_SUFFIX))).alias("norm"))
+
+
 def _q_hot_keys(spark, sf_dir):
     # exact heavy hitters with the pigeonhole local prune: the exchange is
     # proportional to hot mass + candidates, never |distinct keys| — the
@@ -2451,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_keep_first": _q_line_dedup_keep_first,
         "corpus_profile": _q_corpus_profile,
         "hot_keys": _q_hot_keys,
+        "text_normalize": _q_text_normalize,
+        "text_nfc": _q_text_nfc,
         "numeric_histogram": _q_numeric_histogram,
         "numeric_quantiles": _q_numeric_quantiles,
         "profile_incremental": _q_profile_incremental,
@@ -3162,9 +3195,21 @@ def oracle_sql() -> dict[str, str]:
     from cdcrypt.operators.profile import (
         numeric_histogram_sql, numeric_quantiles_sql, profile_columns_sql,
     )
+    from cdcrypt.functions.textnorm import nfc_sql, normalize_text_sql
     from cdcrypt.operators.skew import hot_keys_sql
+
+    def _q(s):  # SQL string literal
+        return "'" + s.replace("'", "''") + "'"
+
+    messy = (f"({_q(_MESSY_PREFIX)} || text || {_q(_MESSY_SUFFIX)})")
     return {
         "hot_keys": hot_keys_sql("events", "user_id", 0.005),
+        "text_normalize": (
+            f"SELECT doc_id, {normalize_text_sql(messy)} AS norm "
+            "FROM documents"),
+        "text_nfc": (
+            f"SELECT doc_id, {nfc_sql(f'(text || {_q(_NFC_SUFFIX)})')} "
+            "AS norm FROM documents"),
         **_pii_oracle_entries(),
         "repetition_stats": (
             f"SELECT doc_id, {_dup_ngram_sql(1)} AS dup_token, "
