@@ -1,6 +1,12 @@
 """Streaming corpus profile: the bounded-state ProfileIndex ticked under
 Spark's native streaming runtime.
 
+(Named ``corpusprofile``, not ``profile``: ``streaming/pipeline.py`` is a
+spark-submit entry script, so this directory lands at ``sys.path[0]`` in
+deployed runs — a module named ``profile`` here shadows the stdlib module
+of that name and breaks ``cProfile`` inside pyspark's own import chain.
+Caught by tests/test_spark_submit.py.)
+
 Same wiring as the near-dup streams (streaming/dedup.py): a schema'd
 file tail -> ``foreachBatch`` -> per-batch index tick, with the batch-id
 watermark recorded atomically with the state it covers. The watermark

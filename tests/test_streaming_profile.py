@@ -1,4 +1,4 @@
-"""Streaming profile (streaming/profile.py): the bounded-state profile
+"""Streaming profile (streaming/corpusprofile.py): the bounded-state profile
 index ticks under Structured Streaming; the streamed result must be
 bit-identical to a one-shot profile over the full corpus, and
 redeliveries must be no-ops (the moment sums would double-count)."""
@@ -18,7 +18,7 @@ from cdcrypt.operators.profile import (
     build_profile_index,
     profile_columns,
 )
-from cdcrypt.streaming.profile import StreamingProfile
+from cdcrypt.streaming.corpusprofile import StreamingProfile
 
 SCHEMA = StructType([StructField("doc_id", LongType()),
                      StructField("text", StringType())])
