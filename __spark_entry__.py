@@ -345,6 +345,61 @@ def _q_smt_hash_field(spark, sf_dir):
              .select("source_h", "n"))
 
 
+def _q_smt_connect_chain(spark, sf_dir):
+    # Stock Connect SMT chain (operators/smtlib.py): from_json promote ->
+    # Flatten -> Cast -> TimestampConverter (string + unix forms) ->
+    # ReplaceField rename -> InsertField static -> MaskField literal.
+    # Seven chained stages fuse into ONE Catalyst projection (plan-asserted
+    # in tests/test_smtlib.py) — the oracle recomputes each stage in SQL.
+    from cdcrypt.operators.smtlib import compile_smt_chain
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("props", F.from_json("props", "k int"))
+          .withColumn("ts2", F.col("ts")))
+    chain = compile_smt_chain([
+        {"type": "Flatten", "delimiter": "_"},
+        {"type": "Cast", "spec": "user_id:int32"},
+        {"type": "TimestampConverter", "field": "ts",
+         "target.type": "string", "format": "yyyy-MM-dd HH:mm:ss"},
+        {"type": "TimestampConverter", "field": "ts2",
+         "target.type": "unix", "unix.precision": "milliseconds"},
+        {"type": "ReplaceField", "renames": "event_type:etype,ts2:ts_ms"},
+        {"type": "InsertField", "static.field": "dc", "static.value": "dc1"},
+        {"type": "MaskField", "fields": "value", "replacement": "0"},
+    ])
+    return chain.apply(ev).select(
+        "event_id", "etype", "props_k", "ts", "ts_ms", "dc", "user_id",
+        "value")
+
+
+def _q_smt_regex_router(spark, sf_dir):
+    # Routing/key SMTs: HoistField+ExtractField identity, ValueToKey,
+    # RegexRouter (whole-match gate), TimestampRouter daily expansion,
+    # Filter predicate — then a per-topic rollup so the oracle checks the
+    # routed topic strings and the key column end-to-end
+    from cdcrypt.operators.smtlib import compile_smt_chain
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("db.srv."), "event_type").alias("_topic"),
+        F.col("ts").alias("_ts"), "event_id", "user_id", "event_type")
+    chain = compile_smt_chain([
+        {"type": "HoistField", "field": "payload"},
+        {"type": "ExtractField", "field": "payload"},
+        {"type": "ValueToKey", "fields": "user_id"},
+        {"type": "Filter", "topic.regex": "db\\.srv\\.(click|view)",
+         "negate": "true"},
+        {"type": "RegexRouter", "regex": "db\\.srv\\.(.*)",
+         "replacement": "cdc-$1"},
+        {"type": "TimestampRouter", "topic.format": "${topic}-${timestamp}",
+         "timestamp.format": "yyyyMMdd"},
+    ])
+    out = chain.apply(ev)
+    return (out.groupBy(F.col("_topic").alias("topic"))
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("_key.user_id")).alias("key_sum"))
+               .select("topic", "n", "key_sum"))
+
+
 def _q_smt_schemaless_roundtrip(spark, sf_dir):
     # O3 schemaless Map mode as an engine API (Transform.java:63-69):
     # JSON-string payload -> from_json promote -> FieldTransform -> to_json
@@ -2435,6 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_conditional_crypto": _q_smt_conditional_crypto,
         "smt_mask_field": _q_smt_mask_field,
         "smt_hash_field": _q_smt_hash_field,
+        "smt_connect_chain": _q_smt_connect_chain,
+        "smt_regex_router": _q_smt_regex_router,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
         "smt_asym_roundtrip": _q_smt_asym_roundtrip,
         "det_key_groupby": _q_det_key_groupby,
@@ -3243,6 +3300,26 @@ def oracle_sql() -> dict[str, str]:
         "smt_hash_field": (
             "SELECT sha256('gate|' || source) AS source_h, "
             "COUNT(*)::BIGINT AS n FROM documents GROUP BY 1"),
+        "smt_connect_chain": """
+            SELECT event_id,
+                   event_type AS etype,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS props_k,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   epoch_ms(ts) AS ts_ms,
+                   'dc1' AS dc,
+                   CAST(user_id AS INTEGER) AS user_id,
+                   CAST(0 AS DOUBLE) AS value
+            FROM events
+        """,
+        "smt_regex_router": """
+            SELECT 'cdc-' || event_type || '-'
+                     || strftime(ts, '%Y%m%d') AS topic,
+                   COUNT(*) AS n,
+                   CAST(SUM(user_id) AS BIGINT) AS key_sum
+            FROM events
+            WHERE event_type IN ('click', 'view')
+            GROUP BY 1
+        """,
         "smt_schemaless_roundtrip": "SELECT doc_id, text, source FROM documents",
         "smt_asym_roundtrip": "SELECT doc_id, text FROM documents",
         "det_key_groupby": """

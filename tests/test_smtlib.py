@@ -1,0 +1,236 @@
+"""Connect built-in SMT library behavioral spec (operators/smtlib.py) —
+one test per stock SMT mirroring the upstream Connect semantics (field
+promotion, struct hoisting, flatten delimiter joining, include/exclude
+ordering, Cast's whole-value form, TimestampConverter's unix precisions,
+RegexRouter's whole-match gating, TimestampRouter expansion), plus the
+chain-fusion plan property: an N-stage chain compiles to ONE projection
+over the scan — no shuffle, no UDF."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdcrypt.operators.smtlib import SmtChain, compile_smt_chain
+from cdcrypt.operators.transform import ConfigError
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        Row(_topic="db.srv.users", _ts=datetime.datetime(2024, 3, 5, 12, 0),
+            _offset=7, user_id=1, name="ada",
+            meta=Row(city="paris", score=9)),
+        Row(_topic="db.srv.users", _ts=datetime.datetime(2024, 3, 6, 1, 30),
+            _offset=8, user_id=2, name="bo",
+            meta=Row(city="oslo", score=3)),
+        Row(_topic="db.srv.orders", _ts=datetime.datetime(2024, 3, 6, 2, 0),
+            _offset=9, user_id=3, name="cy",
+            meta=Row(city="lima", score=5)),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_extract_field_struct_promotes(events):
+    out = compile_smt_chain([{"type": "ExtractField", "field": "meta"}]) \
+        .apply(events)
+    assert set(out.columns) == {"city", "score", "_topic", "_ts", "_offset"}
+    assert out.where(F.col("city") == "paris").count() == 1
+
+
+def test_extract_field_scalar(events):
+    out = compile_smt_chain([{"type": "ExtractField$Value", "field": "name"}]) \
+        .apply(events)
+    assert [c for c in out.columns if not c.startswith("_")] == ["name"]
+
+
+def test_hoist_then_extract_roundtrip(events):
+    chain = compile_smt_chain([
+        {"type": "HoistField", "field": "payload"},
+        {"type": "ExtractField", "field": "payload"},
+    ])
+    out = chain.apply(events)
+    assert sorted(out.columns) == sorted(events.columns)
+    assert out.count() == events.count()
+
+
+def test_flatten_delimiter(events):
+    out = compile_smt_chain([{"type": "Flatten", "delimiter": "_"}]) \
+        .apply(events)
+    assert "meta_city" in out.columns and "meta_score" in out.columns
+    assert out.where(F.col("meta_city") == "oslo").count() == 1
+
+
+def test_replace_field_order_and_renames(events):
+    out = compile_smt_chain([{
+        "type": "ReplaceField",
+        "exclude": "meta",
+        "renames": "name:user_name",
+    }]).apply(events)
+    cols = [c for c in out.columns if not c.startswith("_")]
+    assert cols == ["user_id", "user_name"]
+    # include keeps only the listed fields (then renames apply)
+    out2 = compile_smt_chain([{
+        "type": "ReplaceField", "include": "name", "renames": "name:n",
+    }]).apply(events)
+    assert [c for c in out2.columns if not c.startswith("_")] == ["n"]
+
+
+def test_insert_field_static_and_metadata(events):
+    out = compile_smt_chain([{
+        "type": "InsertField",
+        "static.field": "source_dc", "static.value": "dc1",
+        "topic.field": "src_topic", "offset.field": "src_off",
+    }]).apply(events)
+    row = out.where(F.col("user_id") == 1).first()
+    assert row.source_dc == "dc1"
+    assert row.src_topic == "db.srv.users" and row.src_off == 7
+
+
+def test_mask_field_null_and_literal(events):
+    out = compile_smt_chain([
+        {"type": "MaskField", "fields": "name"},
+        {"type": "MaskField", "fields": "user_id", "replacement": "0"},
+    ]).apply(events)
+    assert out.where(F.col("name").isNull()).count() == 3
+    assert out.agg(F.sum("user_id")).first()[0] == 0
+    assert out.schema["user_id"].dataType.simpleString() == "bigint"
+
+
+def test_cast_spec_and_whole_value(events):
+    out = compile_smt_chain([
+        {"type": "Cast", "spec": "user_id:string,name:bytes"},
+    ]).apply(events)
+    assert out.schema["user_id"].dataType.simpleString() == "string"
+    assert out.schema["name"].dataType.simpleString() == "binary"
+    single = compile_smt_chain([
+        {"type": "ExtractField", "field": "user_id"},
+        {"type": "Cast", "spec": "int32"},
+    ]).apply(events)
+    assert single.schema["user_id"].dataType.simpleString() == "int"
+
+
+def test_timestamp_converter_unix_string_roundtrip(spark):
+    df = spark.createDataFrame([Row(ts_ms=1709640000000)])
+    as_ts = compile_smt_chain([{
+        "type": "TimestampConverter", "field": "ts_ms",
+        "target.type": "Timestamp",
+    }]).apply(df)
+    assert as_ts.schema["ts_ms"].dataType.simpleString() == "timestamp"
+    as_str = compile_smt_chain([{
+        "type": "TimestampConverter", "field": "ts_ms",
+        "target.type": "string", "format": "yyyy-MM-dd",
+    }]).apply(df)
+    assert as_str.first().ts_ms == "2024-03-05"
+    back = compile_smt_chain([
+        {"type": "TimestampConverter", "field": "ts_ms",
+         "target.type": "Timestamp"},
+        {"type": "TimestampConverter", "field": "ts_ms",
+         "target.type": "unix", "unix.precision": "seconds"},
+    ]).apply(df)
+    assert back.first().ts_ms == 1709640000
+
+
+def test_regex_router_whole_match_only(events):
+    out = compile_smt_chain([{
+        "type": "RegexRouter",
+        "regex": "db\\.srv\\.(.*)", "replacement": "cdc-$1",
+    }]).apply(events)
+    topics = {r._topic for r in out.select("_topic").collect()}
+    assert topics == {"cdc-users", "cdc-orders"}
+    # a non-matching topic passes through unchanged (whole-match gate)
+    out2 = compile_smt_chain([{
+        "type": "RegexRouter", "regex": "srv", "replacement": "X",
+    }]).apply(events)
+    assert {r._topic for r in out2.select("_topic").collect()} \
+        == {"db.srv.users", "db.srv.orders"}
+
+
+def test_timestamp_router(events):
+    out = compile_smt_chain([{
+        "type": "TimestampRouter",
+        "topic.format": "${topic}-${timestamp}",
+        "timestamp.format": "yyyyMMdd",
+    }]).apply(events)
+    assert out.where(F.col("_topic") == "db.srv.users-20240305").count() == 1
+    assert out.where(F.col("_topic") == "db.srv.orders-20240306").count() == 1
+
+
+def test_filter_topic_and_field_predicates(events):
+    dropped = compile_smt_chain([{
+        "type": "Filter", "topic.regex": ".*orders",
+    }]).apply(events)
+    assert dropped.count() == 2
+    kept_only = compile_smt_chain([{
+        "type": "Filter", "topic.regex": ".*orders", "negate": "true",
+    }]).apply(events)
+    assert kept_only.count() == 1
+    by_field = compile_smt_chain([{
+        "type": "Filter", "field": "$.name", "equals": "ada",
+    }]).apply(events)
+    assert by_field.count() == 2
+
+
+def test_value_to_key(events):
+    out = compile_smt_chain([{"type": "ValueToKey", "fields": "user_id"}]) \
+        .apply(events)
+    assert out.schema["_key"].dataType.simpleString() == \
+        "struct<user_id:bigint>"
+
+
+def test_chain_fuses_to_single_projection(events):
+    """The scale property: an N-stage chain is one Catalyst projection —
+    no Exchange, no BatchEvalPython, whole-stage codegen throughout."""
+    chain = compile_smt_chain([
+        {"type": "Flatten", "delimiter": "_"},
+        {"type": "ReplaceField", "renames": "meta_city:city"},
+        {"type": "Cast", "spec": "meta_score:string"},
+        {"type": "InsertField", "static.field": "dc", "static.value": "a"},
+        {"type": "RegexRouter", "regex": "db\\.srv\\.(.*)",
+         "replacement": "$1"},
+    ])
+    plan = chain.apply(events)._sc is not None and \
+        chain.apply(events)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_config_errors_raise_driver_side(events):
+    with pytest.raises(ConfigError, match="unknown SMT"):
+        compile_smt_chain([{"type": "Nope"}])
+    with pytest.raises(ConfigError, match="go together"):
+        compile_smt_chain([{"type": "InsertField", "static.field": "x"}])
+    with pytest.raises(ConfigError, match="unknown type"):
+        compile_smt_chain([{"type": "Cast", "spec": "a:uuid"}])
+    with pytest.raises(ConfigError, match="no field"):
+        compile_smt_chain([{"type": "ExtractField", "field": "zzz"}]) \
+            .apply(events)
+    with pytest.raises(ConfigError, match="requires format"):
+        compile_smt_chain([{"type": "TimestampConverter", "field": "x",
+                            "target.type": "string"}])
+
+
+def test_chain_composes_with_crypto_transform(events):
+    """The reference deployment shape: stock SMTs around the crypto SMT —
+    flatten, then encrypt a flattened leaf, then route; decrypt recovers."""
+    from cdcrypt.operators.transform import decrypt_fields, encrypt_fields
+
+    pre = compile_smt_chain([
+        {"type": "Flatten", "delimiter": "_"},
+        {"type": "ValueToKey", "fields": "user_id"},
+    ])
+    post = compile_smt_chain([{
+        "type": "RegexRouter", "regex": "db\\.srv\\.(.*)",
+        "replacement": "enc-$1",
+    }])
+    flat = pre.apply(events)
+    enc = post.apply(
+        encrypt_fields(flat, ["$.meta_city"], key_id="cdcrypt/smtlib"))
+    dec = decrypt_fields(enc, ["$.meta_city"], key_id="cdcrypt/smtlib")
+    got = {(r.user_id, r.meta_city, r._topic)
+           for r in dec.select("user_id", "meta_city", "_topic").collect()}
+    assert got == {(1, "paris", "enc-users"), (2, "oslo", "enc-users"),
+                   (3, "lima", "enc-orders")}
