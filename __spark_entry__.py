@@ -2476,6 +2476,64 @@ def _q_multimodal_features(spark, sf_dir):
                         "pcm_rms", "pcm_peak", "pcm_silence_ratio")
 
 
+# fixed query set for the BM25 gates (drawn from the generator's vocabulary;
+# 'watermark' is deliberately out-of-vocab to exercise unmatched terms)
+_BM25_QUERIES = [(0, "hash join order"), (1, "stream window watermark"),
+                 (2, "customer table scan merge")]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    # Okapi BM25 ranked retrieval (operators/textsearch.py): one corpus
+    # tokenize+tf groupBy, broadcast query terms, window df, top-10 per
+    # query — the oracle recomputes the full ranking in SQL (same
+    # tokenizer as the minhash family's _WORDS_SQL, same round/tie-break
+    # contract as the ANN gates)
+    from cdcrypt.operators.textsearch import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, query string")
+    return bm25_topk(docs, qs, k=10)
+
+
+def _bm25_index_for(spark, sf_dir):
+    """The gate's persisted inverted index: built ONCE per sf dir on the
+    EVEN doc_ids then grown by ONE append of the odd half — so the cached
+    artifact exercises build + O(batch) append and serves the full corpus
+    (same /tmp cache economics + content fingerprint as the IVF/minhash/
+    embedding gate artifacts)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cdcrypt.operators.textsearch import (
+        TextIndex, TextIndexError, append_to_text_index, build_text_index)
+    docs = _t(spark, sf_dir, "documents")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:bm25:v1:"
+        f"{_table_fingerprint(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_textidx_{key}")
+    try:
+        idx = TextIndex(root)
+    except TextIndexError:
+        idx = build_text_index(docs.where(F.col("doc_id") % 2 == 0), root,
+                               n_partitions=16)
+        idx = append_to_text_index(idx, docs.where(F.col("doc_id") % 2 == 1))
+    return idx
+
+
+def _q_bm25_indexed(spark, sf_dir):
+    # persisted-index variant: tokenize once into the tpart layout
+    # (build on evens + one append of odds == the whole corpus — the
+    # append-equals-rebuild contract), then serve the same query set with
+    # dynamic-partition-pruned postings reads; same oracle as bm25_topk
+    from cdcrypt.operators.textsearch import bm25_topk_indexed
+
+    idx = _bm25_index_for(spark, sf_dir)
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, query string")
+    return bm25_topk_indexed(spark, idx, qs, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
@@ -2546,6 +2604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_incremental": _q_profile_incremental,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_indexed": _q_bm25_indexed,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -2590,6 +2650,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS_SQL = ("regexp_split_to_array(regexp_replace(trim(lower(text)), "
               "'\\s+', ' ', 'g'), ' ')")
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Full BM25 ranking replicated in DuckDB SQL (shared by the one-shot
+    and indexed gates — the index is a layout, not a semantics change):
+    same tokenizer as _WORDS_SQL, idf = ln(1+(N-df+.5)/(df+.5)), saturated
+    tf, 4-dp rounding before the rank window, doc_id tie-break."""
+    vals = ", ".join(f"({qid}, '{txt}')" for qid, txt in _BM25_QUERIES)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter({_WORDS_SQL}, x -> x <> '') AS ws
+          FROM documents),
+        stats AS (
+          SELECT count(*) AS n_docs,
+                 sum(len(ws))::DOUBLE / count(*) AS avgdl FROM w),
+        post AS (
+          SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+            SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM w)
+          GROUP BY doc_id, term),
+        dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        qt AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(list_filter(regexp_split_to_array(
+                     regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g'),
+                     ' '), x -> x <> '')) AS term
+            FROM (VALUES {vals}) v(query_id, qtext))),
+        scored AS (
+          SELECT qt.query_id, p.doc_id,
+                 round(sum(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * {k1 + 1.0}
+                   / (p.tf + {k1} * (1 - {b} + {b} * p.dl / s.avgdl))
+                 ), 4) AS score
+          FROM qt
+          JOIN post p USING (term)
+          JOIN dfs d USING (term)
+          CROSS JOIN stats s
+          GROUP BY 1, 2)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score
+        FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= {k}
+    """
 
 
 def _minhash_cte(cap: "int | None" = -1) -> str:
@@ -3958,6 +4066,8 @@ def oracle_sql() -> dict[str, str]:
                 AS n_subwords
             FROM documents
         """,
+        "bm25_topk": _bm25_sql(),
+        "bm25_indexed": _bm25_sql(),
         "pack_sequences": f"""
             WITH base AS (
               SELECT doc_id,
