@@ -2534,6 +2534,19 @@ def _q_bm25_indexed(spark, sf_dir):
     return bm25_topk_indexed(spark, idx, qs, k=10)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    # CCNet-shaped quality filter (operators/lmscore.py): train an
+    # add-alpha bigram LM on the src1 slice (the 'trusted reference'),
+    # score EVERY document's perplexity under it. All joins on 60-bit
+    # md5 hashes — the oracle rebuilds the identical LM with a lag
+    # window and replays the smoothing arithmetic
+    from cdcrypt.operators.lmscore import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.where(F.col("source") == "src1"))
+    return score_perplexity(docs, lm, broadcast_lm=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
@@ -2606,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "bm25_topk": _q_bm25_topk,
         "bm25_indexed": _q_bm25_indexed,
+        "lm_perplexity": _q_lm_perplexity,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -3357,6 +3371,7 @@ def _pii_oracle_entries() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from cdcrypt.functions.hash64 import h60_sql as _h60_sql
     from cdcrypt.operators.profile import (
         numeric_histogram_sql, numeric_quantiles_sql, profile_columns_sql,
     )
@@ -4068,6 +4083,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
+        "lm_perplexity": f"""
+            WITH big_all AS (
+              SELECT doc_id, source,
+                {_h60_sql("coalesce(lag(term) OVER "
+                          "(PARTITION BY doc_id ORDER BY pos), '<s>')")}
+                  AS hp,
+                {_h60_sql("term")} AS ht
+              FROM (
+                SELECT doc_id, source, unnest(ws) AS term,
+                       generate_subscripts(ws, 1) AS pos
+                FROM (SELECT doc_id, source,
+                             list_filter({_WORDS_SQL}, x -> x <> '') AS ws
+                      FROM documents))),
+            train AS (
+              SELECT hp, ht, count(*) AS cnt FROM big_all
+              WHERE source = 'src1' GROUP BY 1, 2),
+            ctx AS (SELECT hp, CAST(sum(cnt) AS BIGINT) AS ctx
+                    FROM train GROUP BY hp),
+            v AS (SELECT count(DISTINCT ht) AS v FROM train)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln((coalesce(cnt, 0) + 0.1)
+                       / (coalesce(ctx, 0) + 0.1 * (v + 1)))), 4)
+                     AS avg_logp,
+                   round(exp(-avg(ln((coalesce(cnt, 0) + 0.1)
+                       / (coalesce(ctx, 0) + 0.1 * (v + 1))))), 4) AS ppl
+            FROM big_all
+            LEFT JOIN train USING (hp, ht)
+            LEFT JOIN ctx USING (hp)
+            CROSS JOIN v
+            GROUP BY doc_id
+        """,
         "pack_sequences": f"""
             WITH base AS (
               SELECT doc_id,
