@@ -2534,6 +2534,49 @@ def _q_bm25_indexed(spark, sf_dir):
     return bm25_topk_indexed(spark, idx, qs, k=10)
 
 
+_SEMDEDUP = dict(threshold=0.5, bits=6, dim=64, seed=42)
+
+
+def _q_semdedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023) with the LSH assigner — the cluster ids
+    # are 6-bit hyperplane-sign buckets whose float arithmetic the oracle
+    # replays term-for-term, then the greedy lower-id sweep inside each
+    # cluster; the kmeans assigner (the paper's) is property-tested with
+    # planted duplicate groups in tests/test_semdedup.py
+    from cdcrypt.operators.similarity import semdedup
+
+    emb = _tp(spark, sf_dir, "embeddings", "vec_id")
+    p = _SEMDEDUP
+    return semdedup(emb, threshold=p["threshold"], assigner="lsh",
+                    bits=p["bits"], seed=p["seed"], dim=p["dim"])
+
+
+def _semdedup_sql() -> str:
+    from cdcrypt.operators.similarity import lsh_planes
+    p = _SEMDEDUP
+    planes = lsh_planes(p["dim"], p["bits"], p["seed"])
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_dot_sql('embedding', pl, p['dim'])} >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, pl in enumerate(planes))
+    return f"""
+        WITH tagged AS (
+          SELECT vec_id, CAST({bucket} AS BIGINT) AS cluster
+          FROM embeddings),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM tagged a
+          JOIN tagged b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE round(list_cosine_similarity(
+                  ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4)
+                >= {p["threshold"]})
+        SELECT t.vec_id, t.cluster, (d.vec_id IS NULL) AS keep
+        FROM tagged t LEFT JOIN drops d USING (vec_id)
+    """
+
+
 def _q_lm_perplexity(spark, sf_dir):
     # CCNet-shaped quality filter (operators/lmscore.py): train an
     # add-alpha bigram LM on the src1 slice (the 'trusted reference'),
@@ -2620,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_indexed": _q_bm25_indexed,
         "lm_perplexity": _q_lm_perplexity,
+        "semdedup": _q_semdedup,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -4083,6 +4127,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
+        "semdedup": _semdedup_sql(),
         "lm_perplexity": f"""
             WITH big_all AS (
               SELECT doc_id, source,

@@ -1340,3 +1340,93 @@ def ann_lsh_topk_indexed(
                         round_digits).alias("sim"))
     )
     return _rank_topk(sims, k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-prune
+# ---------------------------------------------------------------------------
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    assigner: str = "kmeans",
+    n_clusters: int = 64,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+    method: str = "column",
+    round_digits: int = 4,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster the
+    embedding space, then within each cluster drop every point that has a
+    lower-id neighbor with cosine >= ``threshold``.
+
+    The keep rule is the reference implementation's greedy triangular
+    sweep — point i is dropped iff SOME j < i in the same cluster has
+    sim(i, j) >= threshold — NOT a transitive closure (for closure
+    semantics over near-dup pairs, feed embedding_neardup_lsh into
+    dedup_components). Output: ``(id, cluster, keep)`` for every input row.
+
+    ``assigner``:
+    - 'kmeans' (the paper's): bounded-sample kmeans++ quantizer
+      (:func:`_train_centroids`) + BLAS cell assignment — the 100 TB path;
+      pick ``n_clusters`` ~ corpus/50k like the paper so the per-cluster
+      pairwise stage stays rectangular.
+    - 'lsh': cluster = one ``bits``-bit hyperplane-sign bucket
+      (:func:`_tag_bands`, band 0) — deterministic float arithmetic the
+      DuckDB oracle reproduces term-for-term, so the WHOLE operator is
+      correctness-gated cross-engine (kmeans assignments are verified by
+      planted-duplicate property tests instead).
+
+    Scale shape: one shuffle on the cluster id, pairwise cosine confined
+    within clusters (sum of c_i^2, the paper's cost model), one window to
+    mark drops. ``max_cluster_size`` is the skew valve: clusters larger
+    than it SKIP dedup entirely (all rows kept, semantics documented) —
+    at sane ``n_clusters`` a mega-cluster means the quantizer is stale,
+    and silently pruning inside it would be quadratic.
+    """
+    if assigner not in ("kmeans", "lsh"):
+        raise ValueError(f"assigner {assigner!r} must be 'kmeans' or 'lsh'")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if assigner == "kmeans":
+        cents = _train_centroids(vecs, n_clusters, "_v", seed)
+        tagged = (_assign_cells(vecs, cents, 1, "_v")
+                  .select("_id", "_v",
+                          F.col("cells")[0].cast("long").alias("cluster")))
+    else:
+        tagged = (_tag_bands(vecs, 1, bits, seed, dim, method)
+                  .select("_id", "_v", F.col("bucket").alias("cluster")))
+    tagged = tagged.repartition("cluster")
+    if max_cluster_size is not None:
+        n = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        tagged = tagged.withColumn("_skip", n > max_cluster_size)
+    else:
+        tagged = tagged.withColumn("_skip", F.lit(False))
+    small = tagged.where(~F.col("_skip"))
+    left = small.select("cluster", F.col("_id").alias("id_a"),
+                        F.col("_v").alias("va"))
+    right = small.select("cluster", F.col("_id").alias("id_b"),
+                         F.col("_v").alias("vb"))
+    # the greedy sweep needs only "does a lower-id >=threshold neighbor
+    # EXIST", so drops are a distinct projection of the triangular join
+    drops = (
+        left.join(right, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(cosine_sim(_dvec(F.col("va")), _dvec(F.col("vb"))),
+                    round_digits).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .select("id_b").distinct()
+    )
+    return (
+        tagged.join(drops, tagged["_id"] == drops["id_b"], "left")
+              .select(F.col("_id").alias(id_col), "cluster",
+                      F.col("id_b").isNull().alias("keep"))
+    )
