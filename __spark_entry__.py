@@ -2534,6 +2534,89 @@ def _q_bm25_indexed(spark, sf_dir):
     return bm25_topk_indexed(spark, idx, qs, k=10)
 
 
+_DSIR = dict(n_buckets=2048, alpha=0.5, k=50, salt="dsir")
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights (operators/dsir.py): target = the src2
+    # slice, raw = the whole corpus; hashed uni+bigram multinomials,
+    # per-token mean log-ratio. The oracle rebuilds the features with a
+    # lag window and replays the smoothing arithmetic
+    from cdcrypt.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("source") == "src2"),
+                        n_buckets=_DSIR["n_buckets"], alpha=_DSIR["alpha"])
+
+
+def _q_dsir_sample(spark, sf_dir):
+    # Gumbel top-k importance resample: deterministic noise from the
+    # md5-derived 60-bit hash, so the SELECTED SET itself is oracle-gated
+    from cdcrypt.operators.dsir import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_sample(docs, docs.where(F.col("source") == "src2"),
+                       k=_DSIR["k"], n_buckets=_DSIR["n_buckets"],
+                       alpha=_DSIR["alpha"], salt=_DSIR["salt"])
+
+
+def _dsir_cte() -> str:
+    """Shared DSIR CTEs: hashed features (lag-window bigrams), target/raw
+    totals, smoothed log-ratio table, per-doc scores."""
+    from cdcrypt.functions.hash64 import h60_sql
+    b, a = _DSIR["n_buckets"], _DSIR["alpha"]
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, source, unnest(ws) AS term,
+                 generate_subscripts(ws, 1) AS pos
+          FROM (SELECT doc_id, source,
+                       list_filter({_WORDS_SQL}, x -> x <> '') AS ws
+                FROM documents)),
+        grams AS (
+          SELECT doc_id, source, 'u:' || term AS g FROM tok
+          UNION ALL
+          SELECT doc_id, source,
+                 'b:' || lag(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                      || ' ' || term AS g
+          FROM tok),
+        feat AS (
+          SELECT doc_id, source, {h60_sql("g")} % {b} AS bucket,
+                 count(*) AS cnt
+          FROM grams WHERE g IS NOT NULL GROUP BY 1, 2, 3),
+        ct AS (SELECT bucket, sum(cnt) AS c_t FROM feat
+               WHERE source = 'src2' GROUP BY 1),
+        cr AS (SELECT bucket, sum(cnt) AS c_r FROM feat GROUP BY 1),
+        tot AS (
+          SELECT sum(coalesce(c_t, 0)) AS tt, sum(coalesce(c_r, 0)) AS tr
+          FROM cr FULL OUTER JOIN ct USING (bucket)),
+        lr AS (
+          SELECT bucket,
+                 ln((coalesce(c_t, 0) + {a}) / (tt + {a} * {b}))
+                 - ln((coalesce(c_r, 0) + {a}) / (tr + {a} * {b})) AS lr
+          FROM cr FULL OUTER JOIN ct USING (bucket) CROSS JOIN tot),
+        scores AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+                 round(sum(cnt * lr) / sum(cnt), 4) AS logw
+          FROM feat JOIN lr USING (bucket)
+          GROUP BY doc_id)
+    """
+
+
+def _dsir_sample_sql() -> str:
+    from cdcrypt.functions.hash64 import h60_sql
+    k, salt = _DSIR["k"], _DSIR["salt"]
+    pre = h60_sql(f"CAST(doc_id AS VARCHAR) || ':' || '{salt}'")
+    g = f"-ln(-ln({pre} / {float(1 << 60)!r}))"
+    return _dsir_cte() + f"""
+        SELECT doc_id, logw, key, rank FROM (
+          SELECT doc_id, logw, round(logw + {g}, 4) AS key,
+                 row_number() OVER (ORDER BY round(logw + {g}, 4) DESC,
+                                    doc_id ASC) AS rank
+          FROM scores)
+        WHERE rank <= {k}
+    """
+
+
 _SEMDEDUP = dict(threshold=0.5, bits=6, dim=64, seed=42)
 
 
@@ -2664,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": _q_bm25_indexed,
         "lm_perplexity": _q_lm_perplexity,
         "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -4128,6 +4213,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
         "semdedup": _semdedup_sql(),
+        "dsir_weights": _dsir_cte() + " SELECT doc_id, n_feats, logw FROM scores",
+        "dsir_sample": _dsir_sample_sql(),
         "lm_perplexity": f"""
             WITH big_all AS (
               SELECT doc_id, source,
