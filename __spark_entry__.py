@@ -400,6 +400,29 @@ def _q_smt_regex_router(spark, sf_dir):
                .select("topic", "n", "key_sum"))
 
 
+def _q_smt_outbox_route(spark, sf_dir):
+    # Debezium outbox pattern (smtlib EventRouter): an outbox-table shape
+    # synthesized from orders routes to per-aggregate topics, key from the
+    # aggregate id, payload passthrough, one placement alias — the whole
+    # expansion is a single fused projection
+    from cdcrypt.operators.smtlib import compile_smt_chain
+
+    ob = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "O", "order")
+         .otherwise("shipment").alias("aggregatetype"),
+        F.concat(F.lit("agg-"), F.col("o_custkey")).alias("aggregateid"),
+        F.lit("OrderEvent").alias("type"),
+        F.concat(F.lit('{"o_orderkey":'), F.col("o_orderkey"),
+                 F.lit("}")).alias("payload"))
+    out = compile_smt_chain([{
+        "type": "EventRouter",
+        "fields.additional.placement": "type:envelope:eventType",
+    }]).apply(ob)
+    return out.select(F.col("_topic").alias("topic"),
+                      F.col("_key.aggregateid").alias("key"),
+                      "payload", "eventType")
+
+
 def _q_smt_schemaless_roundtrip(spark, sf_dir):
     # O3 schemaless Map mode as an engine API (Transform.java:63-69):
     # JSON-string payload -> from_json promote -> FieldTransform -> to_json
@@ -2689,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_hash_field": _q_smt_hash_field,
         "smt_connect_chain": _q_smt_connect_chain,
         "smt_regex_router": _q_smt_regex_router,
+        "smt_outbox_route": _q_smt_outbox_route,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
         "smt_asym_roundtrip": _q_smt_asym_roundtrip,
         "det_key_groupby": _q_det_key_groupby,
@@ -3571,6 +3595,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'view')
             GROUP BY 1
+        """,
+        "smt_outbox_route": """
+            SELECT 'outbox.event.' ||
+                     CASE WHEN o_orderstatus = 'O'
+                          THEN 'order' ELSE 'shipment' END AS topic,
+                   'agg-' || CAST(o_custkey AS VARCHAR) AS key,
+                   '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || '}'
+                     AS payload,
+                   'OrderEvent' AS eventType
+            FROM orders
         """,
         "smt_schemaless_roundtrip": "SELECT doc_id, text, source FROM documents",
         "smt_asym_roundtrip": "SELECT doc_id, text FROM documents",

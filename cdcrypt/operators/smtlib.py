@@ -397,6 +397,63 @@ def _value_to_key(props: dict) -> Stage:
     return stage
 
 
+def _event_router(props: dict) -> Stage:
+    """EventRouter (the Debezium outbox pattern, public docs
+    'outbox-event-router'): a transactional *outbox table* row becomes a
+    routed event — topic from the aggregate type via ``route.topic.
+    replacement`` (``${routedByValue}`` expanded), key from the aggregate
+    id, value from the payload field; chosen extra fields ride along.
+
+    Config (Debezium property names, ``table.`` prefixes accepted):
+    ``route.by.field`` (default ``aggregatetype``), ``route.topic.
+    replacement`` (default ``outbox.event.${routedByValue}``),
+    ``field.event.key`` (default ``aggregateid``), ``field.event.payload``
+    (default ``payload``), ``fields.additional.placement`` =
+    ``f1:envelope[:alias],...`` (envelope placements only).
+
+    Pure Column projection like every other stage — chained after a CDC
+    source, the outbox expansion fuses into the same codegen'd map."""
+    route_by = props.get("route.by.field", "aggregatetype")
+    topic_tpl = props.get("route.topic.replacement",
+                          "outbox.event.${routedByValue}")
+    key_field = props.get("field.event.key", "aggregateid")
+    payload_field = props.get("field.event.payload", "payload")
+    extra: list[tuple[str, str]] = []
+    for spec in (s for s in
+                 props.get("fields.additional.placement", "").split(",")
+                 if s):
+        parts = spec.split(":")
+        _require(len(parts) in (2, 3) and parts[1] == "envelope",
+                 f"EventRouter: bad placement {spec!r} "
+                 "(want field:envelope[:alias])")
+        extra.append((parts[0], parts[2] if len(parts) == 3 else parts[0]))
+
+    def stage(df: DataFrame) -> DataFrame:
+        for fname in (route_by, key_field, payload_field,
+                      *[f for f, _ in extra]):
+            _require(fname in df.columns, f"EventRouter: no field {fname!r}")
+        parts: list[Column] = []
+        rest = topic_tpl
+        marker = "${routedByValue}"
+        while rest:
+            i = rest.find(marker)
+            if i < 0:
+                parts.append(F.lit(rest))
+                break
+            if i > 0:
+                parts.append(F.lit(rest[:i]))
+            parts.append(F.col(route_by).cast("string"))
+            rest = rest[i + len(marker):]
+        value = [F.col(payload_field).alias("payload")] + [
+            F.col(f).alias(alias) for f, alias in extra]
+        return df.select(
+            F.concat(*parts).alias(DEFAULT_TOPIC_COL),
+            F.struct(F.col(key_field).alias(key_field)).alias("_key"),
+            *value)
+
+    return stage
+
+
 _REGISTRY: dict[str, Callable[[dict], Stage]] = {
     "ExtractField": _extract_field,
     "HoistField": _hoist_field,
@@ -410,6 +467,7 @@ _REGISTRY: dict[str, Callable[[dict], Stage]] = {
     "TimestampRouter": _timestamp_router,
     "Filter": _filter,
     "ValueToKey": _value_to_key,
+    "EventRouter": _event_router,
 }
 
 

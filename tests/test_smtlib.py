@@ -234,3 +234,30 @@ def test_chain_composes_with_crypto_transform(events):
            for r in dec.select("user_id", "meta_city", "_topic").collect()}
     assert got == {(1, "paris", "enc-users"), (2, "oslo", "enc-users"),
                    (3, "lima", "enc-orders")}
+
+
+def test_event_router_outbox(spark):
+    """Debezium outbox shape: aggregatetype routes the topic, aggregateid
+    becomes the key, payload becomes the value, placements ride along."""
+    rows = [
+        (1, "order", "o-17", "OrderCreated", '{"total": 9}'),
+        (2, "customer", "c-3", "CustomerMoved", '{"city": "oslo"}'),
+    ]
+    outbox = spark.createDataFrame(
+        rows, "id bigint, aggregatetype string, aggregateid string, "
+              "type string, payload string")
+    out = compile_smt_chain([{
+        "type": "EventRouter",
+        "fields.additional.placement": "type:envelope:eventType",
+    }]).apply(outbox)
+    got = {(r._topic, r._key.aggregateid, r.eventType)
+           for r in out.collect()}
+    assert got == {("outbox.event.order", "o-17", "OrderCreated"),
+                   ("outbox.event.customer", "c-3", "CustomerMoved")}
+    assert out.where(F.col("payload").contains("oslo")).count() == 1
+    with pytest.raises(ConfigError, match="bad placement"):
+        compile_smt_chain([{"type": "EventRouter",
+                            "fields.additional.placement": "type:header"}])
+    with pytest.raises(ConfigError, match="no field"):
+        compile_smt_chain([{"type": "EventRouter",
+                            "route.by.field": "agg"}]).apply(outbox)
