@@ -2683,6 +2683,46 @@ def _semdedup_sql() -> str:
     """
 
 
+def _lm_index_for(spark, sf_dir):
+    """The gate's persisted bigram LM: built ONCE per sf dir on the EVEN
+    src1 doc_ids, grown by ONE append of the odd src1 half, then
+    compacted — the cached artifact exercises build + O(batch) append +
+    merge-on-read compaction and equals training on all of src1."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cdcrypt.operators.lmscore import (
+        BigramLMIndex, LMIndexError, append_to_lm_index, build_lm_index,
+        compact_lm_index)
+    docs = _t(spark, sf_dir, "documents").where(F.col("source") == "src1")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:lm:v1:"
+        f"{_table_fingerprint(sf_dir, 'documents')}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_lmidx_{key}")
+    try:
+        idx = BigramLMIndex(root)
+    except LMIndexError:
+        idx = build_lm_index(docs.where(F.col("doc_id") % 2 == 0), root,
+                             n_partitions=8)
+        idx = append_to_lm_index(idx, docs.where(F.col("doc_id") % 2 == 1))
+        idx = compact_lm_index(spark, idx)
+    return idx
+
+
+def _q_lm_incremental(spark, sf_dir):
+    # persisted-LM variant of lm_perplexity: count src1's bigrams once
+    # into hpart segments (evens) + one O(batch) append (odds) + a
+    # compaction — scoring through the artifact must equal training from
+    # scratch, so it shares lm_perplexity's oracle verbatim
+    from cdcrypt.operators.lmscore import score_perplexity
+
+    idx = _lm_index_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return score_perplexity(docs, idx.lm(spark), broadcast_lm=True)
+
+
 def _q_lm_perplexity(spark, sf_dir):
     # CCNet-shaped quality filter (operators/lmscore.py): train an
     # add-alpha bigram LM on the src1 slice (the 'trusted reference'),
@@ -2770,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_indexed": _q_bm25_indexed,
         "lm_perplexity": _q_lm_perplexity,
+        "lm_incremental": _q_lm_incremental,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
@@ -3535,7 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         return "'" + s.replace("'", "''") + "'"
 
     messy = (f"({_q(_MESSY_PREFIX)} || text || {_q(_MESSY_SUFFIX)})")
-    return {
+    out = {
         "hot_keys": hot_keys_sql("events", "user_id", 0.005),
         "text_normalize": (
             f"SELECT doc_id, {normalize_text_sql(messy)} AS norm "
@@ -4460,3 +4501,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents))
         """,
     }
+    # the persisted-LM gate must reproduce training from scratch exactly,
+    # so it shares lm_perplexity's oracle verbatim (build+append+compact
+    # is a layout change, not a semantics change)
+    out["lm_incremental"] = out["lm_perplexity"]
+    return out

@@ -42,8 +42,10 @@ from pyspark.sql import functions as F
 from cdcrypt.functions.hash64 import h60
 from cdcrypt.operators.docdedup import _words
 
-__all__ = ["BigramLM", "doc_bigrams", "perplexity_filter",
-           "score_perplexity", "train_bigram_lm"]
+__all__ = ["BigramLM", "BigramLMIndex", "LMIndexError",
+           "append_to_lm_index", "build_lm_index", "compact_lm_index",
+           "doc_bigrams", "perplexity_filter", "score_perplexity",
+           "train_bigram_lm"]
 
 BOS = "<s>"
 
@@ -140,3 +142,145 @@ def perplexity_filter(docs: DataFrame, lm: BigramLM, max_ppl: float,
                             broadcast_lm=broadcast_lm) \
         .where(F.col("ppl") <= max_ppl).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# persisted LM (train once, grow per ingest batch)
+# ---------------------------------------------------------------------------
+
+class LMIndexError(RuntimeError):
+    pass
+
+
+class BigramLMIndex:
+    """Persisted bigram-count segments: train the reference LM ONCE, grow
+    it per ingest batch in O(batch) — the CCNet filter as a living artifact
+    instead of a per-run recount.
+
+    Layout::
+
+        root/_lm_meta.json      tokenizer params + counters (n_docs, appends)
+        root/counts/hpart=K/    (hp, ht, cnt) parquet segments,
+                                Hive-partitioned by hpart = pmod(hp, P)
+
+    Appends write a NEW segment of the batch's counts; reads re-aggregate
+    ``sum(cnt)`` per (hp, ht) — merge-on-read, exactly the MoR lake trade
+    (operators/merge.py): appends never rewrite history, the read pays one
+    LM-sized groupBy that :func:`compact_lm_index` folds away. Contexts
+    and vocab size always DERIVE from the merged counts, so they can never
+    drift from the segments."""
+
+    META = "_lm_meta.json"
+
+    def __init__(self, root: str):
+        import json
+        import os
+        try:
+            with open(os.path.join(root, self.META)) as f:
+                self.meta = json.load(f)
+        except (OSError, ValueError) as e:
+            raise LMIndexError(f"not an LM index: {root}") from e
+        self.root = root
+
+    def read_counts(self, spark) -> DataFrame:
+        import json
+        import os
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
+        seg = spark.read.schema(schema).parquet(
+            os.path.join(self.root, "counts"))
+        return seg.groupBy("hp", "ht").agg(F.sum("cnt").alias("cnt"))
+
+    def lm(self, spark) -> BigramLM:
+        bg = self.read_counts(spark)
+        return BigramLM(
+            bigrams=bg,
+            contexts=bg.groupBy("hp").agg(F.sum("cnt").alias("ctx")),
+            vocab=bg.agg(F.count_distinct("ht").alias("v")))
+
+
+def _write_lm_meta(root: str, meta: dict) -> None:
+    import json
+    import os
+    tmp = os.path.join(root, f".{BigramLMIndex.META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, BigramLMIndex.META))
+
+
+def _write_lm_segment(counts: DataFrame, root: str, n_partitions: int,
+                      mode: str) -> None:
+    import os
+    (counts.withColumn("hpart", F.pmod("hp", F.lit(n_partitions))
+                       .cast("int"))
+           .repartition("hpart")
+           .sortWithinPartitions("hpart", "hp", "ht")
+           .write.mode(mode).partitionBy("hpart")
+           .parquet(os.path.join(root, "counts")))
+
+
+def build_lm_index(docs: DataFrame, root: str, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   n_partitions: int = 16) -> BigramLMIndex:
+    """One bigram-count pass over the reference corpus into the hpart
+    layout."""
+    import json
+    import os
+    os.makedirs(root, exist_ok=True)
+    counts = (doc_bigrams(docs, text_col, id_col)
+              .groupBy("hp", "ht").agg(F.count("*").alias("cnt")))
+    _write_lm_segment(counts, root, n_partitions, "overwrite")
+    schema = counts.withColumn(
+        "hpart", F.lit(0).cast("int")).schema
+    meta = {
+        "format": "cdcrypt-lm/1",
+        "text_col": text_col, "id_col": id_col,
+        "n_partitions": n_partitions,
+        "n_docs": docs.count(),
+        "schema": json.dumps(schema.jsonValue()),
+    }
+    _write_lm_meta(root, meta)
+    return BigramLMIndex(root)
+
+
+def append_to_lm_index(index: "BigramLMIndex | str", new_docs: DataFrame,
+                       meta_extra: dict | None = None) -> BigramLMIndex:
+    """Grow the LM by one batch: count the NEW docs' bigrams only, append
+    the segment. O(batch); duplicate (hp, ht) keys across segments are the
+    point — the merge-on-read sum folds them. Same atomic meta contract as
+    the other indexes (``meta_extra`` carries streaming watermarks)."""
+    idx = BigramLMIndex(index) if isinstance(index, str) else index
+    m = idx.meta
+    counts = (doc_bigrams(new_docs, m["text_col"], m["id_col"])
+              .groupBy("hp", "ht").agg(F.count("*").alias("cnt")))
+    _write_lm_segment(counts, idx.root, m["n_partitions"], "append")
+    meta = dict(m)
+    meta["n_docs"] = int(meta["n_docs"]) + new_docs.count()
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    meta.update(meta_extra or {})
+    _write_lm_meta(idx.root, meta)
+    return BigramLMIndex(idx.root)
+
+
+def compact_lm_index(spark, index: "BigramLMIndex | str") -> BigramLMIndex:
+    """Fold all segments into one: rewrite the merged counts as the single
+    segment (the read-side groupBy becomes a near-no-op until the next
+    append). Counters and layout params are preserved."""
+    import os
+    import shutil
+    idx = BigramLMIndex(index) if isinstance(index, str) else index
+    merged = idx.read_counts(spark)
+    tmp = os.path.join(idx.root, "counts_compact")
+    (merged.withColumn("hpart", F.pmod("hp",
+                                       F.lit(idx.meta["n_partitions"]))
+                       .cast("int"))
+           .repartition("hpart")
+           .sortWithinPartitions("hpart", "hp", "ht")
+           .write.mode("overwrite").partitionBy("hpart").parquet(tmp))
+    live = os.path.join(idx.root, "counts")
+    shutil.rmtree(live)
+    os.replace(tmp, live)
+    meta = dict(idx.meta)
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    _write_lm_meta(idx.root, meta)
+    return BigramLMIndex(idx.root)

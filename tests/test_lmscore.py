@@ -154,3 +154,45 @@ def test_duckdb_lag_formulation_matches(spark, lm, ref_docs):
         CROSS JOIN v GROUP BY doc_id
         """).fetchall()
     assert {r[0]: (r[1], r[2], r[3]) for r in oracle} == got
+
+
+def test_lm_index_append_equals_retrain(spark, ref_docs, tmp_path):
+    """build(half) + append(half) scores identically to train-from-scratch
+    on the full corpus — the merge-on-read sum is exact; compaction folds
+    segments without changing any score."""
+    from cdcrypt.operators.lmscore import (
+        BigramLMIndex,
+        LMIndexError,
+        append_to_lm_index,
+        build_lm_index,
+        compact_lm_index,
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    probe = spark.createDataFrame(
+        [(40, "the cat sat on the log"), (41, "dog ate fish")],
+        "doc_id bigint, text string")
+    expect = sorted(score_perplexity(probe, train_bigram_lm(ref_docs))
+                    .collect())
+
+    idx = build_lm_index(ref_docs.where(F.col("doc_id") < 2),
+                         str(tmp_path / "lm"), n_partitions=4)
+    idx = append_to_lm_index(idx, ref_docs.where(F.col("doc_id") >= 2),
+                             meta_extra={"batch": 7})
+    assert idx.meta["n_docs"] == 3 and idx.meta["appends"] == 1
+    assert idx.meta["batch"] == 7
+    got = sorted(score_perplexity(probe, idx.lm(spark)).collect())
+    assert got == expect
+
+    idx = compact_lm_index(spark, idx)
+    assert idx.meta["compactions"] == 1
+    assert sorted(score_perplexity(probe, idx.lm(spark)).collect()) == expect
+    # compaction actually folded the duplicate (hp, ht) segment rows
+    import os
+    raw = spark.read.parquet(os.path.join(idx.root, "counts"))
+    merged = idx.read_counts(spark)
+    assert raw.count() == merged.count()
+
+    with pytest.raises(LMIndexError, match="not an LM index"):
+        BigramLMIndex(str(tmp_path))
