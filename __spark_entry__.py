@@ -2736,6 +2736,58 @@ def _q_lm_perplexity(spark, sf_dir):
     return score_perplexity(docs, lm, broadcast_lm=True)
 
 
+def _turns_df(spark, sf_dir):
+    """The transcripts relation (BASELINE.json input_hint shape) derived
+    deterministically from the events table so the DuckDB oracle can
+    rebuild it verbatim: conv = user, stable turn order = (ts, event_id)
+    row_number, roles cycled by event_id, ~2.7% NULL texts (the
+    changegen null-text case), tool set only on tool turns."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    role = (F.when(F.col("event_id") % 3 == 0, "user")
+             .when(F.col("event_id") % 3 == 1, "assistant")
+             .otherwise("tool"))
+    return ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        role.alias("role"),
+        F.when(F.col("event_id") % 37 == 5, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.col("event_type"), F.lit(" "),
+                             F.col("props"))).alias("text"),
+        F.when(role == "tool", F.col("event_type")).alias("tool"),
+        F.col("ts"),
+    )
+
+
+def _q_transcript_stats(spark, sf_dir):
+    # conversation-level scalar rollup: one map-side-combining aggregate
+    from cdcrypt.operators.transcripts import conversation_stats
+
+    return conversation_stats(_turns_df(spark, sf_dir))
+
+
+def _q_transcript_render(spark, sf_dir):
+    # canonical training-sample rendering under stable turn ordering
+    from cdcrypt.operators.transcripts import render_transcript
+
+    return render_transcript(_turns_df(spark, sf_dir))
+
+
+def _q_transcript_sft_pairs(spark, sf_dir):
+    # adjacent user->assistant pair extraction (one window shuffle)
+    from cdcrypt.operators.transcripts import sft_pairs
+
+    return sft_pairs(_turns_df(spark, sf_dir))
+
+
+def _q_transcript_tool_stats(spark, sf_dir):
+    # per-tool usage rollup with exact distinct-conversation counts
+    from cdcrypt.operators.transcripts import tool_usage
+
+    return tool_usage(_turns_df(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
@@ -2843,6 +2895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_v2": _q_corpus_curation_v2,
         "curation_incremental": _q_curation_incremental,
         "multimodal_features": _q_multimodal_features,
+        "transcript_stats": _q_transcript_stats,
+        "transcript_render": _q_transcript_render,
+        "transcript_sft_pairs": _q_transcript_sft_pairs,
+        "transcript_tool_stats": _q_transcript_tool_stats,
     }
 
 
@@ -4505,4 +4561,65 @@ def oracle_sql() -> dict[str, str]:
     # so it shares lm_perplexity's oracle verbatim (build+append+compact
     # is a layout change, not a semantics change)
     out["lm_incremental"] = out["lm_perplexity"]
+    # transcripts relation (_turns_df) replayed verbatim: conv = user,
+    # stable turn order = (ts, event_id) row_number, roles cycled by
+    # event_id, deterministic NULL texts, tool set on tool turns only
+    turns_cte = """
+        WITH turns AS (
+          SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS turn_idx,
+                 CASE WHEN event_id % 3 = 0 THEN 'user'
+                      WHEN event_id % 3 = 1 THEN 'assistant'
+                      ELSE 'tool' END AS role,
+                 CASE WHEN event_id % 37 = 5 THEN NULL
+                      ELSE event_type || ' ' || props END AS text,
+                 CASE WHEN event_id % 3 = 2 THEN event_type END AS tool,
+                 ts
+          FROM events)
+    """
+    out["transcript_stats"] = turns_cte + """
+        SELECT conv_id,
+               COUNT(*) AS n_turns,
+               CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_user,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_assistant,
+               CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_tool,
+               CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                 AS total_chars,
+               MIN(turn_idx) AS first_turn,
+               MAX(turn_idx) AS last_turn,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+        FROM turns GROUP BY conv_id
+    """
+    out["transcript_render"] = turns_cte + """
+        SELECT conv_id, COUNT(*) AS n_turns,
+               string_agg(role || ': ' || COALESCE(text, ''), chr(10)
+                          ORDER BY turn_idx,
+                                   role || ': ' || COALESCE(text, ''))
+                 AS transcript
+        FROM turns GROUP BY conv_id
+    """
+    out["transcript_sft_pairs"] = turns_cte + """
+        , led AS (
+          SELECT conv_id, turn_idx, role, text,
+                 lead(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS nr,
+                 lead(text) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS nt
+          FROM turns)
+        SELECT conv_id, turn_idx, text AS prompt, nt AS response
+        FROM led WHERE role = 'user' AND nr = 'assistant'
+    """
+    out["transcript_tool_stats"] = turns_cte + """
+        SELECT tool, COUNT(*) AS n_calls,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                 AS total_chars
+        FROM turns
+        WHERE tool IS NOT NULL AND trim(tool) <> ''
+        GROUP BY tool
+    """
     return out
