@@ -2788,6 +2788,23 @@ def _q_transcript_tool_stats(spark, sf_dir):
     return tool_usage(_turns_df(spark, sf_dir))
 
 
+def _q_substr_dup_spans(spark, sf_dir):
+    # exact-substring dedup (Lee et al. 2021): maximal duplicated >=k-token
+    # spans via duplicated-k-gram island contraction — no self-join
+    from cdcrypt.operators.substrdedup import duplicate_spans
+
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    return duplicate_spans(docs, k=8)
+
+
+def _q_substr_scrub(spark, sf_dir):
+    # the scrubbed corpus: duplicated spans removed, survivors verbatim
+    from cdcrypt.operators.substrdedup import scrub_duplicate_spans
+
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    return scrub_duplicate_spans(docs, k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "smt_encrypt_roundtrip": _q_smt_encrypt_roundtrip,
@@ -2899,6 +2916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_render": _q_transcript_render,
         "transcript_sft_pairs": _q_transcript_sft_pairs,
         "transcript_tool_stats": _q_transcript_tool_stats,
+        "substr_dup_spans": _q_substr_dup_spans,
+        "substr_scrub": _q_substr_scrub,
     }
 
 
@@ -4612,6 +4631,68 @@ def oracle_sql() -> dict[str, str]:
           FROM turns)
         SELECT conv_id, turn_idx, text AS prompt, nt AS response
         FROM led WHERE role = 'user' AND nr = 'assistant'
+    """
+    # exact-substring dedup: the gram/island contraction replayed in SQL
+    # (k=8, min_occurrences=2, case-preserving whitespace tokens)
+    substr_cte = f"""
+        WITH sw AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents WHERE text IS NOT NULL),
+        grams AS (
+          SELECT doc_id, CAST(t.pos AS INT) AS pos,
+                 {_h60_sql("array_to_string(w[t.pos + 1 : t.pos + 8], ' ')")}
+                   AS gh
+          FROM sw, UNNEST(range(0, len(w) - 7)) AS t(pos)
+          WHERE len(w) >= 8),
+        dup AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gh) AS f FROM grams)
+          WHERE f >= 2),
+        isl0 AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) > 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS g
+          FROM isl0),
+        spans AS (
+          SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM isl GROUP BY doc_id, g)
+    """
+    out["substr_dup_spans"] = substr_cte + """
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start AS n_tokens, n_grams
+        FROM spans
+    """
+    out["substr_scrub"] = substr_cte + """
+        , tok AS (
+          SELECT doc_id, CAST(t.pos AS INT) AS pos, w[t.pos + 1] AS word
+          FROM sw, UNNEST(range(0, len(w))) AS t(pos)),
+        keep AS (
+          SELECT k.doc_id, k.pos, k.word
+          FROM tok k
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = k.doc_id
+              AND k.pos >= s.span_start AND k.pos < s.span_end)),
+        agg AS (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean,
+                 COUNT(*) AS n_kept
+          FROM keep GROUP BY doc_id)
+        SELECT sw.doc_id,
+               COALESCE(a.text_clean, '') AS text_clean,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(len(sw.w) - COALESCE(a.n_kept, 0) AS BIGINT)
+                 AS n_tokens_dropped
+        FROM sw LEFT JOIN agg a USING (doc_id)
     """
     out["transcript_tool_stats"] = turns_cte + """
         SELECT tool, COUNT(*) AS n_calls,
