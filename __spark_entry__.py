@@ -2788,6 +2788,116 @@ def _q_transcript_tool_stats(spark, sf_dir):
     return tool_usage(_turns_df(spark, sf_dir))
 
 
+def _joinview_for(spark, sf_dir):
+    """Shared JoinView artifact: fact (events keyed by event_id, join key
+    user_id) + user dim, both bootstrapped at epoch 1 and mutated at
+    epoch 2 (value updates, join-key movers, fact deletes, dim updates,
+    dim deletes) with ONE maintenance tick folding both changelogs. The
+    mutation rules are pure arithmetic on event_id/user_id so the oracle
+    states the FINAL join directly. Cached per source fingerprint with a
+    torn-build guard."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cdcrypt.operators.dedup import resolve_latest_agg
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.streaming.joinview import JoinView
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":jview:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_jview_{key}")
+    try:
+        view = JoinView(root + "/view")
+        if view.table.committed_epoch < 2:
+            raise LakeTableNotFound(root)
+        return view
+    except (LakeTableNotFound, FileNotFoundError):
+        shutil.rmtree(root, ignore_errors=True)
+
+    fact_schema = StructType([
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), True),
+        StructField("val", DoubleType(), True),
+        StructField("op_seq", LongType(), True),
+    ])
+    dim_schema = StructType([
+        StructField("user_id", LongType(), False),
+        StructField("seg", StringType(), True),
+        StructField("op_seq", LongType(), True),
+    ])
+    fact = LakeTable.create(root + "/fact", fact_schema, bucket_count=8,
+                            bucket_by="user_id", key_cols=["event_id"])
+    dim = LakeTable.create(root + "/dim", dim_schema, bucket_count=8,
+                           bucket_by="user_id", key_cols=["user_id"])
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("val"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+
+    f1 = ev.select(
+        F.lit("I").alias("op"), "event_id", "user_id", "val",
+        eid.alias("op_seq"), F.lit(1).cast("long").alias("epoch"))
+    merge_upsert(spark, fact,
+                 resolve_latest_agg(f1, key_cols=["event_id"]),
+                 epoch=1, mode="mor")
+    users = ev.select("user_id").distinct()
+    d1 = users.select(
+        F.lit("I").alias("op"), "user_id",
+        F.concat(F.lit("s"), (uid % 4).cast("string")).alias("seg"),
+        uid.alias("op_seq"), F.lit(1).cast("long").alias("epoch"))
+    merge_upsert(spark, dim,
+                 resolve_latest_agg(d1, key_cols=["user_id"]),
+                 epoch=1, mode="mor")
+
+    view = JoinView.create(root + "/view", fact, dim,
+                           on=("user_id", "user_id"), how="left",
+                           bucket_count=8)
+    view.bootstrap(spark)
+
+    # epoch 2: composable arithmetic mutations (deletes trump, movers and
+    # value updates compose) — mirrored verbatim in the oracle SQL
+    changed = ev.where((eid % 11 == 3) | (eid % 7 == 0) | (eid % 13 == 5))
+    f2 = changed.select(
+        F.when(eid % 11 == 3, "D").otherwise("U").alias("op"),
+        "event_id",
+        F.when(eid % 13 == 5, uid + 1).otherwise(uid).alias("user_id"),
+        F.when(eid % 7 == 0, F.col("val") + 1.0)
+         .otherwise(F.col("val")).alias("val"),
+        (eid + 1_000_000_000).alias("op_seq"),
+        F.lit(2).cast("long").alias("epoch"))
+    merge_upsert(spark, fact,
+                 resolve_latest_agg(f2, key_cols=["event_id"]),
+                 epoch=2, mode="mor")
+    d2 = (users.where((uid % 5 == 0) | (uid % 13 == 0)).select(
+        F.when(uid % 13 == 0, "D").otherwise("U").alias("op"),
+        "user_id",
+        F.lit("upd").alias("seg"),
+        (uid + 1_000_000_000).alias("op_seq"),
+        F.lit(2).cast("long").alias("epoch")))
+    merge_upsert(spark, dim,
+                 resolve_latest_agg(d2, key_cols=["user_id"]),
+                 epoch=2, mode="mor")
+    view.tick(spark)
+    return view
+
+
+def _q_cdc_join_view(spark, sf_dir):
+    # incrementally-maintained fact-dim join view (streaming/joinview.py):
+    # final state after one tick over both sources' epoch-2 changelogs
+    view = _joinview_for(spark, sf_dir)
+    return view.read(spark).select(
+        "event_id", "user_id", F.round("val", 6).alias("val"), "seg")
+
+
 def _q_substr_dup_spans(spark, sf_dir):
     # exact-substring dedup (Lee et al. 2021): maximal duplicated >=k-token
     # spans via duplicated-k-gram island contraction — no self-join
@@ -2918,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_stats": _q_transcript_tool_stats,
         "substr_dup_spans": _q_substr_dup_spans,
         "substr_scrub": _q_substr_scrub,
+        "cdc_join_view": _q_cdc_join_view,
     }
 
 
@@ -4666,6 +4777,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
                  CAST(COUNT(*) AS BIGINT) AS n_grams
           FROM isl GROUP BY doc_id, g)
+    """
+    # join-view gate: the maintained view must equal the one-shot join of
+    # both sources' FINAL states (the _joinview_for mutation arithmetic)
+    out["cdc_join_view"] = """
+        WITH fact AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 13 = 5 THEN user_id + 1
+                      ELSE user_id END AS user_id,
+                 ROUND(CASE WHEN event_id % 7 = 0 THEN value + 1.0
+                            ELSE value END, 6) AS val
+          FROM events WHERE event_id % 11 <> 3),
+        dim AS (
+          SELECT user_id,
+                 CASE WHEN user_id % 5 = 0 THEN 'upd'
+                      ELSE 's' || CAST(user_id % 4 AS VARCHAR) END AS seg
+          FROM (SELECT DISTINCT user_id FROM events)
+          WHERE user_id % 13 <> 0)
+        SELECT f.event_id, f.user_id, f.val, d.seg
+        FROM fact f LEFT JOIN dim d USING (user_id)
     """
     out["substr_dup_spans"] = substr_cte + """
         SELECT doc_id, span_start, span_end,
