@@ -328,6 +328,34 @@ class JoinView:
         return {"tick": tick, "fact_to": a_to, "dim_to": b_to,
                 "merge": lineage}
 
+    def run(self, spark: SparkSession, poll_interval_s: float = 1.0,
+            idle_ticks_to_stop: int | None = None,
+            max_wall_s: float | None = None) -> list[dict]:
+        """Drain-and-poll maintenance loop (the ChangeFeedStream.run
+        contract): tick until ``idle_ticks_to_stop`` consecutive empty
+        polls and/or ``max_wall_s`` elapses — at least one bound must be
+        set; an unbounded tail is a deliberate caller choice."""
+        import time
+        if idle_ticks_to_stop is None and max_wall_s is None:
+            raise ValueError("set idle_ticks_to_stop and/or max_wall_s")
+        t0 = time.monotonic()
+        idle = 0
+        out: list[dict] = []
+        while True:
+            info = self.tick(spark)
+            if info is None:
+                idle += 1
+            else:
+                idle = 0
+                out.append(info)
+            if idle_ticks_to_stop is not None and idle >= idle_ticks_to_stop:
+                return out
+            if (max_wall_s is not None
+                    and time.monotonic() - t0 >= max_wall_s):
+                return out
+            if info is None:
+                time.sleep(poll_interval_s)
+
     # ---------- read ----------
     def read(self, spark: SparkSession) -> DataFrame:
         """The resolved view (MoR read: deletes dropped, LWW per key)."""

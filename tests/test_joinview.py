@@ -205,6 +205,22 @@ def test_create_validations(spark, tmp_path):
                         on=("user_id", "user_id"))
 
 
+def test_run_polls_until_idle(spark, tmp_path):
+    fact, dim, view = _setup(spark, tmp_path)
+    _apply(spark, fact, [("U", 1, 10, 150, 6, 2)],
+           "op string, event_id long, user_id long, val long, "
+           "op_seq long, epoch long", 2)
+    _apply(spark, dim, [("U", 20, "b2", 4, 2)],
+           "op string, user_id long, seg string, op_seq long, epoch long",
+           2)
+    out = view.run(spark, poll_interval_s=0.01, idle_ticks_to_stop=2)
+    assert len(out) == 1 and out[0]["tick"] == 2
+    assert _got(spark, view) == _expected(spark, fact, dim, "left")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        view.run(spark)
+
+
 def test_bootstrap_requires_empty_view(spark, tmp_path):
     fact, dim, view = _setup(spark, tmp_path)
     with pytest.raises(JoinViewError, match="empty view"):
