@@ -2890,6 +2890,16 @@ def _joinview_for(spark, sf_dir):
     return view
 
 
+def _q_decontam_spans(spark, sf_dir):
+    # span-level benchmark decontamination: corpus spans duplicating any
+    # reference text (reference = every 10th document), broadcast probe
+    from cdcrypt.operators.substrdedup import contaminated_spans
+
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    return contaminated_spans(docs, ref, k=8)
+
+
 def _q_cdc_join_view(spark, sf_dir):
     # incrementally-maintained fact-dim join view (streaming/joinview.py):
     # final state after one tick over both sources' epoch-2 changelogs
@@ -3029,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dup_spans": _q_substr_dup_spans,
         "substr_scrub": _q_substr_scrub,
         "cdc_join_view": _q_cdc_join_view,
+        "decontam_spans": _q_decontam_spans,
     }
 
 
@@ -4796,6 +4807,41 @@ def oracle_sql() -> dict[str, str]:
           WHERE user_id % 13 <> 0)
         SELECT f.event_id, f.user_id, f.val, d.seg
         FROM fact f LEFT JOIN dim d USING (user_id)
+    """
+    out["decontam_spans"] = f"""
+        WITH sw AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents WHERE text IS NOT NULL),
+        refg AS (
+          SELECT DISTINCT
+                 {_h60_sql("array_to_string(w[t.pos + 1 : t.pos + 8], ' ')")}
+                   AS gh
+          FROM sw, UNNEST(range(0, len(w) - 7)) AS t(pos)
+          WHERE len(w) >= 8 AND doc_id % 10 = 0),
+        dup AS (
+          SELECT g.doc_id, g.pos FROM (
+            SELECT doc_id, CAST(t.pos AS INT) AS pos,
+                 {_h60_sql("array_to_string(w[t.pos + 1 : t.pos + 8], ' ')")}
+                   AS gh
+            FROM sw, UNNEST(range(0, len(w) - 7)) AS t(pos)
+            WHERE len(w) >= 8) g JOIN refg USING (gh)),
+        isl0 AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) > 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS g
+          FROM isl0)
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+               MAX(pos) + 8 - MIN(pos) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY doc_id, g
     """
     out["substr_dup_spans"] = substr_cte + """
         SELECT doc_id, span_start, span_end,

@@ -51,7 +51,12 @@ from pyspark.sql.window import Window
 
 from cdcrypt.functions.hash64 import h60
 
-__all__ = ["duplicate_spans", "scrub_duplicate_spans"]
+__all__ = [
+    "contaminated_spans",
+    "duplicate_spans",
+    "scrub_contamination",
+    "scrub_duplicate_spans",
+]
 
 
 def _words_cased(text_col: str):
@@ -85,6 +90,88 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str,
     return ex.select(id_col, "pos", gh.alias("gh"))
 
 
+def _merge_islands(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands contraction shared by every span producer:
+    ``dup`` is (id, pos) of duplicated gram starts; overlapping/adjacent
+    positions (gap <= k) fuse into maximal spans. One per-document
+    window (lag + running sum), rollup reuses its partitioning."""
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.when(
+        F.col("pos") - F.lag("pos").over(wd) > k, 1).otherwise(0)
+    islands = dup.withColumn(
+        "_isl", F.sum(gap).over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+            "n_grams",
+        )
+    )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    reference: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Benchmark-contaminated spans: every maximal >=k-token run of a
+    corpus document that also occurs ANYWHERE in ``reference`` (the
+    eval/benchmark set) — the span-granular sibling of
+    :func:`cdcrypt.operators.docdedup.decontaminate` (GPT-3 appendix C /
+    Lee et al. §6.2 lineage: 13-gram overlap), for pipelines where
+    dropping the whole document is too lossy and surgical removal of
+    the leaked benchmark text is the right trade.
+
+    Same output shape as :func:`duplicate_spans`; feed the result to
+    :func:`scrub_duplicate_spans` via ``spans=`` (or call
+    :func:`scrub_contamination`).
+
+    Scale shape — CHEAPER than self-dedup: the reference is a benchmark
+    (MBs, not TBs), so its distinct gram hashes ship as a BROADCAST
+    semi-join build side and the corpus gram rows never shuffle for the
+    membership test (``broadcast_reference=False`` degrades to a
+    shuffle semi-join for pathological reference sizes). Total: the
+    codegen'd gram explode + one broadcast probe + the per-doc island
+    window — ONE corpus shuffle end-to-end.
+    """
+    ref_grams = (_gram_rows(reference.select(
+        F.lit(0).alias("_rid"),
+        F.col(ref_text_col or text_col).alias("_rt")), "_rid", "_rt", k)
+        .select("gh").distinct())
+    if broadcast_reference:
+        ref_grams = F.broadcast(ref_grams)
+    grams = _gram_rows(df, id_col, text_col, k)
+    dup = grams.join(ref_grams, "gh", "left_semi").select(id_col, "pos")
+    return _merge_islands(dup, id_col, k)
+
+
+def scrub_contamination(
+    df: DataFrame,
+    reference: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """The corpus with every benchmark-contaminated span removed (and
+    documents otherwise kept — contrast ``decontaminate``'s drop-the-
+    document policy). Output contract of :func:`scrub_duplicate_spans`."""
+    spans = contaminated_spans(df, reference, k, id_col, text_col, **kw)
+    return scrub_duplicate_spans(df, k, id_col=id_col, text_col=text_col,
+                                 spans=spans)
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 8,
@@ -111,25 +198,7 @@ def duplicate_spans(
     dup = (grams.withColumn("_f", freq)
                 .where(F.col("_f") >= min_occurrences)
                 .select(id_col, "pos"))
-    wd = Window.partitionBy(id_col).orderBy("pos")
-    gap = F.when(
-        F.col("pos") - F.lag("pos").over(wd) > k, 1).otherwise(0)
-    islands = dup.withColumn(
-        "_isl", F.sum(gap).over(
-            wd.rowsBetween(Window.unboundedPreceding, 0)))
-    return (
-        islands.groupBy(id_col, "_isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + k).alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-        )
-        .select(
-            id_col, "span_start", "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
-            "n_grams",
-        )
-    )
+    return _merge_islands(dup, id_col, k)
 
 
 def scrub_duplicate_spans(

@@ -132,3 +132,65 @@ def test_spans_reuse_parameter(spark):
     key = lambda r: r["doc_id"]  # noqa: E731
     assert sorted(map(tuple, via_reuse), key=lambda t: t[0]) == \
         sorted(map(tuple, direct), key=lambda t: t[0])
+
+
+def test_contaminated_spans_only_flags_reference_overlap(spark):
+    from cdcrypt.operators.substrdedup import (
+        contaminated_spans, scrub_contamination)
+    bench = "q1 q2 q3 q4 q5"
+    rows = [
+        (1, f"intro words here {bench} trailing bits"),   # contaminated
+        (2, "shared corpus run a b c d e suffix1"),       # corpus-only dup
+        (3, "shared corpus run a b c d e suffix2"),       # corpus-only dup
+        (4, "fully clean document with its own words"),
+    ]
+    df = _df(spark, rows)
+    ref = spark.createDataFrame([(0, f"lead {bench} tail")], ["rid", "text"])
+    spans = contaminated_spans(df, ref, k=5, ref_text_col="text").collect()
+    assert {(r["doc_id"], r["span_start"], r["span_end"])
+            for r in spans} == {(1, 3, 8)}  # docs 2/3 dup each other, NOT ref
+    out = {r["doc_id"]: r["text_clean"]
+           for r in scrub_contamination(df, ref, k=5).collect()}
+    assert out[1] == "intro words here trailing bits"
+    assert out[2] == "shared corpus run a b c d e suffix1"  # untouched
+    assert out[4] == "fully clean document with its own words"
+
+
+def test_contamination_matches_python_oracle(spark):
+    from cdcrypt.operators.substrdedup import contaminated_spans
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(10)]
+    texts = {d: " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40)))
+             for d in range(30)}
+    ref_texts = [" ".join(rng.choice(vocab) for _ in range(20))
+                 for _ in range(3)]
+    k = 4
+    ref_grams = set()
+    for t in ref_texts:
+        w = t.split()
+        for i in range(len(w) - k + 1):
+            ref_grams.add(" ".join(w[i:i + k]))
+    expect: dict[int, list] = {}
+    for d, t in texts.items():
+        w = t.split()
+        ps = [i for i in range(len(w) - k + 1)
+              if " ".join(w[i:i + k]) in ref_grams]
+        out, cur = [], None
+        for p in ps:
+            if cur is None or p - cur[1] > k:
+                if cur:
+                    out.append((cur[0], cur[1] + k))
+                cur = [p, p]
+            else:
+                cur[1] = p
+        if cur:
+            out.append((cur[0], cur[1] + k))
+        if out:
+            expect[d] = out
+    df = _df(spark, list(texts.items()))
+    ref = spark.createDataFrame(list(enumerate(ref_texts)), ["rid", "text"])
+    got: dict[int, list] = {}
+    for r in contaminated_spans(df, ref, k=k, ref_text_col="text").collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert {d: sorted(v) for d, v in got.items()} == expect
