@@ -2890,6 +2890,19 @@ def _joinview_for(spark, sf_dir):
     return view
 
 
+def _q_ann_sq_topk(spark, sf_dir):
+    # scalar-quantized (SQ8) ANN: 1 byte/dim codes, asymmetric-distance
+    # top-k — encode/reconstruct/score are pure Column arithmetic the
+    # oracle replays term-for-term (operators/pq.py)
+    from cdcrypt.operators.pq import sq_encode, sq_topk, sq_train
+
+    emb = _tp(spark, sf_dir, "embeddings", "vec_id")
+    book = sq_train(emb)
+    codes = sq_encode(emb, book)
+    queries = emb.where(F.col("vec_id") < 10)
+    return sq_topk(codes, queries, book, k=5)
+
+
 def _q_decontam_spans(spark, sf_dir):
     # span-level benchmark decontamination: corpus spans duplicating any
     # reference text (reference = every 10th document), broadcast probe
@@ -3040,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_scrub": _q_substr_scrub,
         "cdc_join_view": _q_cdc_join_view,
         "decontam_spans": _q_decontam_spans,
+        "ann_sq_topk": _q_ann_sq_topk,
     }
 
 
@@ -4807,6 +4821,48 @@ def oracle_sql() -> dict[str, str]:
           WHERE user_id % 13 <> 0)
         SELECT f.event_id, f.user_id, f.val, d.seg
         FROM fact f LEFT JOIN dim d USING (user_id)
+    """
+    # SQ8 ADC replayed term-for-term: same bounds aggregate, same
+    # floor/clamp encode, same center-of-cell reconstruction, same
+    # sequential squared-diff fold, rounded before ranking
+    out["ann_sq_topk"] = """
+        WITH dims AS (
+          SELECT i, MIN(x) AS lo, MAX(x) AS hi,
+                 (MAX(x) - MIN(x)) / 255.0 AS step
+          FROM (SELECT CAST(t.i AS INT) AS i,
+                       embedding[t.i + 1]::DOUBLE AS x
+                FROM embeddings,
+                     UNNEST(range(0, len(embedding))) AS t(i))
+          GROUP BY i),
+        b AS (SELECT list(lo ORDER BY i) AS lo,
+                     list(step ORDER BY i) AS step
+              FROM dims),
+        recon AS (
+          SELECT vec_id,
+                 list_transform(range(1, len(embedding) + 1), i ->
+                   b.lo[i] + (
+                     (CASE WHEN b.step[i] = 0 THEN 0
+                           ELSE GREATEST(0, LEAST(255,
+                             CAST(FLOOR((embedding[i]::DOUBLE - b.lo[i])
+                                        / b.step[i]) AS INT)))
+                      END) + 0.5) * b.step[i]) AS rv
+          FROM embeddings, b)
+        SELECT query_id, neighbor_id, rank, dist FROM (
+          SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                 round(list_sum(
+                   list_transform(range(1, len(q.embedding) + 1), i ->
+                     (q.embedding[i]::DOUBLE - r.rv[i])
+                     * (q.embedding[i]::DOUBLE - r.rv[i]))), 4) AS dist,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_sum(
+                     list_transform(range(1, len(q.embedding) + 1), i ->
+                       (q.embedding[i]::DOUBLE - r.rv[i])
+                       * (q.embedding[i]::DOUBLE - r.rv[i]))), 4) ASC,
+                     r.vec_id ASC) AS rank
+          FROM embeddings q, recon r
+          WHERE q.vec_id < 10 AND q.vec_id <> r.vec_id)
+        WHERE rank <= 5
     """
     out["decontam_spans"] = f"""
         WITH sw AS (
