@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "PQCodebook",
+    "ivfpq_topk",
     "pq_encode",
     "pq_topk",
     "sq_encode",
@@ -260,6 +261,129 @@ def pq_topk(codes: DataFrame, queries: DataFrame, book: PQCodebook,
                                 "adc": out_d})
 
     partial = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (partial.where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("adc", 4).alias("adc")))
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ — the composed billion-scale recipe (Faiss IVFPQ)
+# --------------------------------------------------------------------------
+
+def ivfpq_topk(base: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, n_probe: int = 4, m: int = 8,
+               nbits: int = 8, id_col: str = "vec_id",
+               vec_col: str = "embedding", seed: int = 7,
+               max_train: int = 262_144) -> DataFrame:
+    """IVF coarse pruning + PQ-over-RESIDUALS ADC — the composed index
+    every billion-vector deployment runs (Jégou et al. 2011 §IV.B; the
+    Faiss IVFPQ default): a coarse quantizer routes each vector to a
+    cell, PQ encodes the RESIDUAL ``x - C[cell]`` (residuals concentrate
+    near 0, so the same code budget buys far lower quantization error
+    than coding raw vectors), and a query probes only ``n_probe`` cells
+    with a per-(query, cell) lookup table built from ITS residual.
+
+    One corpus pass total: cell assignment (BLAS argmin), residual, and
+    PQ encode fuse into a single ``mapInPandas`` stage — one Arrow
+    boundary, codebooks in the closure. Scoring touches only rows of
+    probed cells; per-batch partial top-k keeps the shuffle at
+    Q x k x partitions rows. Training (coarse + per-subspace kmeans on
+    residuals) runs driver-side on one bounded sample, the Faiss recipe.
+
+    Verification regime: property tests (kmeans is not SQL-expressible);
+    the oracle-gated members of the stack are ``ann_sq_topk`` (this
+    module) and ``ann_ivf_topk`` (full-precision IVF, similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from cdcrypt.operators.similarity import _kmeans_fit, _train_sample
+
+    X = _train_sample(base, vec_col, max_train)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    coarse = np.asarray(
+        _kmeans_fit(X, n_centroids, seed, 20), dtype=np.float64)
+    cn = (coarse * coarse).sum(axis=1)
+    lab = (cn[None, :] - 2.0 * (X @ coarse.T)).argmin(axis=1)
+    R = X - coarse[lab]
+    C = [np.asarray(_kmeans_fit(R[:, j * dsub:(j + 1) * dsub],
+                                1 << nbits, seed + 1 + j, 20),
+                    dtype=np.float64) for j in range(m)]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cell = (cn[None, :] - 2.0 * (Xb @ coarse.T)).argmin(axis=1)
+            Rb = Xb - coarse[cell]
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for j in range(m):
+                S = Rb[:, j * dsub:(j + 1) * dsub]
+                Cj = C[j]
+                codes[:, j] = ((S * S).sum(1)[:, None] - 2.0 * S @ Cj.T
+                               + (Cj * Cj).sum(1)[None, :]).argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cell": cell.astype(np.int32),
+                "codes": [c.tobytes() for c in codes]})
+
+    encoded = base.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, cell int, codes binary")
+
+    qrows = queries.select(id_col, vec_col).collect()
+    n_probe = min(n_probe, n_centroids)
+    plan = []  # (query_id, probed cell -> LUT)
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        order = np.argsort(cn - 2.0 * (coarse @ qv), kind="stable")
+        luts = {}
+        for c in order[:n_probe]:
+            rq = qv - coarse[c]
+            lut = np.empty((m, C[0].shape[0]))
+            for j in range(m):
+                s = rq[j * dsub:(j + 1) * dsub]
+                Cj = C[j]
+                lut[j] = ((Cj - s) ** 2).sum(axis=1)
+            luts[int(c)] = lut
+        plan.append((r[0], luts))
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codes_arr = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8).reshape(n, m)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qi, luts in plan:
+                for c, lut in luts.items():
+                    mask = cells == c
+                    if not mask.any():
+                        continue
+                    sub = codes_arr[mask]
+                    d = np.zeros(len(sub))
+                    for j in range(m):
+                        d += lut[j][sub[:, j]]
+                    top = min(k + 1, len(sub))
+                    part = np.argpartition(d, top - 1)[:top]
+                    out_q.extend([qi] * len(part))
+                    out_i.extend(ids[mask][part])
+                    out_d.extend(d[part])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_i,
+                                "adc": out_d})
+
+    partial = encoded.mapInPandas(
         score, "query_id long, neighbor_id long, adc double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc())

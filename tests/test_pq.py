@@ -136,3 +136,28 @@ def test_pq_codes_are_m_bytes_and_deterministic(spark):
     assert all(len(v) == 4 for v in c1.values())
     with pytest.raises(ValueError, match="divisible"):
         train_pq(df, m=3)
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    rng = random.Random(17)
+    centers = [[rng.uniform(-5, 5) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(240):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    df = _vecs(spark, rows)
+    from cdcrypt.operators.pq import ivfpq_topk
+    got = {}
+    for r in ivfpq_topk(df, df.where("vec_id < 5"), k=10, n_centroids=8,
+                        n_probe=2, m=4, nbits=6, seed=4).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    want = _brute_topk(rows, list(range(5)), 10)
+    hits = sum(len(set(got[q]) & set(want[q])) for q in want)
+    # tight clusters: the query's own cell holds its true neighbors and
+    # residual-PQ separates same-cell points
+    assert hits >= 0.6 * 5 * 10, (got, want)
+    again = {}
+    for r in ivfpq_topk(df, df.where("vec_id < 5"), k=10, n_centroids=8,
+                        n_probe=2, m=4, nbits=6, seed=4).collect():
+        again.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == again
