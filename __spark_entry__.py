@@ -4864,7 +4864,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE q.vec_id < 10 AND q.vec_id <> r.vec_id)
         WHERE rank <= 5
     """
-    out["decontam_spans"] = f"""
+    out["decontam_spans"] = rf"""
         WITH sw AS (
           SELECT doc_id,
                  regexp_split_to_array(
