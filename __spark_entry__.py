@@ -2736,18 +2736,21 @@ def _q_lm_perplexity(spark, sf_dir):
     return score_perplexity(docs, lm, broadcast_lm=True)
 
 
-def _turns_df(spark, sf_dir):
+def _turns_df(spark, sf_dir, with_event_id=False):
     """The transcripts relation (BASELINE.json input_hint shape) derived
     deterministically from the events table so the DuckDB oracle can
     rebuild it verbatim: conv = user, stable turn order = (ts, event_id)
     row_number, roles cycled by event_id, ~2.7% NULL texts (the
-    changegen null-text case), tool set only on tool turns."""
+    changegen null-text case), tool set only on tool turns.
+    ``with_event_id`` additionally carries the source event_id (the
+    lake-capstone gate keys its mutation arithmetic on it)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
     role = (F.when(F.col("event_id") % 3 == 0, "user")
              .when(F.col("event_id") % 3 == 1, "assistant")
              .otherwise("tool"))
+    extra = [F.col("event_id")] if with_event_id else []
     return ev.select(
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
         F.row_number().over(w).alias("turn_idx"),
@@ -2757,7 +2760,84 @@ def _turns_df(spark, sf_dir):
                              F.col("props"))).alias("text"),
         F.when(role == "tool", F.col("event_type")).alias("tool"),
         F.col("ts"),
+        *extra,
     )
+
+
+def _transcript_lake_for(spark, sf_dir):
+    """Transcript-shaped lake artifact: the _turns_df relation applied
+    through the REAL storage engine (MoR merges, LWW, deletes) — epoch 1
+    inserts every turn, epoch 2 edits text where event_id%9==4 and
+    deletes turns where event_id%17==6 (arithmetic rules the oracle
+    restates as final-state predicates). Cached per source fingerprint
+    with a torn-build guard."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from cdcrypt.operators.dedup import resolve_latest_agg
+    from cdcrypt.operators.merge import merge_upsert
+    from cdcrypt.table.lake import LakeTable, LakeTableNotFound
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":tlake:"
+         + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"cdcrypt_tlake_{key}")
+    try:
+        table = LakeTable(root)
+        if table.committed_epoch >= 2:
+            return table
+        raise LakeTableNotFound(root)
+    except LakeTableNotFound:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType([
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("op_seq", LongType(), True),
+    ])
+    table = LakeTable.create(root, schema, bucket_count=8,
+                             bucket_by="conv_id",
+                             key_cols=["conv_id", "turn_idx"])
+    turns = _turns_df(spark, sf_dir, with_event_id=True)
+    e1 = turns.select(
+        F.lit("I").alias("op"), "conv_id", "turn_idx", "role", "text",
+        "tool", "ts", F.col("event_id").alias("op_seq"),
+        F.lit(1).cast("long").alias("epoch"))
+    merge_upsert(spark, table,
+                 resolve_latest_agg(e1, key_cols=["conv_id", "turn_idx"]),
+                 epoch=1, mode="mor")
+    eid = F.col("event_id")
+    changed = turns.where((eid % 9 == 4) | (eid % 17 == 6))
+    e2 = changed.select(
+        F.when(eid % 17 == 6, "D").otherwise("U").alias("op"),
+        "conv_id", "turn_idx", "role",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" [edited]")).alias("text"),
+        "tool", "ts", (eid + 1_000_000_000).alias("op_seq"),
+        F.lit(2).cast("long").alias("epoch"))
+    merge_upsert(spark, table,
+                 resolve_latest_agg(e2, key_cols=["conv_id", "turn_idx"]),
+                 epoch=2, mode="mor")
+    return table
+
+
+def _q_transcript_export(spark, sf_dir):
+    # capstone: turns applied THROUGH the lake (MoR LWW, edits, deletes)
+    # then rendered in stable turn order — the training-export shape
+    from cdcrypt.operators.transcripts import render_transcript
+
+    table = _transcript_lake_for(spark, sf_dir)
+    return render_transcript(table.read(spark))
 
 
 def _q_transcript_stats(spark, sf_dir):
@@ -3049,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_render": _q_transcript_render,
         "transcript_sft_pairs": _q_transcript_sft_pairs,
         "transcript_tool_stats": _q_transcript_tool_stats,
+        "transcript_export": _q_transcript_export,
         "substr_dup_spans": _q_substr_dup_spans,
         "substr_scrub": _q_substr_scrub,
         "cdc_join_view": _q_cdc_join_view,
@@ -4730,7 +4811,7 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN event_id % 37 = 5 THEN NULL
                       ELSE event_type || ' ' || props END AS text,
                  CASE WHEN event_id % 3 = 2 THEN event_type END AS tool,
-                 ts
+                 ts, event_id
           FROM events)
     """
     out["transcript_stats"] = turns_cte + """
@@ -4756,6 +4837,22 @@ def oracle_sql() -> dict[str, str]:
                                    role || ': ' || COALESCE(text, ''))
                  AS transcript
         FROM turns GROUP BY conv_id
+    """
+    # lake capstone: final state = turns minus deletes, edits applied —
+    # the engine reaches it through two MoR merges + LWW resolution
+    out["transcript_export"] = turns_cte + """
+        , final AS (
+          SELECT conv_id, turn_idx, role,
+                 CASE WHEN event_id % 9 = 4
+                      THEN COALESCE(text, '') || ' [edited]'
+                      ELSE text END AS text
+          FROM turns WHERE event_id % 17 <> 6)
+        SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+               string_agg(role || ': ' || COALESCE(text, ''), chr(10)
+                          ORDER BY turn_idx,
+                                   role || ': ' || COALESCE(text, ''))
+                 AS transcript
+        FROM final GROUP BY conv_id
     """
     out["transcript_sft_pairs"] = turns_cte + """
         , led AS (
