@@ -2437,6 +2437,32 @@ def _q_corpus_curation(spark, sf_dir):
         salt=_SPLIT_SALT)
 
 
+def _q_training_export(spark, sf_dir):
+    # the training-export endgame: curated corpus -> TRAIN split only ->
+    # token-budget pack assignment (operators/packing.py sharded-cumsum
+    # binning driven by the curation's token counts). One composition,
+    # zero added scans: pack_sequences consumes the curated projection's
+    # n_tokens directly (tokens_col), so the tail is the single
+    # shard-keyed exchange packing always has. The real-BPE variant
+    # (operators/tokenizer.py tokenize_and_pack) swaps in true id counts
+    # with identical packing arithmetic; its merge loop is not
+    # SQL-expressible, so the oracle gates this hash-token-count path and
+    # the tokenizer is pinned by tests/test_tokenizer.py instead.
+    from cdcrypt.operators.curation import curate_corpus
+    from cdcrypt.operators.docdedup import minhash_lsh_candidates
+    from cdcrypt.operators.packing import pack_sequences
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=_MINHASH["num_hashes"], bands=_MINHASH["bands"],
+        shingle_k=_MINHASH["shingle_k"],
+        max_bucket_size=_MINHASH["max_bucket_size"])
+    curated = curate_corpus(
+        docs, pairs.select("id_a", "id_b"), _SPLIT_WEIGHTS,
+        min_quality=_CURATE["min_quality"], langs=_CURATE["langs"],
+        salt=_SPLIT_SALT).where(F.col("split") == "train")
+    return pack_sequences(curated, 256, tokens_col="n_tokens", n_shards=8)
+
+
 def _q_curation_incremental(spark, sf_dir):
     # streaming incremental curation (VERDICT r3 item 4): the same capstone
     # composition maintained PER INGEST TICK as CDC upserts into a curated
@@ -3122,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _q_quota_sample,
         "split_leakage_safe": _q_split_leakage_safe,
         "corpus_curation": _q_corpus_curation,
+        "training_export": _q_training_export,
         "corpus_curation_v2": _q_corpus_curation_v2,
         "curation_incremental": _q_curation_incremental,
         "multimodal_features": _q_multimodal_features,
@@ -3450,6 +3477,31 @@ def _corpus_curation_sql(cap: "int | None" = -1,
           SELECT *, {unit_hash_sql('component', _SPLIT_SALT)} AS u_split
           FROM scored
           WHERE quality >= {mq!r} AND lang_guess = '{lang}'{extra_where})
+    """
+
+
+def _training_export_sql() -> str:
+    # the full curation SQL as a nested CTE, train split only, then the
+    # identical sharded-cumsum pack arithmetic as the pack_sequences
+    # oracle (budget 256, 8 shards, salt 'pack', h60 = md5-derived)
+    return f"""
+        WITH curated AS ({_corpus_curation_sql()}),
+        base AS (
+          SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5('pack' || ':' ||
+                      CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+          FROM curated WHERE split = 'train'
+        ), cum AS (
+          SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY h % 8 ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cb
+          FROM base)
+        SELECT doc_id, n_tokens, shard,
+               CAST(cb // 256 AS BIGINT) AS pack,
+               CAST(cb - (cb // 256) * 256 AS BIGINT) AS off_tokens
+        FROM cum
     """
 
 
@@ -4711,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": _quota_sample_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "corpus_curation": _corpus_curation_sql(),
+        "training_export": _training_export_sql(),
         "corpus_curation_v2": _corpus_curation_sql(v2=True),
         "curation_incremental": _corpus_curation_sql(cap=None),
         "minhash_lsh_pairs": _minhash_pairs_sql(),

@@ -47,6 +47,7 @@ def pack_sequences(
     tokens_col: str | None = None,
     n_shards: int = 64,
     salt: str = "pack",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each document to a token-budget pack.
 
@@ -65,7 +66,9 @@ def pack_sequences(
     ``tokens_col`` supplies precomputed token counts (e.g. from a real
     tokenizer); default derives :func:`cdcrypt.functions.text.token_count`
     from ``text_col``. Null ids are rejected at execution (same contract
-    as the split operators); null text counts 0 tokens.
+    as the split operators); null text counts 0 tokens. ``keep_cols``
+    threads extra payload columns (e.g. token-id arrays) through the one
+    exchange and appends them to the output unchanged.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -85,6 +88,9 @@ def pack_sequences(
         toks.cast("long").alias("n_tokens"),
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
         h.alias("__h"),
+        # extra payload columns ride the one existing exchange (e.g. the
+        # token-id arrays in tokenize_and_pack) — no second scan/join
+        *[F.col(k) for k in keep_cols],
     )
     w = (Window.partitionBy("shard")
          .orderBy(F.col("__h"), idc)

@@ -1,0 +1,342 @@
+"""Byte-pair-encoding tokenizer: sample-trained, broadcast, Arrow-batched.
+
+The last mile between "curated corpus" and "training batches" is real
+token IDS — ``pack_sequences`` (operators/packing.py) bins documents by
+token *count*, but a trainer consumes the id arrays themselves. This
+module supplies that stage the way production pipelines do it:
+
+- :func:`train_bpe` — classic BPE merge learning (Sennrich et al. 2016,
+  "Neural Machine Translation of Rare Words with Subword Units") over a
+  BOUNDED DETERMINISTIC SAMPLE of the corpus. Tokenizers are universally
+  trained on a few GB sample, never the full 100 TB (GPT-2/RoBERTa/LLaMA
+  all do this), so the distributed part is only the sample selection: a
+  ``TakeOrderedAndProject`` by the cross-engine h60 hash — an O(n) scan
+  with a per-partition top-N heap, no full sort, no shuffle of the
+  corpus. Training itself is driver-side pure Python over the sample's
+  word-frequency table (O(sample), independent of corpus size) and fully
+  deterministic: frequency ties break on the lexicographically smallest
+  pair, so the same sample always yields byte-identical merges.
+
+- :func:`bpe_encode` — the scale path: one Arrow-batched ``pandas_udf``
+  mapping ``text -> array<int>``. The model (merge ranks + vocab) ships
+  once per executor inside the closure (same pattern as the crypto DEK
+  cache, functions/crypto_udfs.py), and an executor-local word->ids
+  cache exploits the zipfian word distribution — in steady state almost
+  every word is a dict hit, so the per-row cost approaches a lookup, not
+  a merge loop. No per-row Python UDFs, no shuffle: encoding is a pure
+  map over whatever partitioning the input already has.
+
+- :func:`bpe_decode` — inverse (ids -> text) for round-trip testing and
+  debug reads. Round-trip contract: ``decode(encode(t))`` equals
+  ``' '.join(t.split())`` (whitespace-normalized text) whenever every
+  character of ``t`` was seen in training; unseen characters encode to
+  ``<unk>`` and are lossy by design.
+
+- :func:`tokenize_and_pack` — the composition every pretraining export
+  runs: encode to ids, then assign token-budget packs via the existing
+  oracle-verified ``pack_sequences`` arithmetic with ``tokens_col`` fed
+  from the REAL id counts. One window over one shard exchange; the
+  encode fuses into the same stage as the scan.
+
+Reference parity note: the reference SMT (rerorero/kafka-connect-
+transform-encrypt) has no tokenizer — this is part of the
+training-data-pipeline suite layered on the same engine. Verification is
+test-based (pure-Python reference equivalence, the worked Sennrich
+example, round-trip and determinism properties): BPE's iterative merge
+loop is not one-shot-SQL-expressible, so the oracle-gated export path
+(``training_export`` in __spark_entry__.py) uses the hash-vocab token
+count while this module supplies the drop-in real-ids upgrade.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdcrypt.functions.hash64 import h60
+
+__all__ = [
+    "BpeModel",
+    "train_bpe",
+    "bpe_encode",
+    "bpe_decode",
+    "tokenize_and_pack",
+]
+
+#: end-of-word marker appended to every word's symbol sequence (classic
+#: Sennrich formulation); decode turns it back into a single space.
+END = "</w>"
+UNK = "<unk>"
+
+# pre-tokenization: whitespace words. Deliberately the simplest split that
+# round-trips under whitespace normalization; the merge learner handles
+# punctuation by treating it as ordinary characters within a word.
+_WORD_RE = re.compile(r"\S+")
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """A trained BPE tokenizer: ranked merges + the derived vocab.
+
+    ``vocab`` ids are assigned deterministically: ``<unk>``=0, ``</w>``=1,
+    then every base character seen in training in codepoint order, then
+    one id per merge in rank order. The whole model is a few hundred KB
+    at typical vocab sizes — it broadcasts inside the UDF closure.
+    """
+
+    merges: tuple[tuple[str, str], ...]
+    vocab: dict[str, int] = field(hash=False)
+
+    @property
+    def unk_id(self) -> int:
+        return self.vocab[UNK]
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "merges": [list(m) for m in self.merges],
+            "vocab": self.vocab,
+        }, ensure_ascii=False, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "BpeModel":
+        d = json.loads(s)
+        return cls(merges=tuple((a, b) for a, b in d["merges"]),
+                   vocab={k: int(v) for k, v in d["vocab"].items()})
+
+
+def _words(text: str) -> list[str]:
+    return _WORD_RE.findall(text)
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word) + (END,)
+
+
+def _pair_counts(freqs: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, f in freqs.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + f
+    return counts
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    a, b = pair
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_merges(word_freqs: dict[str, int], n_merges: int,
+                 ) -> tuple[tuple[tuple[str, str], ...], list[str]]:
+    """Pure-Python BPE learning over a word-frequency table.
+
+    Returns ``(merges, base_chars)`` where ``base_chars`` is every
+    distinct character of the training words in codepoint order. Split
+    out from :func:`train_bpe` so tests can drive it with hand-built
+    frequency tables (the worked example from the BPE paper).
+    """
+    freqs: dict[tuple[str, ...], int] = {}
+    chars: set[str] = set()
+    for w, f in word_freqs.items():
+        syms = _word_symbols(w)
+        freqs[syms] = freqs.get(syms, 0) + f
+        chars.update(w)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(freqs)
+        if not counts:
+            break
+        # deterministic: max frequency, lexicographically smallest pair
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break  # nothing repeats — further merges memorize single words
+        merges.append(best)
+        freqs = {_merge_word(s, best): f for s, f in freqs.items()}
+    return tuple(merges), sorted(chars)
+
+
+def _build_vocab(merges: tuple[tuple[str, str], ...],
+                 base_chars: list[str]) -> dict[str, int]:
+    vocab: dict[str, int] = {UNK: 0, END: 1}
+    for c in base_chars:
+        if c not in vocab:
+            vocab[c] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int = 512,
+    sample_rows: int = 20_000,
+    salt: str = "bpe-v1",
+) -> BpeModel:
+    """Learn a BPE model from a deterministic corpus sample.
+
+    The sample is the ``sample_rows`` rows with the smallest
+    ``h60(salt:text)`` — a TakeOrderedAndProject (per-partition top-N
+    heap + driver merge), so selection is O(corpus) scan time, zero
+    shuffle, and stable under repartitioning, file layout, and engine.
+    ``vocab_size`` bounds ``len(model.vocab)`` (specials + base chars +
+    merges); training stops early once no pair repeats.
+    """
+    if vocab_size < 8:
+        raise ValueError(f"vocab_size must be >= 8, got {vocab_size}")
+    c = F.col(text_col)
+    rows = (
+        df.where(c.isNotNull() & (F.length(c) > 0))
+        .select(c.alias("t"),
+                h60(F.concat_ws(":", F.lit(salt), c)).alias("h"))
+        .orderBy("h", "t")
+        .limit(int(sample_rows))
+        .collect()
+    )
+    word_freqs: dict[str, int] = {}
+    for r in rows:
+        for w in _words(r.t):
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    if not word_freqs:
+        raise ValueError("train_bpe: sample contained no words")
+    # budget: ids 0/1 are specials; base chars are mandatory; the rest
+    # of the budget buys merges
+    n_base = len({ch for w in word_freqs for ch in w})
+    n_merges = max(0, vocab_size - 2 - n_base)
+    merges, base_chars = learn_merges(word_freqs, n_merges)
+    return BpeModel(merges=merges, vocab=_build_vocab(merges, base_chars))
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int],
+                vocab: dict[str, int], unk_id: int) -> list[int]:
+    """Encode one word to ids by applying merges in rank order (pure
+    Python; the pandas UDF wraps this behind an executor-local cache)."""
+    syms = _word_symbols(word)
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        syms = _merge_word(syms, best)
+    return [vocab.get(s, unk_id) for s in syms]
+
+
+def encode_text(text: str, ranks: dict[tuple[str, str], int],
+                vocab: dict[str, int], unk_id: int,
+                cache: dict[str, list[int]] | None = None) -> list[int]:
+    out: list[int] = []
+    for w in _words(text):
+        ids = cache.get(w) if cache is not None else None
+        if ids is None:
+            ids = encode_word(w, ranks, vocab, unk_id)
+            if cache is not None and len(cache) < 1_000_000:
+                cache[w] = ids
+        out.extend(ids)
+    return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    model: BpeModel,
+    *,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col: array<int>`` — the BPE ids of ``text_col``.
+
+    One Arrow-batched pandas UDF; the model ships in the closure and a
+    module-less executor-local cache (closure dict, capped at 1M words)
+    makes repeated words O(1). Null text encodes to an empty array, so
+    downstream ``size()`` arithmetic sees 0 tokens (same convention as
+    ``pack_sequences``'s null-text handling).
+    """
+    ranks = {pair: i for i, pair in enumerate(model.merges)}
+    vocab = dict(model.vocab)
+    unk_id = model.unk_id
+    cache: dict[str, list[int]] = {}
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: [] if t is None
+                     else encode_text(t, ranks, vocab, unk_id, cache))
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def bpe_decode(
+    df: DataFrame,
+    model: BpeModel,
+    *,
+    ids_col: str = "token_ids",
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Append ``out_col`` — tokens joined back to whitespace-normalized
+    text (``</w>`` -> word boundary; ``<unk>`` renders literally)."""
+    inv = {i: tok for tok, i in model.vocab.items()}
+
+    def _dec(ids) -> str | None:
+        if ids is None:
+            return None
+        return "".join(inv.get(int(i), UNK) for i in ids
+                       ).replace(END, " ").strip()
+
+    @F.pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(_dec)
+
+    return df.withColumn(out_col, _udf(F.col(ids_col)))
+
+
+def tokenize_and_pack(
+    df: DataFrame,
+    model: BpeModel,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Real-ids training export: encode with ``model``, then assign
+    token-budget packs with the oracle-verified ``pack_sequences``
+    arithmetic driven by the TRUE id counts.
+
+    Returns ``(id_col, n_tokens, shard, pack, off_tokens, token_ids)``.
+    The encode is a pure map fused into the scan stage; the id arrays
+    ride pack_sequences' one shard-keyed exchange via ``keep_cols`` (no
+    second scan, no re-encode, no join). Shard/pack assignment is the
+    identical deterministic arithmetic, so swapping the heuristic token
+    count for real ids changes only ``n_tokens`` values, not the packing
+    semantics.
+    """
+    from cdcrypt.operators.packing import pack_sequences
+
+    enc = bpe_encode(df, model, text_col=text_col).withColumn(
+        "__n_bpe", F.size("token_ids").cast("long"))
+    return pack_sequences(
+        enc, budget, id_col=id_col, text_col=text_col,
+        tokens_col="__n_bpe", n_shards=n_shards, salt=salt,
+        keep_cols=("token_ids",),
+    )
