@@ -2014,6 +2014,26 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, budget=256, n_shards=8)
 
 
+def _q_pack_manifest(spark, sf_dir):
+    # pack MATERIALIZATION (operators/packing.py materialize_packs): one
+    # row per (shard, pack) with members in offset order — the shape a
+    # trainer's loader reads (doc boundary table). One bounded hash agg
+    # on the pack key; per-pack state is capped by the token budget.
+    # Arrays project to CSV strings for the value-hash (engine-portable
+    # text beats ndarray-vs-list repr drift); the library surface keeps
+    # real arrays.
+    from cdcrypt.operators.packing import materialize_packs, pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    m = materialize_packs(pack_sequences(d, budget=256, n_shards=8))
+    as_csv = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(c, lambda x: x.cast("string")))
+    return m.select(
+        "shard", "pack", "n_docs", "total_tokens",
+        as_csv("doc_ids").alias("doc_ids_csv"),
+        as_csv("doc_offsets").alias("doc_offsets_csv"))
+
+
 def _q_chunk_documents(spark, sf_dir):
     # context-window chunking: sequence+posexplode+substring, zero shuffles
     from cdcrypt.operators.packing import chunk_documents
@@ -3123,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
         "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_components": _q_dedup_components,
@@ -4683,6 +4704,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cb // 256 AS BIGINT) AS pack,
                    CAST(cb - (cb // 256) * 256 AS BIGINT) AS off_tokens
             FROM cum
+        """,
+        "pack_manifest": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_tokens_sql('text')} AS n_tokens,
+                     ('0x' || substr(md5('pack' || ':' ||
+                          CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+                     COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY h % 8 ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cb
+              FROM base
+            ), assigned AS (
+              SELECT doc_id, n_tokens, shard,
+                     CAST(cb // 256 AS BIGINT) AS pack,
+                     CAST(cb - (cb // 256) * 256 AS BIGINT) AS off_tokens
+              FROM cum)
+            SELECT shard, pack,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY off_tokens, doc_id) AS doc_ids_csv,
+                   string_agg(CAST(off_tokens AS VARCHAR), ','
+                              ORDER BY off_tokens, doc_id)
+                       AS doc_offsets_csv
+            FROM assigned GROUP BY shard, pack
         """,
         "chunk_documents": """
             SELECT doc_id, CAST(s // 400 AS BIGINT) AS chunk_idx,

@@ -103,6 +103,51 @@ def pack_sequences(
             .drop("__h"))
 
 
+def materialize_packs(
+    packed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str | None = None,
+) -> DataFrame:
+    """Collapse a pack ASSIGNMENT (the output of :func:`pack_sequences` /
+    ``tokenize_and_pack``) into one row per pack — the shape a trainer's
+    data loader actually reads.
+
+    Returns ``(shard, pack, n_docs, total_tokens, doc_ids, doc_offsets
+    [, token_ids])``:
+
+    - ``doc_ids``     — member documents in pack order (by ``off_tokens``,
+      ``id_col`` tiebreak for zero-token members);
+    - ``doc_offsets`` — each member's token offset inside the pack (the
+      attention-boundary / sample-start table);
+    - ``token_ids``   — only when ``ids_col`` names a per-document id
+      array (``tokenize_and_pack`` output): the pack's concatenated
+      token stream, flattened in the same order.
+
+    One hash aggregation on ``(shard, pack)``; per-pack state is bounded
+    by the token budget, so no pack can exceed executor memory no matter
+    the corpus size. Ordering comes from ``sort_array`` over structs
+    (deterministic, engine-stable), not from any input row order.
+    """
+    extra = [F.col(ids_col).alias("__ids")] if ids_col else []
+    member = F.struct(F.col("off_tokens"), F.col(id_col).alias("__id"),
+                      F.col("n_tokens"), *extra)
+    agg = (packed
+           .groupBy("shard", "pack")
+           .agg(F.sort_array(F.collect_list(member)).alias("__m")))
+    out = agg.select(
+        "shard", "pack",
+        F.size("__m").cast("long").alias("n_docs"),
+        F.aggregate("__m", F.lit(0).cast("long"),
+                    lambda acc, m: acc + m["n_tokens"]).alias("total_tokens"),
+        F.transform("__m", lambda m: m["__id"]).alias("doc_ids"),
+        F.transform("__m", lambda m: m["off_tokens"]).alias("doc_offsets"),
+        *([F.flatten(F.transform("__m", lambda m: m["__ids"]))
+           .alias("token_ids")] if ids_col else []),
+    )
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     max_chars: int,

@@ -133,3 +133,55 @@ def test_config_errors(spark):
         chunk_documents(df, 0)
     with pytest.raises(ValueError):
         chunk_documents(df, 10, overlap=10)
+
+
+def test_materialize_packs_counts_and_order(spark):
+    from cdcrypt.operators.packing import materialize_packs
+
+    df = _docs(spark, [(i, "w " * (i % 37 + 1)) for i in range(200)])
+    packed = pack_sequences(df, budget=64, n_shards=4)
+    manifest = materialize_packs(packed).collect()
+    flat = packed.collect()
+    by_pack = {}
+    for r in flat:
+        by_pack.setdefault((r.shard, r.pack), []).append(r)
+    assert len(manifest) == len(by_pack)
+    for m in manifest:
+        members = sorted(by_pack[(m.shard, m.pack)],
+                         key=lambda r: (r.off_tokens, r.doc_id))
+        assert m.n_docs == len(members)
+        assert m.total_tokens == sum(r.n_tokens for r in members)
+        assert list(m.doc_ids) == [r.doc_id for r in members]
+        assert list(m.doc_offsets) == [r.off_tokens for r in members]
+        # offsets are nondecreasing; the first offset may be nonzero when
+        # the previous pack's last member overflowed into this pack's
+        # token range (documented bounded-overshoot semantics)
+        offs = list(m.doc_offsets)
+        assert offs == sorted(offs) and 0 <= offs[0] < 64
+
+
+def test_materialize_packs_token_stream(spark):
+    # real-ids path: the pack's flattened token stream equals the members'
+    # arrays concatenated in offset order, and boundaries line up
+    from cdcrypt.operators.packing import materialize_packs
+    from cdcrypt.operators.tokenizer import tokenize_and_pack, train_bpe
+
+    df = _docs(spark, [(i, "alpha beta gamma delta " * (i % 7 + 1))
+                       for i in range(60)])
+    model = train_bpe(df, vocab_size=100, sample_rows=100)
+    packed = tokenize_and_pack(df, model, 48, n_shards=2)
+    mat = materialize_packs(packed, ids_col="token_ids")
+    ref = {(r.shard, r.pack): r for r in mat.collect()}
+    members = {}
+    for r in packed.collect():
+        members.setdefault((r.shard, r.pack), []).append(r)
+    for key, rows in members.items():
+        rows.sort(key=lambda r: (r.off_tokens, r.doc_id))
+        want = [t for r in rows for t in r.token_ids]
+        got = ref[key]
+        assert list(got.token_ids) == want
+        assert got.total_tokens == len(want)
+        # each member's slice starts at its recorded offset... only true
+        # when no pack overflows mid-pack: offset deltas equal member sizes
+        for a, b in zip(rows, rows[1:]):
+            assert b.off_tokens - a.off_tokens == a.n_tokens
