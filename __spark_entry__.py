@@ -372,6 +372,37 @@ def _q_smt_connect_chain(spark, sf_dir):
         "value")
 
 
+def _q_smt_header_predicate(spark, sf_dir):
+    # Connect record headers (ordered multimap as array<struct<key,value>>)
+    # + predicate-gated SMT application (operators/smtlib.py): InsertHeader
+    # -> HeaderFrom copy -> FieldEquals-gated MaskField -> FieldEquals-gated
+    # InsertHeader -> DropHeaders. Non-matching rows pass through UNMODIFIED
+    # (per-column CASE WHEN over pre-stage values); the whole gated chain is
+    # still ONE fused projection (plan-asserted in tests/test_smtlib.py).
+    # Headers render as 'k=v;k=v' in construction order for the value hash.
+    from cdcrypt.operators.smtlib import compile_smt_chain
+
+    ev = _t(spark, sf_dir, "events")
+    chain = compile_smt_chain([
+        {"type": "InsertHeader", "header": "src", "value.literal": "cdc"},
+        {"type": "HeaderFrom", "fields": "event_type",
+         "headers": "etype", "operation": "copy"},
+        {"type": "MaskField", "fields": "props", "replacement": "***",
+         "predicate": {"type": "FieldEquals", "field": "event_type",
+                       "equals": "error"}},
+        {"type": "InsertHeader", "header": "err", "value.literal": "1",
+         "predicate": {"type": "FieldEquals", "field": "event_type",
+                       "equals": "error"}},
+        {"type": "DropHeaders", "headers": "src"},
+    ])
+    return chain.apply(ev).select(
+        "event_id", "event_type", "props",
+        F.concat_ws(";", F.transform(
+            "_headers",
+            lambda h: F.concat_ws("=", h["key"], h["value"]),
+        )).alias("headers"))
+
+
 def _q_smt_regex_router(spark, sf_dir):
     # Routing/key SMTs: HoistField+ExtractField identity, ValueToKey,
     # RegexRouter (whole-match gate), TimestampRouter daily expansion,
@@ -3079,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_mask_field": _q_smt_mask_field,
         "smt_hash_field": _q_smt_hash_field,
         "smt_connect_chain": _q_smt_connect_chain,
+        "smt_header_predicate": _q_smt_header_predicate,
         "smt_regex_router": _q_smt_regex_router,
         "smt_outbox_route": _q_smt_outbox_route,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
@@ -3991,6 +4023,15 @@ def oracle_sql() -> dict[str, str]:
                    'dc1' AS dc,
                    CAST(user_id AS INTEGER) AS user_id,
                    CAST(0 AS DOUBLE) AS value
+            FROM events
+        """,
+        "smt_header_predicate": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_type = 'error' THEN '***'
+                        ELSE props END AS props,
+                   CASE WHEN event_type = 'error'
+                        THEN 'etype=' || event_type || ';err=1'
+                        ELSE 'etype=' || event_type END AS headers
             FROM events
         """,
         "smt_regex_router": """

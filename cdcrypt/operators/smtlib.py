@@ -454,6 +454,205 @@ def _event_router(props: dict) -> Stage:
     return stage
 
 
+# ------------------------------------------------------------------ headers
+#
+# Connect records carry an ordered header multimap (ConnectHeaders:
+# repeated keys allowed, insertion order preserved). The columnar model
+# is ``_headers: array<struct<key:string,value:string>>`` — an ordered
+# list, NOT a MapType, precisely because Connect headers are a multimap.
+# All header ops are pure Column (concat / filter / exists lambdas):
+# zero Python, zero shuffles, fused into the chain's one projection.
+
+HEADERS_COL = "_headers"
+
+
+def _empty_headers() -> Column:
+    # a typed empty array<struct<key,value>> (slice of a one-element
+    # array: array().cast(...) cannot cast away the void element type)
+    return F.slice(F.array(F.struct(
+        F.lit("").alias("key"), F.lit("").alias("value"))), 1, 0)
+
+
+def _with_headers(df: DataFrame, hcol: str) -> DataFrame:
+    return df if hcol in df.columns else df.withColumn(
+        hcol, _empty_headers())
+
+
+def _header_entry(key: str, value: Column) -> Column:
+    return F.array(F.struct(F.lit(key).alias("key"),
+                            value.cast("string").alias("value")))
+
+
+def _insert_header(props: dict) -> Stage:
+    """InsertHeader: append a literal header (``header`` /
+    ``value.literal``) — appends, never replaces, matching ConnectHeaders
+    ``add`` multimap semantics."""
+    key = props.get("header")
+    val = props.get("value.literal")
+    _require(key is not None and val is not None,
+             "InsertHeader: header and value.literal are required")
+    hcol = props.get("headers.column", HEADERS_COL)
+
+    def stage(df: DataFrame) -> DataFrame:
+        df = _with_headers(df, hcol)
+        return df.withColumn(
+            hcol, F.concat(F.col(hcol), _header_entry(key, F.lit(val))))
+
+    return stage
+
+
+def _header_from(props: dict) -> Stage:
+    """HeaderFrom$Value: copy or move value fields into headers
+    (``fields`` / ``headers`` parallel lists, ``operation`` copy|move;
+    move drops the source fields from the value)."""
+    fields = [s for s in props.get("fields", "").split(",") if s]
+    headers = [s for s in props.get("headers", "").split(",") if s]
+    _require(bool(fields) and len(fields) == len(headers),
+             "HeaderFrom: fields and headers must be parallel non-empty")
+    op = props.get("operation", "copy")
+    _require(op in ("copy", "move"),
+             f"HeaderFrom: operation must be copy|move, got {op!r}")
+    hcol = props.get("headers.column", HEADERS_COL)
+
+    def stage(df: DataFrame) -> DataFrame:
+        for fname in fields:
+            _require(fname in df.columns, f"HeaderFrom: no field {fname!r}")
+        df = _with_headers(df, hcol)
+        entries = [_header_entry(hk, F.col(fn))
+                   for fn, hk in zip(fields, headers)]
+        df = df.withColumn(hcol, F.concat(F.col(hcol), *entries))
+        return df.drop(*fields) if op == "move" else df
+
+    return stage
+
+
+def _drop_headers(props: dict) -> Stage:
+    """DropHeaders: remove every header whose key is listed (all
+    occurrences — it is a multimap)."""
+    keys = [s for s in props.get("headers", "").split(",") if s]
+    _require(bool(keys), "DropHeaders: headers is required")
+    hcol = props.get("headers.column", HEADERS_COL)
+
+    def stage(df: DataFrame) -> DataFrame:
+        _require(hcol in df.columns, f"DropHeaders: no column {hcol!r}")
+        return df.withColumn(
+            hcol, F.filter(F.col(hcol),
+                           lambda h: ~h["key"].isin(*keys)))
+
+    return stage
+
+
+# ---------------------------------------------------------------- predicates
+#
+# Connect predicates (org.apache.kafka.connect.transforms.predicates)
+# gate whether an SMT applies to a given record; non-matching records
+# pass through UNMODIFIED. Columnar translation: evaluate the predicate
+# over the PRE-stage values, then per-column CASE WHEN between the
+# stage's rewrite and the original — still one fused projection, still
+# zero Python. Only value-rewriting stages are gateable: a structural
+# stage (Flatten/ExtractField/...) changes the schema, and a fixed-
+# schema engine cannot give two rows of one DataFrame different shapes
+# (the reference's schemaless mode is where Connect itself bends this).
+
+_GATEABLE = {
+    "MaskField", "Cast", "TimestampConverter", "InsertField",
+    "ValueToKey", "RegexRouter", "TimestampRouter",
+    "InsertHeader", "HeaderFrom", "DropHeaders",
+}
+
+
+def _compile_predicate(pspec: dict):
+    """``{"type": ..., **props}`` -> builder(ref) -> Column, where
+    ``ref(name)`` resolves a column to its PRE-stage value (or None if
+    the column does not exist before the stage runs)."""
+    ptype = pspec.get("type")
+    ptype = (ptype or "").split("$")[0].split(".")[-1]
+
+    if ptype == "TopicNameMatches":
+        pattern = pspec.get("pattern")
+        _require(pattern is not None, "TopicNameMatches: pattern required")
+        tcol = pspec.get("topic.column", DEFAULT_TOPIC_COL)
+
+        def build(ref):
+            c = ref(tcol)
+            _require(c is not None,
+                     f"TopicNameMatches: no column {tcol!r}")
+            return c.rlike(pattern)
+        return build
+
+    if ptype == "HasHeaderKey":
+        name = pspec.get("name")
+        _require(name is not None, "HasHeaderKey: name required")
+        hcol = pspec.get("headers.column", HEADERS_COL)
+
+        def build(ref):
+            c = ref(hcol)
+            if c is None:          # no headers container yet -> no key
+                return F.lit(False)
+            return F.exists(c, lambda h: h["key"] == F.lit(name))
+        return build
+
+    if ptype == "RecordIsTombstone":
+        # columnar model: the record value is a named column; null value
+        # == tombstone (Connect: record.value() == null)
+        vcol = pspec.get("column")
+        _require(vcol is not None,
+                 "RecordIsTombstone: column is required (the value column "
+                 "whose NULL marks a tombstone in the fixed schema)")
+
+        def build(ref):
+            c = ref(vcol)
+            _require(c is not None,
+                     f"RecordIsTombstone: no column {vcol!r}")
+            return c.isNull()
+        return build
+
+    if ptype == "FieldEquals":
+        # engine extension mirroring the reference's own condition shape
+        # (condition.py: equality on a field, missing -> no match)
+        fname, val = pspec.get("field"), pspec.get("equals")
+        _require(fname is not None and val is not None,
+                 "FieldEquals: field and equals are required")
+
+        def build(ref):
+            c = ref(fname)
+            _require(c is not None, f"FieldEquals: no column {fname!r}")
+            return c.cast("string").eqNullSafe(F.lit(str(val)))
+        return build
+
+    raise ConfigError(
+        f"unknown predicate type {pspec.get('type')!r} (supported: "
+        "TopicNameMatches, HasHeaderKey, RecordIsTombstone, FieldEquals)")
+
+
+def _gate_stage(tname: str, stage: Stage, pspec: dict,
+                negate: bool) -> Stage:
+    build = _compile_predicate(pspec)
+
+    def wrapped(df: DataFrame) -> DataFrame:
+        pre_map = {c: f"__pre_{c}" for c in df.columns}
+        pre = df
+        for c, a in pre_map.items():
+            pre = pre.withColumn(a, F.col(c))
+        out = stage(pre)
+        pred = build(lambda n: F.col(pre_map[n]) if n in pre_map else None)
+        if negate:
+            pred = ~pred
+        for c in list(out.columns):
+            if c.startswith("__pre_"):
+                continue
+            if c in pre_map:
+                out = out.withColumn(
+                    c, F.when(pred, F.col(c)).otherwise(F.col(pre_map[c])))
+            else:
+                # stage-ADDED column: ungated rows carry NULL (uniform
+                # schema; NULL marks "the SMT did not run here")
+                out = out.withColumn(c, F.when(pred, F.col(c)))
+        return out.drop(*pre_map.values())
+
+    return wrapped
+
+
 _REGISTRY: dict[str, Callable[[dict], Stage]] = {
     "ExtractField": _extract_field,
     "HoistField": _hoist_field,
@@ -468,6 +667,9 @@ _REGISTRY: dict[str, Callable[[dict], Stage]] = {
     "Filter": _filter,
     "ValueToKey": _value_to_key,
     "EventRouter": _event_router,
+    "InsertHeader": _insert_header,
+    "HeaderFrom": _header_from,
+    "DropHeaders": _drop_headers,
 }
 
 
@@ -504,5 +706,17 @@ def compile_smt_chain(specs: list[dict]) -> SmtChain:
         _require(factory is not None,
                  f"spec #{i}: unknown SMT {spec['type']!r} "
                  f"(supported: {sorted(_REGISTRY)})")
-        stages.append((tname, factory(props)))
+        pspec = props.pop("predicate", None)
+        negate = False
+        if pspec is not None:
+            negate = str(props.pop("negate", "false")).lower() == "true"
+            _require(tname in _GATEABLE,
+                     f"spec #{i}: {tname} cannot be predicate-gated — "
+                     "structural/row-count stages change the schema, "
+                     f"which a fixed-schema engine cannot vary per row "
+                     f"(gateable: {sorted(_GATEABLE)})")
+        stage = factory(props)
+        if pspec is not None:
+            stage = _gate_stage(tname, stage, dict(pspec), negate)
+        stages.append((tname, stage))
     return SmtChain(stages)

@@ -261,3 +261,157 @@ def test_event_router_outbox(spark):
     with pytest.raises(ConfigError, match="no field"):
         compile_smt_chain([{"type": "EventRouter",
                             "route.by.field": "agg"}]).apply(outbox)
+
+
+# ---------------------------------------------------------------- headers
+
+
+@pytest.fixture(scope="module")
+def hdf(spark):
+    return spark.createDataFrame(
+        [(1, "error", "p1"), (2, "click", "p2"), (3, "error", None)],
+        "event_id long, event_type string, props string")
+
+
+def _hdrs(row):
+    return [(h.key, h.value) for h in row._headers]
+
+
+class TestHeaders:
+    def test_insert_header_appends_ordered_multimap(self, hdf):
+        chain = compile_smt_chain([
+            {"type": "InsertHeader", "header": "a", "value.literal": "1"},
+            {"type": "InsertHeader", "header": "a", "value.literal": "2"},
+            {"type": "InsertHeader", "header": "b", "value.literal": "3"},
+        ])
+        r = chain.apply(hdf).orderBy("event_id").head()
+        # repeated keys allowed, insertion order preserved (ConnectHeaders)
+        assert _hdrs(r) == [("a", "1"), ("a", "2"), ("b", "3")]
+
+    def test_header_from_copy_and_move(self, hdf):
+        copy = compile_smt_chain([{
+            "type": "HeaderFrom", "fields": "event_type,props",
+            "headers": "et,pr", "operation": "copy"}]).apply(hdf)
+        r = copy.orderBy("event_id").head()
+        assert _hdrs(r) == [("et", "error"), ("pr", "p1")]
+        assert "event_type" in copy.columns and "props" in copy.columns
+        moved = compile_smt_chain([{
+            "type": "HeaderFrom", "fields": "props",
+            "headers": "pr", "operation": "move"}]).apply(hdf)
+        assert "props" not in moved.columns
+        # null field value -> null header value, key still present
+        r3 = moved.orderBy("event_id").collect()[2]
+        assert _hdrs(r3) == [("pr", None)]
+
+    def test_drop_headers_removes_all_occurrences(self, hdf):
+        chain = compile_smt_chain([
+            {"type": "InsertHeader", "header": "a", "value.literal": "1"},
+            {"type": "InsertHeader", "header": "a", "value.literal": "2"},
+            {"type": "InsertHeader", "header": "keep", "value.literal": "k"},
+            {"type": "DropHeaders", "headers": "a,gone"},
+        ])
+        r = chain.apply(hdf).head()
+        assert _hdrs(r) == [("keep", "k")]
+
+    def test_config_errors(self, hdf):
+        with pytest.raises(ConfigError):
+            compile_smt_chain([{"type": "InsertHeader", "header": "x"}])
+        with pytest.raises(ConfigError):
+            compile_smt_chain([{"type": "HeaderFrom", "fields": "a,b",
+                                "headers": "only_one"}])
+        with pytest.raises(ConfigError):
+            compile_smt_chain([{"type": "DropHeaders"}])
+
+
+class TestPredicates:
+    def test_field_equals_gates_mask(self, hdf):
+        chain = compile_smt_chain([{
+            "type": "MaskField", "fields": "props", "replacement": "***",
+            "predicate": {"type": "FieldEquals", "field": "event_type",
+                          "equals": "error"}}])
+        got = {r.event_id: r.props
+               for r in chain.apply(hdf).collect()}
+        assert got == {1: "***", 2: "p2", 3: "***"}
+
+    def test_negate_inverts(self, hdf):
+        chain = compile_smt_chain([{
+            "type": "MaskField", "fields": "props", "replacement": "***",
+            "negate": "true",
+            "predicate": {"type": "FieldEquals", "field": "event_type",
+                          "equals": "error"}}])
+        got = {r.event_id: r.props for r in chain.apply(hdf).collect()}
+        assert got == {1: "p1", 2: "***", 3: None}
+
+    def test_stage_added_column_null_when_ungated(self, hdf):
+        chain = compile_smt_chain([{
+            "type": "InsertField", "static.field": "flag",
+            "static.value": "ok",
+            "predicate": {"type": "FieldEquals", "field": "event_type",
+                          "equals": "click"}}])
+        got = {r.event_id: r.flag for r in chain.apply(hdf).collect()}
+        assert got == {1: None, 2: "ok", 3: None}
+
+    def test_has_header_key_and_absent_headers(self, hdf):
+        # no headers column yet -> predicate is False everywhere
+        none = compile_smt_chain([{
+            "type": "MaskField", "fields": "props", "replacement": "x",
+            "predicate": {"type": "HasHeaderKey", "name": "h"}}])
+        assert {r.props for r in none.apply(hdf).collect()} == \
+            {"p1", "p2", None}
+        # headers inserted upstream for error rows only -> gated mask
+        chain = compile_smt_chain([
+            {"type": "InsertHeader", "header": "h", "value.literal": "1",
+             "predicate": {"type": "FieldEquals", "field": "event_type",
+                           "equals": "error"}},
+            {"type": "MaskField", "fields": "props", "replacement": "x",
+             "predicate": {"type": "HasHeaderKey", "name": "h"}},
+        ])
+        got = {r.event_id: r.props for r in chain.apply(hdf).collect()}
+        assert got == {1: "x", 2: "p2", 3: "x"}
+
+    def test_record_is_tombstone(self, hdf):
+        chain = compile_smt_chain([{
+            "type": "InsertField", "static.field": "dead",
+            "static.value": "y",
+            "predicate": {"type": "RecordIsTombstone",
+                          "column": "props"}}])
+        got = {r.event_id: r.dead for r in chain.apply(hdf).collect()}
+        assert got == {1: None, 2: None, 3: "y"}
+
+    def test_topic_name_matches(self, events):
+        chain = compile_smt_chain([{
+            "type": "MaskField", "fields": "name", "replacement": "###",
+            "predicate": {"type": "TopicNameMatches",
+                          "pattern": r".*\.users"}}])
+        out = chain.apply(events).collect()
+        for r in out:
+            if r._topic.endswith(".users"):
+                assert r.name == "###"
+            else:
+                assert r.name != "###"
+
+    def test_structural_stage_rejects_predicate(self, hdf):
+        with pytest.raises(ConfigError):
+            compile_smt_chain([{
+                "type": "Flatten",
+                "predicate": {"type": "FieldEquals",
+                              "field": "event_type", "equals": "x"}}])
+        with pytest.raises(ConfigError):
+            compile_smt_chain([{
+                "type": "MaskField", "fields": "props",
+                "predicate": {"type": "NoSuchPredicate"}}])
+
+    def test_gated_chain_is_one_projection(self, hdf):
+        chain = compile_smt_chain([
+            {"type": "InsertHeader", "header": "src",
+             "value.literal": "cdc"},
+            {"type": "HeaderFrom", "fields": "event_type",
+             "headers": "et", "operation": "copy"},
+            {"type": "MaskField", "fields": "props", "replacement": "***",
+             "predicate": {"type": "FieldEquals", "field": "event_type",
+                           "equals": "error"}},
+            {"type": "DropHeaders", "headers": "src"},
+        ])
+        plan = chain.apply(hdf)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("Project") == 1
