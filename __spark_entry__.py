@@ -372,6 +372,28 @@ def _q_smt_connect_chain(spark, sf_dir):
         "value")
 
 
+def _q_range_join_assign(spark, sf_dir):
+    # bucketed range join (operators/rangejoin.py): every event falling in
+    # any 10-minute incident window opened by a sampled error event. The
+    # naive non-equi formulation is a nested-loop/cartesian plan; the
+    # operator bins time (bin >= window, ENFORCED at execution), replicates
+    # each interval to <=2 bins, equi-joins on the bin, and re-checks the
+    # half-open range on full-precision timestamps — shuffle is linear in
+    # rows, no cross product (plan-asserted in tests/test_rangejoin.py).
+    from cdcrypt.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = (ev.where((F.col("event_type") == "error")
+                          & (F.col("event_id") % 20 == 0))
+                 .select(F.col("event_id").alias("incident_id"),
+                         F.col("ts").alias("start"),
+                         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+                          ).alias("end")))
+    pairs = range_join(ev.select("event_id", "ts"), intervals,
+                       point_ts="ts", bin_seconds=600)
+    return pairs.select("incident_id", "event_id")
+
+
 def _q_smt_header_predicate(spark, sf_dir):
     # Connect record headers (ordered multimap as array<struct<key,value>>)
     # + predicate-gated SMT application (operators/smtlib.py): InsertHeader
@@ -3111,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_hash_field": _q_smt_hash_field,
         "smt_connect_chain": _q_smt_connect_chain,
         "smt_header_predicate": _q_smt_header_predicate,
+        "range_join_assign": _q_range_join_assign,
         "smt_regex_router": _q_smt_regex_router,
         "smt_outbox_route": _q_smt_outbox_route,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
@@ -4024,6 +4047,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(user_id AS INTEGER) AS user_id,
                    CAST(0 AS DOUBLE) AS value
             FROM events
+        """,
+        "range_join_assign": """
+            SELECT i.event_id AS incident_id, e.event_id
+            FROM events i JOIN events e
+              ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 10 MINUTE
+            WHERE i.event_type = 'error' AND i.event_id % 20 = 0
         """,
         "smt_header_predicate": """
             SELECT event_id, event_type,

@@ -1,0 +1,99 @@
+"""Bucketed range join: interval-containment joins without a cross product.
+
+``points JOIN intervals ON start <= ts < end`` is the classic Spark
+pain point: expressed directly it is a non-equi join, which the planner
+can only execute as BroadcastNestedLoopJoin (broadcast one whole side)
+or CartesianProduct — both O(|points| x |intervals|) and both fatal at
+scale. The standard distributed fix (same recipe as Databricks' range
+join optimization and the interval-join of stream processors) is TIME
+BINNING:
+
+1. pick a bin width >= the longest interval;
+2. each interval replicates to the bins it overlaps (<= 2 when the
+   width bound holds);
+3. each point lands in exactly ONE bin;
+4. equi-join on the bin key, then re-check the precise range predicate
+   on the original full-precision timestamps.
+
+Every point has one bin, so a point matches a 2-bin interval at most
+once — no post-join dedup. Shuffle volume is |points| + 2|intervals|
+rows hashed by bin: linear, skew governed by events-per-bin (bin width
+is the knob, and a hot bin can additionally be salted by the point-side
+id like any hot key). The bin-width precondition is ENFORCED: an
+interval longer than ``bin_seconds`` raises at execution instead of
+silently losing matches.
+
+Engine context: the reference SMT has no joins at all (SURVEY §2.4);
+this operator serves the engine's CDC-side consumers — incident
+windows over a change stream, SCD2-style validity assignment, session
+containment — wherever "which window does this event fall in" must run
+at stream scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["range_join"]
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """All (interval, point) pairs with ``start <= ts < end``.
+
+    Output columns: every ``intervals`` column, then every ``points``
+    column (names must not collide — rename before calling). The range
+    is half-open (end exclusive) and evaluated on the full-precision
+    original timestamps; the bins only route the join.
+
+    ``bin_seconds`` must be >= the longest interval; violations raise
+    at execution (never a silent miss). Smaller bins shrink per-bin
+    fan-in for dense streams; bins are derived from epoch seconds, so
+    the same wall-time always lands in the same bin on every engine.
+    """
+    if bin_seconds <= 0:
+        raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+    s, e = F.col(start_col), F.col(end_col)
+    ts = F.col(point_ts)
+    b = F.lit(int(bin_seconds))
+
+    def secs(c):
+        # epoch seconds; TIMESTAMP_NTZ (parquet us-without-tz) cannot cast
+        # to double directly, but NTZ -> TIMESTAMP -> DOUBLE can (UTC
+        # session TZ, cdcrypt.session). Bins only ROUTE the join; the
+        # precise predicate below compares the original columns.
+        return c.cast("timestamp").cast("double")
+
+    length_ok = (secs(e) - secs(s)) <= b
+    checked_end = F.when(length_ok, secs(e)).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"range_join: interval longer than "
+                  f"bin_seconds={bin_seconds} would lose matches; raise "
+                  "bin_seconds (start="),
+            s.cast("string"), F.lit(" end="), e.cast("string"),
+            F.lit(")"))))
+
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.floor(secs(s) / b),
+            # end is exclusive: an interval ending exactly on a bin edge
+            # does not reach into that bin
+            F.floor((checked_end - 1e-9) / b),
+        )))
+    pb = points.withColumn("__bin", F.floor(secs(ts) / b))
+    return (
+        pb.join(ib, "__bin")
+        .where((s <= ts) & (ts < e))
+        .drop("__bin")
+        # interval columns first, point columns after — a stable contract
+        .select(*intervals.columns, *points.columns)
+    )

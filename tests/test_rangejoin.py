@@ -1,0 +1,100 @@
+"""Bucketed range join: equivalence with the naive non-equi join,
+half-open boundary semantics, bin-spanning intervals, the enforced
+bin-width precondition, and the no-cross-product plan property."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from cdcrypt.operators.rangejoin import range_join
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = random.Random(11)
+    points = spark.createDataFrame(
+        [(i, _ts(rng.randint(0, 600), rng.randint(0, 59)))
+         for i in range(400)],
+        "pid long, ts timestamp")
+    iv_rows = []
+    for j in range(60):
+        m = rng.randint(0, 590)
+        iv_rows.append((j, _ts(m), _ts(m + rng.randint(1, 9))))
+    ivs = spark.createDataFrame(
+        iv_rows, "iid long, start timestamp, end timestamp")
+    return points, ivs
+
+
+def test_matches_naive_nonequi_join(spark, data):
+    points, ivs = data
+    got = {(r.iid, r.pid)
+           for r in range_join(points, ivs, point_ts="ts",
+                               bin_seconds=600).collect()}
+    want = {(r.iid, r.pid) for r in
+            ivs.join(points, (F.col("start") <= F.col("ts"))
+                     & (F.col("ts") < F.col("end"))).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_half_open_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(15)), (3, _ts(20))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, _ts(10), _ts(20))], "iid long, start timestamp, end timestamp")
+    got = sorted(r.pid for r in
+                 range_join(points, ivs, bin_seconds=600).collect())
+    assert got == [1, 2]  # start inclusive, end exclusive
+
+
+def test_interval_spanning_bins_matches_once(spark):
+    # 2-minute interval straddling a 60s bin edge; point in the 2nd bin
+    points = spark.createDataFrame(
+        [(1, _ts(1, 30))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, _ts(0, 30), _ts(2, 30))],
+        "iid long, start timestamp, end timestamp")
+    rows = range_join(points, ivs, bin_seconds=60 * 3).collect()
+    assert [(r.iid, r.pid) for r in rows] == [(1, 1)]
+
+
+def test_end_on_bin_edge_does_not_replicate(spark):
+    # end exactly on a bin boundary: exclusive end must not pull the
+    # interval into the next bin (and the point AT the edge not match)
+    points = spark.createDataFrame(
+        [(1, _ts(2, 0))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, _ts(1, 0), _ts(2, 0))],
+        "iid long, start timestamp, end timestamp")
+    assert range_join(points, ivs, bin_seconds=60).count() == 0
+
+
+def test_too_long_interval_raises(spark):
+    points = spark.createDataFrame([(1, _ts(5))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, _ts(0), _ts(30))], "iid long, start timestamp, end timestamp")
+    with pytest.raises(Exception) as ei:
+        range_join(points, ivs, bin_seconds=60).collect()
+    assert "bin_seconds" in str(ei.value)
+
+
+def test_plan_has_no_cross_product(spark, data):
+    points, ivs = data
+    plan = range_join(points, ivs, bin_seconds=600)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the naive formulation, by contrast, is a nested-loop join
+    naive = ivs.join(points, (F.col("start") <= F.col("ts"))
+                     & (F.col("ts") < F.col("end")))\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in naive or "Cartesian" in naive
