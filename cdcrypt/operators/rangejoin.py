@@ -46,6 +46,7 @@ def range_join(
     start_col: str = "start",
     end_col: str = "end",
     bin_seconds: int = 600,
+    salt_k: int = 1,
 ) -> DataFrame:
     """All (interval, point) pairs with ``start <= ts < end``.
 
@@ -58,6 +59,13 @@ def range_join(
     at execution (never a silent miss). Smaller bins shrink per-bin
     fan-in for dense streams; bins are derived from epoch seconds, so
     the same wall-time always lands in the same bin on every engine.
+
+    ``salt_k > 1`` splits each bin's POINT population into ``salt_k``
+    sub-partitions (hash of the point timestamp) and replicates the
+    interval side to all of them — the standard hot-key salt, for when
+    one time bin holds a burst (flash-crowd minute) that would
+    otherwise pin a single reducer. Costs ``salt_k`` x interval
+    replication, never changes results.
     """
     if bin_seconds <= 0:
         raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
@@ -81,6 +89,8 @@ def range_join(
             s.cast("string"), F.lit(" end="), e.cast("string"),
             F.lit(")"))))
 
+    if salt_k < 1:
+        raise ValueError(f"salt_k must be >= 1, got {salt_k}")
     ib = intervals.withColumn(
         "__bin",
         F.explode(F.sequence(
@@ -90,10 +100,15 @@ def range_join(
             F.floor((checked_end - 1e-9) / b),
         )))
     pb = points.withColumn("__bin", F.floor(secs(ts) / b))
+    keys = ["__bin"]
+    if salt_k > 1:
+        ib = ib.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1))))
+        pb = pb.withColumn("__salt", F.pmod(F.hash(ts), F.lit(salt_k)))
+        keys.append("__salt")
     return (
-        pb.join(ib, "__bin")
+        pb.join(ib, keys)
         .where((s <= ts) & (ts < e))
-        .drop("__bin")
         # interval columns first, point columns after — a stable contract
         .select(*intervals.columns, *points.columns)
     )

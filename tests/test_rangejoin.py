@@ -98,3 +98,19 @@ def test_plan_has_no_cross_product(spark, data):
                      & (F.col("ts") < F.col("end")))\
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" in naive or "Cartesian" in naive
+
+
+def test_salted_results_identical(spark, data):
+    points, ivs = data
+    base = {(r.iid, r.pid)
+            for r in range_join(points, ivs, bin_seconds=600).collect()}
+    salted = {(r.iid, r.pid)
+              for r in range_join(points, ivs, bin_seconds=600,
+                                  salt_k=4).collect()}
+    assert salted == base and len(base) > 0
+
+
+def test_salt_config_error(spark, data):
+    points, ivs = data
+    with pytest.raises(ValueError):
+        range_join(points, ivs, bin_seconds=600, salt_k=0)
