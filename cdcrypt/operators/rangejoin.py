@@ -57,8 +57,11 @@ def range_join(
 
     ``bin_seconds`` must be >= the longest interval; violations raise
     at execution (never a silent miss). Smaller bins shrink per-bin
-    fan-in for dense streams; bins are derived from epoch seconds, so
-    the same wall-time always lands in the same bin on every engine.
+    fan-in for dense streams; bins are derived from exact integer epoch
+    microseconds, so the same wall-time always lands in the same bin on
+    every engine. Inverted intervals (end < start) also raise — a
+    corrupt upstream row must fail loud, not silently explode into one
+    replica per bin between the two epochs.
 
     ``salt_k > 1`` splits each bin's POINT population into ``salt_k``
     sub-partitions (hash of the point timestamp) and replicates the
@@ -69,37 +72,52 @@ def range_join(
     """
     if bin_seconds <= 0:
         raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+    if salt_k < 1:
+        raise ValueError(f"salt_k must be >= 1, got {salt_k}")
     s, e = F.col(start_col), F.col(end_col)
     ts = F.col(point_ts)
-    b = F.lit(int(bin_seconds))
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
 
-    def secs(c):
-        # epoch seconds; TIMESTAMP_NTZ (parquet us-without-tz) cannot cast
-        # to double directly, but NTZ -> TIMESTAMP -> DOUBLE can (UTC
-        # session TZ, cdcrypt.session). Bins only ROUTE the join; the
+    def micros(c):
+        # exact integer epoch microseconds — no double ulp; TIMESTAMP_NTZ
+        # (parquet us-without-tz) first casts to TIMESTAMP under the UTC
+        # session TZ (cdcrypt.session). Bins only ROUTE the join; the
         # precise predicate below compares the original columns.
-        return c.cast("timestamp").cast("double")
+        return F.unix_micros(c.cast("timestamp"))
 
-    length_ok = (secs(e) - secs(s)) <= b
-    checked_end = F.when(length_ok, secs(e)).otherwise(
+    def fdiv(a, b):
+        # exact integer floor division on long Columns: (a - pmod(a,b))
+        # is an exact multiple of b, so the double division is exact —
+        # a plain a/b at epoch-microsecond magnitudes has quotient ulp
+        # ~5e-7, large enough to round an edge-adjacent value across an
+        # integer boundary (the same bug class as the epsilon this
+        # replaced). pmod gives floor semantics for negative epochs too.
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    us_s, us_e = micros(s), micros(e)
+    # a well-formed interval has start <= end AND fits one bin width. An
+    # inverted interval (corrupt upstream row) would otherwise make
+    # sequence() count DOWN through every bin between the two epochs — a
+    # silent million-replica explosion — so BOTH violations raise.
+    ok = (us_e >= us_s) & ((us_e - us_s) <= bin_us)
+    checked_end_us = F.when(ok, us_e).otherwise(
         F.raise_error(F.concat(
-            F.lit(f"range_join: interval longer than "
-                  f"bin_seconds={bin_seconds} would lose matches; raise "
+            F.lit(f"range_join: interval inverted or longer than "
+                  f"bin_seconds={bin_seconds}; fix the interval or raise "
                   "bin_seconds (start="),
             s.cast("string"), F.lit(" end="), e.cast("string"),
             F.lit(")"))))
 
-    if salt_k < 1:
-        raise ValueError(f"salt_k must be >= 1, got {salt_k}")
     ib = intervals.withColumn(
         "__bin",
         F.explode(F.sequence(
-            F.floor(secs(s) / b),
+            fdiv(us_s, bin_us),
             # end is exclusive: an interval ending exactly on a bin edge
-            # does not reach into that bin
-            F.floor((checked_end - 1e-9) / b),
+            # does not reach into that bin — exact integer floor of
+            # (end_us - 1), not a sub-ulp double epsilon
+            fdiv(checked_end_us - F.lit(1), bin_us),
         )))
-    pb = points.withColumn("__bin", F.floor(secs(ts) / b))
+    pb = points.withColumn("__bin", fdiv(micros(ts), bin_us))
     keys = ["__bin"]
     if salt_k > 1:
         ib = ib.withColumn(

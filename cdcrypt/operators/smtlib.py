@@ -478,6 +478,15 @@ def _with_headers(df: DataFrame, hcol: str) -> DataFrame:
         hcol, _empty_headers())
 
 
+def _headers_or_empty(hcol: str) -> Column:
+    # a NULL headers container means "the SMT that would have created it
+    # was predicate-gated off for this row" — semantically an EMPTY
+    # container, never a poison value: without the coalesce, a later
+    # unconditional append would concat(NULL, entry) -> NULL and silently
+    # lose every subsequent header on those rows.
+    return F.coalesce(F.col(hcol), _empty_headers())
+
+
 def _header_entry(key: str, value: Column) -> Column:
     return F.array(F.struct(F.lit(key).alias("key"),
                             value.cast("string").alias("value")))
@@ -496,7 +505,8 @@ def _insert_header(props: dict) -> Stage:
     def stage(df: DataFrame) -> DataFrame:
         df = _with_headers(df, hcol)
         return df.withColumn(
-            hcol, F.concat(F.col(hcol), _header_entry(key, F.lit(val))))
+            hcol, F.concat(_headers_or_empty(hcol),
+                           _header_entry(key, F.lit(val))))
 
     return stage
 
@@ -520,7 +530,8 @@ def _header_from(props: dict) -> Stage:
         df = _with_headers(df, hcol)
         entries = [_header_entry(hk, F.col(fn))
                    for fn, hk in zip(fields, headers)]
-        df = df.withColumn(hcol, F.concat(F.col(hcol), *entries))
+        df = df.withColumn(hcol, F.concat(_headers_or_empty(hcol),
+                                          *entries))
         return df.drop(*fields) if op == "move" else df
 
     return stage
@@ -555,9 +566,16 @@ def _drop_headers(props: dict) -> Stage:
 # (the reference's schemaless mode is where Connect itself bends this).
 
 _GATEABLE = {
-    "MaskField", "Cast", "TimestampConverter", "InsertField",
-    "ValueToKey", "RegexRouter", "TimestampRouter",
-    "InsertHeader", "HeaderFrom", "DropHeaders",
+    # value-rewriting stages whose OUTPUT TYPE equals the input type (or
+    # is a new column), so a per-row CASE WHEN between old and new is
+    # well-typed. Cast / TimestampConverter are deliberately EXCLUDED:
+    # their rewrite changes the column's type, so the CASE WHEN would
+    # coerce the passthrough branch to the target type too — crashing on
+    # predicate-EXCLUDED rows (e.g. a non-numeric string outside the
+    # gate) and losing the declared target type. Same fixed-schema
+    # argument as the structural stages: one column, one type.
+    "MaskField", "InsertField", "ValueToKey", "RegexRouter",
+    "TimestampRouter", "InsertHeader", "HeaderFrom", "DropHeaders",
 }
 
 
@@ -712,9 +730,22 @@ def compile_smt_chain(specs: list[dict]) -> SmtChain:
             negate = str(props.pop("negate", "false")).lower() == "true"
             _require(tname in _GATEABLE,
                      f"spec #{i}: {tname} cannot be predicate-gated — "
-                     "structural/row-count stages change the schema, "
-                     f"which a fixed-schema engine cannot vary per row "
+                     "structural/row-count/type-changing stages cannot "
+                     f"vary per row in a fixed schema "
                      f"(gateable: {sorted(_GATEABLE)})")
+            _require(not (tname == "HeaderFrom"
+                          and props.get("operation") == "move"),
+                     f"spec #{i}: HeaderFrom operation=move cannot be "
+                     "predicate-gated — move DROPS the source fields, a "
+                     "schema change that cannot vary per row (use "
+                     "operation=copy, or an ungated move)")
+        else:
+            # Filter owns its own negate prop; for everything else a
+            # stray negate-without-predicate means the user dropped the
+            # predicate key — masking ALL rows unconditionally is never
+            # what they meant, so fail driver-side (O12 parity)
+            _require(tname == "Filter" or "negate" not in props,
+                     f"spec #{i}: negate requires a predicate")
         stage = factory(props)
         if pspec is not None:
             stage = _gate_stage(tname, stage, dict(pspec), negate)

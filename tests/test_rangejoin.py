@@ -114,3 +114,40 @@ def test_salt_config_error(spark, data):
     points, ivs = data
     with pytest.raises(ValueError):
         range_join(points, ivs, bin_seconds=600, salt_k=0)
+
+
+def test_inverted_interval_raises(spark):
+    # a corrupt upstream row (end < start) must fail loud, never explode
+    # one replica per bin between the two epochs
+    points = spark.createDataFrame([(1, _ts(5))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, _ts(100), _ts(0))], "iid long, start timestamp, end timestamp")
+    with pytest.raises(Exception) as ei:
+        range_join(points, ivs, bin_seconds=600).collect()
+    assert "inverted" in str(ei.value)
+
+
+def test_edge_aligned_interval_single_replica(spark):
+    # [1:00, 2:00) with 60s bins must occupy EXACTLY bin 1 — the old
+    # double-epsilon was below the ulp at epoch magnitudes, so the
+    # interval leaked a replica into bin 2. Count replicas through the
+    # join: one point per bin; an extra replica would surface as an
+    # extra (pre-filter) match only in bin 2, so assert via a point AT
+    # the edge (filtered) plus the exact integer bin arithmetic.
+    from pyspark.sql import functions as F
+    from cdcrypt.operators.rangejoin import range_join as rj
+
+    e_us = int(_ts(2, 0).replace(tzinfo=datetime.timezone.utc).timestamp()
+               * 1_000_000)
+    bins = spark.range(1).select(
+        F.floor((F.lit(e_us - 1) - F.pmod(F.lit(e_us - 1),
+                                          F.lit(60_000_000)))
+                / F.lit(60_000_000)).alias("end_bin"),
+    ).head()
+    assert bins.end_bin == (e_us // 60_000_000) - 1  # strictly inside bin 1
+    # and end-to-end: the edge point still does not match
+    points = spark.createDataFrame([(1, _ts(2, 0))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, _ts(1, 0), _ts(2, 0))],
+        "iid long, start timestamp, end timestamp")
+    assert rj(points, ivs, bin_seconds=60).count() == 0

@@ -415,3 +415,64 @@ class TestPredicates:
         plan = chain.apply(hdf)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert plan.count("Project") == 1
+
+
+class TestReviewRegressions:
+    # fixes from the session-11 review of the headers/predicates feature
+
+    def test_gated_header_from_move_rejected(self, hdf):
+        with pytest.raises(ConfigError):
+            compile_smt_chain([{
+                "type": "HeaderFrom", "fields": "props", "headers": "pr",
+                "operation": "move",
+                "predicate": {"type": "FieldEquals",
+                              "field": "event_type", "equals": "error"}}])
+        # copy stays gateable and leaves non-matching rows untouched
+        chain = compile_smt_chain([{
+            "type": "HeaderFrom", "fields": "props", "headers": "pr",
+            "operation": "copy",
+            "predicate": {"type": "FieldEquals",
+                          "field": "event_type", "equals": "error"}}])
+        out = chain.apply(hdf)
+        assert "props" in out.columns
+        got = {r.event_id: r._headers for r in out.collect()}
+        assert [h.key for h in got[1]] == ["pr"]
+        assert got[2] is None  # gated off -> no container yet
+
+    def test_null_headers_do_not_poison_later_appends(self, hdf):
+        # gated InsertHeader creates _headers only for error rows; the
+        # later UNGATED InsertHeader must still append for everyone
+        chain = compile_smt_chain([
+            {"type": "InsertHeader", "header": "err", "value.literal": "1",
+             "predicate": {"type": "FieldEquals", "field": "event_type",
+                           "equals": "error"}},
+            {"type": "InsertHeader", "header": "src",
+             "value.literal": "cdc"},
+        ])
+        got = {r.event_id: [(h.key, h.value) for h in r._headers]
+               for r in chain.apply(hdf).collect()}
+        assert got[1] == [("err", "1"), ("src", "cdc")]
+        assert got[2] == [("src", "cdc")]  # was NULL-poisoned before fix
+
+    def test_cast_and_timestamp_converter_not_gateable(self, hdf):
+        for spec in (
+            {"type": "Cast", "spec": "props:int32"},
+            {"type": "TimestampConverter", "field": "props",
+             "target.type": "string", "format": "yyyy"},
+        ):
+            with pytest.raises(ConfigError):
+                compile_smt_chain([{
+                    **spec,
+                    "predicate": {"type": "FieldEquals",
+                                  "field": "event_type",
+                                  "equals": "error"}}])
+
+    def test_negate_without_predicate_rejected(self, hdf):
+        with pytest.raises(ConfigError):
+            compile_smt_chain([{
+                "type": "MaskField", "fields": "props",
+                "replacement": "***", "negate": "true"}])
+        # Filter keeps its own negate prop
+        compile_smt_chain([{
+            "type": "Filter", "field": "event_type", "equals": "error",
+            "negate": "true"}])
