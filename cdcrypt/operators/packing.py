@@ -74,6 +74,13 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    reserved = {id_col, "n_tokens", "shard", "__h", "pack", "off_tokens"}
+    clash = reserved.intersection(keep_cols)
+    if clash:
+        raise ValueError(
+            f"pack_sequences: keep_cols {sorted(clash)} collide with "
+            f"reserved output names {sorted(reserved)} — rename the "
+            "payload column before packing")
     idc = F.col(id_col)
     checked = F.when(idc.isNull(), F.raise_error(
         f"pack_sequences: NULL {id_col} cannot be packed deterministically"

@@ -359,7 +359,13 @@ def _filter(props: dict) -> Stage:
     only matches with ``negate=true`` flipping it, Connect's
     ``predicate``/``negate`` wiring. Predicates: ``topic.regex``
     (TopicNameMatches) and ``field``/``equals`` (the reference's own
-    condition shape, condition.py)."""
+    condition shape, condition.py).
+
+    A full Connect-style ``predicate`` BLOCK on a Filter spec (the
+    canonical ``transforms.filter.predicate=...`` wiring) is handled in
+    :func:`compile_smt_chain` directly — it compiles to a plain
+    ``df.where`` over any supported predicate type, bypassing this
+    factory's inline-prop shapes."""
     topic_regex = props.get("topic.regex")
     cfield = props.get("field")
     cequals = props.get("equals")
@@ -595,7 +601,12 @@ def _compile_predicate(pspec: dict):
             c = ref(tcol)
             _require(c is not None,
                      f"TopicNameMatches: no column {tcol!r}")
-            return c.rlike(pattern)
+            # NULL topic -> the record does not match (Connect evaluates
+            # the regex against a concrete topic string; a missing topic
+            # must behave as non-matching, and under negate=true it must
+            # MATCH — a bare rlike would stay NULL either way and
+            # silently skip the gated stage)
+            return F.coalesce(c.rlike(pattern), F.lit(False))
         return build
 
     if ptype == "HasHeaderKey":
@@ -607,7 +618,15 @@ def _compile_predicate(pspec: dict):
             c = ref(hcol)
             if c is None:          # no headers container yet -> no key
                 return F.lit(False)
-            return F.exists(c, lambda h: h["key"] == F.lit(name))
+            # a NULL headers container (the documented state when the
+            # header-creating stage was itself predicate-gated off) has
+            # no key either: exists() over NULL is NULL, and NULL would
+            # poison negate=true (rows lacking the header — exactly the
+            # ones the negated predicate should match — would silently
+            # skip the gated SMT). Pin it to false.
+            return F.coalesce(
+                F.exists(c, lambda h: h["key"] == F.lit(name)),
+                F.lit(False))
         return build
 
     if ptype == "RecordIsTombstone":
@@ -726,6 +745,32 @@ def compile_smt_chain(specs: list[dict]) -> SmtChain:
                  f"(supported: {sorted(_REGISTRY)})")
         pspec = props.pop("predicate", None)
         negate = False
+        if pspec is not None and tname == "Filter":
+            # Filter + predicate is Connect's CANONICAL wiring (drop the
+            # records the predicate selects), and — unlike the structural
+            # stages — a gated Filter is trivially a where clause, so the
+            # "row-count stages cannot vary per row" rule does not apply.
+            # Filter carries no props of its own in this wiring.
+            negate = str(props.pop("negate", "false")).lower() == "true"
+            _require(not props,
+                     f"spec #{i}: Filter with a predicate block takes no "
+                     f"other props (got {sorted(props)}); the predicate "
+                     "decides which rows are dropped")
+            build = _compile_predicate(dict(pspec))
+
+            def stage(df: DataFrame, _build=build, _neg=negate
+                      ) -> DataFrame:
+                pred = _build(
+                    lambda n, _df=df: F.col(n) if n in _df.columns
+                    else None)
+                if _neg:
+                    pred = ~pred
+                # Connect: the SMT applies to matching records, and
+                # Filter DROPS the records it applies to
+                return df.where(~pred)
+
+            stages.append((tname, stage))
+            continue
         if pspec is not None:
             negate = str(props.pop("negate", "false")).lower() == "true"
             _require(tname in _GATEABLE,

@@ -29,8 +29,15 @@ module supplies that stage the way production pipelines do it:
 - :func:`bpe_decode` — inverse (ids -> text) for round-trip testing and
   debug reads. Round-trip contract: ``decode(encode(t))`` equals
   ``' '.join(t.split())`` (whitespace-normalized text) whenever every
-  character of ``t`` was seen in training; unseen characters encode to
-  ``<unk>`` and are lossy by design.
+  character of ``t`` was seen in training AND ``t`` does not contain the
+  literal 4-character sequence ``</w>``; unseen characters encode to
+  ``<unk>`` and are lossy by design, and a literal ``</w>`` renders as a
+  word boundary on decode (the vocab is string-keyed, so a token spelled
+  from those literal characters is indistinguishable from the
+  end-of-word sentinel — the same ambiguity byte-level BPEs exist to
+  avoid). ``learn_merges`` refuses to LEARN a merge spelling exactly
+  ``</w>``, so token id 1 is only ever emitted for true word ends and
+  downstream consumers can rely on it as a boundary signal.
 
 - :func:`tokenize_and_pack` — the composition every pretraining export
   runs: encode to ids, then assign token-budget packs via the existing
@@ -160,6 +167,14 @@ def learn_merges(word_freqs: dict[str, int], n_merges: int,
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         counts = _pair_counts(freqs)
+        # a merge whose concatenation spells the END sentinel is never
+        # learned: the literal string '</w>' in input text (e.g. markup)
+        # would otherwise merge into a token that string-collides with
+        # the sentinel's vocab id, and bpe_decode would render it as a
+        # space — silently breaking the decode(encode(t)) round-trip.
+        # Every token is built by one final pair concatenation, so
+        # blocking a+b == END here closes the collision entirely.
+        counts = {p: c for p, c in counts.items() if p[0] + p[1] != END}
         if not counts:
             break
         # deterministic: max frequency, lexicographically smallest pair
@@ -199,7 +214,12 @@ def train_bpe(
     heap + driver merge), so selection is O(corpus) scan time, zero
     shuffle, and stable under repartitioning, file layout, and engine.
     ``vocab_size`` bounds ``len(model.vocab)`` (specials + base chars +
-    merges); training stops early once no pair repeats.
+    merges) WHENEVER the sample's distinct base characters fit the
+    budget (``n_base <= vocab_size - 2``); base characters are mandatory
+    for lossless coverage, so a sample with more distinct characters
+    than the budget yields ``len(vocab) == 2 + n_base`` (exceeding
+    ``vocab_size``) with zero merges rather than dropping characters.
+    Training also stops early once no pair repeats.
     """
     if vocab_size < 8:
         raise ValueError(f"vocab_size must be >= 8, got {vocab_size}")
@@ -293,7 +313,13 @@ def bpe_decode(
     out_col: str = "text_decoded",
 ) -> DataFrame:
     """Append ``out_col`` — tokens joined back to whitespace-normalized
-    text (``</w>`` -> word boundary; ``<unk>`` renders literally)."""
+    text (``</w>`` -> word boundary; ``<unk>`` renders literally).
+
+    Limitation (see module docstring): a literal ``</w>`` character
+    sequence in the ORIGINAL text renders as a word boundary here — the
+    string-keyed vocab cannot distinguish it from the sentinel. Texts
+    containing the literal sentinel are outside the round-trip
+    contract."""
     inv = {i: tok for tok, i in model.vocab.items()}
 
     def _dec(ids) -> str | None:

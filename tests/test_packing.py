@@ -185,3 +185,13 @@ def test_materialize_packs_token_stream(spark):
         # when no pack overflows mid-pack: offset deltas equal member sizes
         for a, b in zip(rows, rows[1:]):
             assert b.off_tokens - a.off_tokens == a.n_tokens
+
+
+def test_keep_cols_reserved_name_collision_raises(spark):
+    from cdcrypt.operators.packing import pack_sequences
+    df = spark.createDataFrame(
+        [("d1", "a b c", 3)], "doc_id string, text string, pack long")
+    with pytest.raises(ValueError, match="reserved output names"):
+        pack_sequences(df, budget=10, keep_cols=("pack",))
+    with pytest.raises(ValueError, match="reserved output names"):
+        pack_sequences(df, budget=10, keep_cols=("doc_id",))

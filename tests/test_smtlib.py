@@ -476,3 +476,76 @@ class TestReviewRegressions:
         compile_smt_chain([{
             "type": "Filter", "field": "event_type", "equals": "error",
             "negate": "true"}])
+
+
+class TestAdviceR4Regressions:
+    # fixes from the round-4 ADVICE review of the predicate layer
+
+    def test_has_header_key_null_container_negate(self, spark):
+        # headers container NULL for non-error rows (gated InsertHeader);
+        # negate=true must MATCH those rows — a bare exists() stays NULL
+        # on a NULL container and silently skipped them before the fix
+        df = spark.createDataFrame(
+            [(1, "error", "p1"), (2, "click", "p2")],
+            "event_id long, event_type string, props string")
+        chain = compile_smt_chain([
+            {"type": "InsertHeader", "header": "h", "value.literal": "1",
+             "predicate": {"type": "FieldEquals", "field": "event_type",
+                           "equals": "error"}},
+            {"type": "MaskField", "fields": "props", "replacement": "x",
+             "negate": "true",
+             "predicate": {"type": "HasHeaderKey", "name": "h"}},
+        ])
+        got = {r.event_id: r.props for r in chain.apply(df).collect()}
+        # row 1 has the header -> negated predicate false -> untouched;
+        # row 2 has a NULL container (no header) -> masked
+        assert got == {1: "p1", 2: "x"}
+
+    def test_topic_name_matches_null_topic_negate(self, spark):
+        df = spark.createDataFrame(
+            [(1, "db.users", "a"), (2, None, "b")],
+            "event_id long, _topic string, props string")
+        chain = compile_smt_chain([{
+            "type": "MaskField", "fields": "props", "replacement": "x",
+            "negate": "true",
+            "predicate": {"type": "TopicNameMatches",
+                          "pattern": r"db\..*"}}])
+        got = {r.event_id: r.props for r in chain.apply(df).collect()}
+        # NULL topic does not match the pattern -> negate selects it
+        assert got == {1: "a", 2: "x"}
+
+    def test_filter_accepts_predicate_block(self, hdf):
+        # Connect's canonical Filter+predicate wiring: drop matches
+        drop = compile_smt_chain([{
+            "type": "Filter",
+            "predicate": {"type": "FieldEquals", "field": "event_type",
+                          "equals": "error"}}])
+        assert {r.event_id for r in drop.apply(hdf).collect()} == {2}
+        # negate=true applies Filter to NON-matching records
+        keep = compile_smt_chain([{
+            "type": "Filter", "negate": "true",
+            "predicate": {"type": "FieldEquals", "field": "event_type",
+                          "equals": "error"}}])
+        assert {r.event_id for r in keep.apply(hdf).collect()} == {1, 3}
+
+    def test_filter_predicate_block_rejects_extra_props(self, hdf):
+        with pytest.raises(ConfigError, match="no other props"):
+            compile_smt_chain([{
+                "type": "Filter", "field": "event_type",
+                "equals": "error",
+                "predicate": {"type": "FieldEquals",
+                              "field": "event_type", "equals": "x"}}])
+
+    def test_filter_predicate_block_null_safe(self, spark):
+        # HasHeaderKey over an ABSENT headers column inside a gated
+        # Filter: predicate False everywhere -> negate drops everything
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "event_id long, props string")
+        keep_matching = compile_smt_chain([{
+            "type": "Filter", "negate": "true",
+            "predicate": {"type": "HasHeaderKey", "name": "h"}}])
+        assert keep_matching.apply(df).count() == 0
+        drop_matching = compile_smt_chain([{
+            "type": "Filter",
+            "predicate": {"type": "HasHeaderKey", "name": "h"}}])
+        assert drop_matching.apply(df).count() == 2

@@ -155,3 +155,39 @@ class TestSparkEncode:
             biggest = max(r.n_tokens for r in members)
             # cumsum binning: overshoot bounded by the last member
             assert total <= budget + biggest
+
+
+class TestAdviceR4Regressions:
+    def test_sentinel_merge_never_learned(self):
+        # a corpus rich in literal '</w>' markup: the pair whose
+        # concatenation spells the sentinel must never become a merge,
+        # so token id 1 is only ever a true word end
+        freqs = {"</w>": 50, "a</w>b": 30, "x": 5}
+        merges, _ = learn_merges(freqs, 20)
+        assert all(a + b != END for a, b in merges)
+        from cdcrypt.operators.tokenizer import encode_word
+        m = _mk_model(freqs, 20)
+        ranks = {p: i for i, p in enumerate(m.merges)}
+        # the sentinel id may lawfully be ABSORBED into a bigger merged
+        # token (e.g. '</w>'+END), but literal '</w>' characters must
+        # never emit it MID-word — that was the id-1 collision
+        for word in ("</w>", "a</w>b", "x</w>"):
+            ids = encode_word(word, ranks, m.vocab, m.unk_id)
+            assert m.unk_id not in ids
+            assert m.vocab[END] not in ids[:-1]
+
+    def test_vocab_bound_holds_when_base_chars_fit(self, spark):
+        df = spark.createDataFrame(
+            [("low low lower newest widest",)], "text string")
+        m = train_bpe(df, vocab_size=16, sample_rows=10)
+        assert len(m.vocab) <= 16
+
+    def test_vocab_exceeds_bound_only_via_base_chars(self, spark):
+        # 26 base chars with budget 8: all base chars kept (mandatory
+        # for lossless coverage), zero merges — documented behavior
+        import string
+        df = spark.createDataFrame(
+            [(" ".join(string.ascii_lowercase),)], "text string")
+        m = train_bpe(df, vocab_size=8, sample_rows=10)
+        assert m.merges == ()
+        assert len(m.vocab) == 2 + 26
