@@ -958,7 +958,17 @@ class MinHashIndex:
         if sj is None:  # pre-schema artifact: fall back to inference
             return spark.read.parquet(path)
         schema = T.StructType.fromJson(json.loads(sj))
-        return spark.read.schema(schema).parquet(path)
+        files = self.meta.get("banded_files")
+        if files is None:  # pre-manifest artifact: whole-directory read
+            return spark.read.schema(schema).parquet(path)
+        if not files:
+            return spark.createDataFrame([], schema)
+        # manifest read (operators/_idxfiles.py): only files the meta
+        # committed are visible — a crash between a parquet append and
+        # the meta replace leaves torn files invisible, and a replayed
+        # batch lands exactly once after GC
+        return (spark.read.schema(schema).option("basePath", path)
+                .parquet(*[os.path.join(path, f) for f in files]))
 
     def _banded_for(self, docs: DataFrame) -> DataFrame:
         m = self.meta
@@ -1005,12 +1015,14 @@ def build_minhash_index(docs: DataFrame, root: str, text_col: str = "text",
     banded.write.mode("overwrite").partitionBy("bpart").parquet(
         os.path.join(root, "banded"))
     import json
+    from cdcrypt.operators._idxfiles import list_parquet_files
     meta = {
         "format": "cdcrypt-minhash/1",
         "text_col": text_col, "id_col": id_col,
         "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k,
         "family": family, "n_partitions": n_partitions,
         "banded_schema": json.dumps(banded.schema.jsonValue()),
+        "banded_files": list_parquet_files(root, "banded"),
     }
     _write_minhash_meta(root, meta)
     return MinHashIndex(root)
@@ -1024,16 +1036,26 @@ def _append_banded(idx: MinHashIndex, banded: DataFrame,
     reuses the rows its query pass already materialized).
 
     ``meta_extra`` entries are merged into the meta JSON in the SAME
-    atomic ``os.replace`` as the append counter — a streaming caller can
-    record its watermark (e.g. the micro-batch id) exactly-once with the
-    growth it covers (streaming/dedup.py)."""
+    atomic ``os.replace`` as the append counter AND the committed-file
+    manifest — a streaming caller can record its watermark (e.g. the
+    micro-batch id) exactly-once with the growth it covers
+    (streaming/dedup.py). A crash between the parquet append and the
+    meta replace leaves torn files that no reader sees (reads go through
+    the manifest) and that the next append garbage-collects — replaying
+    the batch lands it exactly once (operators/_idxfiles.py)."""
     import os
+
+    from cdcrypt.operators._idxfiles import gc_uncommitted, list_parquet_files
+    if "banded_files" in idx.meta:  # pre-manifest indexes: no GC possible
+        gc_uncommitted(idx.root, "banded", set(idx.meta["banded_files"]))
     banded.repartition("bpart").sortWithinPartitions(
         "bpart", "band", "bhash").write.mode("append").partitionBy(
         "bpart").parquet(os.path.join(idx.root, "banded"))
     meta = dict(idx.meta)
     meta["appends"] = int(meta.get("appends", 0)) + 1
     meta.update(meta_extra or {})
+    if "banded_files" in idx.meta:
+        meta["banded_files"] = list_parquet_files(idx.root, "banded")
     _write_minhash_meta(idx.root, meta)
     return MinHashIndex(idx.root)
 

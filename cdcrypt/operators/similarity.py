@@ -16,6 +16,11 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from cdcrypt.operators._idxfiles import (
+    gc_uncommitted as _emblsh_gc_uncommitted,
+    list_parquet_files as _emblsh_list_files,
+)
 from pyspark.sql.types import (
     ArrayType, IntegerType, LongType, StructField, StructType,
 )
@@ -574,11 +579,20 @@ class IvfIndex:
     def n_centroids(self) -> int:
         return len(self.meta["centroids"])
 
+    @property
+    def cells_dirname(self) -> str:
+        """Name of the LIVE inverted-lists directory. Rebuilds write a new
+        versioned dir (``cells_v<N>``) and flip this pointer in the meta's
+        single atomic ``os.replace`` — the (centroids, cells) pair is
+        always consistent; ``cells`` is the initial build's name."""
+        return self.meta.get("cells_dir", "cells")
+
     def read_cells(self, spark) -> DataFrame:
         """(id, vector, cell) for the whole base — cell from the partition
         directory, no recomputation."""
         import os
-        return spark.read.parquet(os.path.join(self.root, "cells"))
+        return spark.read.parquet(os.path.join(self.root,
+                                               self.cells_dirname))
 
 
 def build_ivf_index(
@@ -655,7 +669,7 @@ def append_to_ivf_index(index: "IvfIndex | str",
         .withColumn("cell", F.col("cells")[0]).drop("cells")
     )
     assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(idx.root, "cells"))
+        os.path.join(idx.root, idx.cells_dirname))
     meta = dict(idx.meta)
     meta["appends"] = int(meta.get("appends", 0)) + 1
     tmp = os.path.join(idx.root, f".{IvfIndex.META}.tmp")
@@ -713,15 +727,22 @@ def rebuild_ivf_index(spark, index: "IvfIndex | str",
     the inverted lists in place — the recovery action when
     :func:`ivf_drift` reports degraded centroids after heavy appends.
 
-    The new cells layout is written to a staging dir while the old one is
-    still being read (Spark cannot overwrite its own input), then swapped
-    in with two directory renames; the meta (new centroids, fresh
-    ``train_err`` baseline, ``appends`` reset, ``rebuilds`` bumped) is
-    replaced last. Crash windows leave either the old intact layout or
-    the staging dir — same manifest-less single-writer contract as build.
-    Cost: one training-sample collect + ONE assignment pass over the
-    contents, O(corpus) — which is why drift is measured and rebuilds
-    scheduled, not done per tick."""
+    The new cells layout is written to a fresh VERSIONED directory
+    (``cells_v<rebuilds+1>``) while the old one is still being read
+    (Spark cannot overwrite its own input); the commit point is the
+    meta's single atomic ``os.replace``, which flips ``cells_dir`` to the
+    new directory TOGETHER with the new centroids / fresh ``train_err``
+    baseline / ``appends`` reset / ``rebuilds`` bump. A crash anywhere
+    before the replace leaves the old (meta, cells) pair fully intact
+    and readable; a crash after it leaves the new pair live. In neither
+    window can a reader pair new cell assignments with old centroids
+    (the silent-wrongness mode a two-rename dir swap has) or find no
+    cells directory at all (the unreadable mode). Orphaned staging /
+    superseded directories are garbage-collected at the start of the
+    next rebuild — single-writer contract, like build. Cost: one
+    training-sample collect + ONE assignment pass over the contents,
+    O(corpus) — which is why drift is measured and rebuilds scheduled,
+    not done per tick."""
     import json
     import os
     import shutil
@@ -730,6 +751,15 @@ def rebuild_ivf_index(spark, index: "IvfIndex | str",
     id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
     k = n_centroids or idx.meta["n_centroids"]
     sd = idx.meta["seed"] if seed is None else seed
+    live_name = idx.cells_dirname
+    # GC: every cells* dir except the live one is a crashed rebuild's
+    # staging or a superseded layout — remove before staging anew (also
+    # covers the legacy two-rename names from pre-versioned layouts)
+    for name in os.listdir(idx.root):
+        p = os.path.join(idx.root, name)
+        if (os.path.isdir(p) and name != live_name
+                and (name.startswith("cells") or name == ".cells_replaced")):
+            shutil.rmtree(p, ignore_errors=True)
     base = idx.read_cells(spark).select(id_col, vec_col)
     train = base if sample_fraction >= 1.0 else base.sample(
         fraction=sample_fraction, seed=sd)
@@ -739,13 +769,12 @@ def rebuild_ivf_index(spark, index: "IvfIndex | str",
         _assign_cells(base, cents, 1, vec_col)
         .withColumn("cell", F.col("cells")[0]).drop("cells")
     )
-    staging = os.path.join(idx.root, "cells_rebuild")
+    gen = int(idx.meta.get("rebuilds", 0)) + 1
+    new_name = f"cells_v{gen}"
+    if new_name == live_name:  # defensive: never stage over the live dir
+        new_name = f"cells_v{gen + 1}"
+    staging = os.path.join(idx.root, new_name)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    live = os.path.join(idx.root, "cells")
-    old = os.path.join(idx.root, ".cells_replaced")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(live, old)
-    os.rename(staging, live)
     meta = dict(idx.meta)
     meta.update({
         "n_centroids": len(cents),
@@ -753,13 +782,15 @@ def rebuild_ivf_index(spark, index: "IvfIndex | str",
         "centroids": cents,
         "train_err": _quantization_error(X, cents),
         "appends": 0,
-        "rebuilds": int(idx.meta.get("rebuilds", 0)) + 1,
+        "rebuilds": gen,
+        "cells_dir": new_name,
     })
     tmp = os.path.join(idx.root, f".{IvfIndex.META}.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
+    # COMMIT: new centroids + new cells_dir become visible atomically
     os.replace(tmp, os.path.join(idx.root, IvfIndex.META))
-    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(idx.root, live_name), ignore_errors=True)
     return IvfIndex(idx.root)
 
 
@@ -934,8 +965,19 @@ class EmbeddingLSHIndex:
         # corpus (streaming from scratch) has partition dirs with no data
         # files, which schema inference would reject
         schema = T.StructType.fromJson(json.loads(self.meta[schema_key]))
-        return spark.read.schema(schema).parquet(
-            os.path.join(self.root, component))
+        base = os.path.join(self.root, component)
+        files = self.meta.get(f"{component}_files")
+        if files is None:  # pre-manifest index: whole-directory read
+            return spark.read.schema(schema).parquet(base)
+        if not files:
+            return spark.createDataFrame([], schema)
+        # manifest read (the Iceberg-snapshot pattern in miniature): only
+        # files the meta COMMITTED are visible, so a crash between the
+        # parquet append and the meta replace leaves torn files invisible
+        # rather than silently half-applied; basePath keeps the Hive
+        # partition column (bpart/vpart) derivation and file-level pruning
+        return (spark.read.schema(schema).option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in files]))
 
     def read_tagged(self, spark) -> DataFrame:
         return self._read(spark, "tagged", "tagged_schema")
@@ -976,6 +1018,8 @@ def _write_emblsh_meta(root: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(root, EmbeddingLSHIndex.META))
+
+
 
 
 def build_embedding_lsh_index(
@@ -1032,6 +1076,8 @@ def build_embedding_lsh_index(
      .parquet(os.path.join(root, "vectors")))
     meta["tagged_schema"] = json.dumps(tagged.schema.jsonValue())
     meta["vectors_schema"] = json.dumps(vectors.schema.jsonValue())
+    meta["tagged_files"] = _emblsh_list_files(root, "tagged")
+    meta["vectors_files"] = _emblsh_list_files(root, "vectors")
     _write_emblsh_meta(root, meta)
     return EmbeddingLSHIndex(root)
 
@@ -1045,11 +1091,20 @@ def _append_emblsh(idx: EmbeddingLSHIndex, tagged: DataFrame,
     the rows its query pass already materialized).
 
     ``meta_extra`` entries are merged into the meta JSON in the SAME
-    atomic ``os.replace`` as the append counter — a streaming caller can
-    record its watermark (e.g. the micro-batch id) exactly-once with the
-    growth it covers (streaming/dedup.py)."""
+    atomic ``os.replace`` as the append counter AND the committed-file
+    manifest — a streaming caller can record its watermark (e.g. the
+    micro-batch id) exactly-once with the growth it covers
+    (streaming/dedup.py). A crash between the parquet appends and the
+    meta replace leaves torn files on disk that NO reader sees (reads go
+    through the manifest) and that the next append garbage-collects
+    before writing — so replaying the batch lands it exactly once."""
     import os
     id_col = idx.meta["id_col"]
+    if "tagged_files" in idx.meta:  # pre-manifest indexes: no GC possible
+        _emblsh_gc_uncommitted(idx.root, "tagged",
+                               set(idx.meta["tagged_files"]))
+        _emblsh_gc_uncommitted(idx.root, "vectors",
+                               set(idx.meta.get("vectors_files", [])))
     (tagged.repartition("bpart")
      .sortWithinPartitions("bpart", "band", "bucket")
      .write.mode("append").partitionBy("bpart")
@@ -1060,6 +1115,9 @@ def _append_emblsh(idx: EmbeddingLSHIndex, tagged: DataFrame,
     meta = dict(idx.meta)
     meta["appends"] = int(meta.get("appends", 0)) + 1
     meta.update(meta_extra or {})
+    if "tagged_files" in idx.meta:
+        meta["tagged_files"] = _emblsh_list_files(idx.root, "tagged")
+        meta["vectors_files"] = _emblsh_list_files(idx.root, "vectors")
     _write_emblsh_meta(idx.root, meta)
     return EmbeddingLSHIndex(idx.root)
 

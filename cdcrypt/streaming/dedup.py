@@ -87,17 +87,29 @@ class IndexIntegrityError(RuntimeError):
 
 
 def check_index_covered(index_root: str, kind: str) -> None:
-    """Fail fast on the one manifest-less crash window (ADVICE r3): every
+    """Fail fast on the pre-manifest crash window (ADVICE r3): every
     append/build job rewrites the data dir's ``_SUCCESS`` marker FIRST and
     the meta JSON SECOND (same-process, strictly ordered), so in a healthy
     index the meta file is always at least as new as every marker. A
     ``_SUCCESS`` strictly newer than the meta means committed banded rows
     with no watermark covering them — the redelivered batch would
     double-append (duplicate banded rows / a second vector copy, inflating
-    cap-over-union counts). Detection is an os.stat, no Spark job."""
+    cap-over-union counts). Detection is an os.stat, no Spark job.
+
+    Indexes carrying a committed-file manifest (every index built since
+    operators/_idxfiles.py landed) SELF-HEAL this window instead: torn
+    files are invisible to readers and garbage-collected by the next
+    append, so the redelivered batch lands exactly once — no fail-fast
+    needed, the check passes straight through."""
+    import json
+
     meta_name = _KINDS[kind][0].META
     subdirs = _KINDS[kind][2]
     meta_path = os.path.join(index_root, meta_name)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if any(f"{sub}_files" in meta for sub in subdirs):
+        return  # manifest-bearing: torn appends are invisible + GC'd
     meta_m = os.stat(meta_path).st_mtime_ns
     for sub in subdirs:
         marker = os.path.join(index_root, sub, "_SUCCESS")

@@ -192,7 +192,24 @@ def test_uncovered_append_fails_fast(spark, dirs):
     StreamingNearDup(dirs["idx"], dirs["src"], dirs["pairs"], dirs["ckpt"],
                      kind="minhash")
 
-    # simulate the torn append: data commit marker newer than the meta
+    # simulate the torn append: data commit marker newer than the meta.
+    # A manifest-bearing index (every index built since _idxfiles.py)
+    # SELF-HEALS this window — torn files are invisible to readers and
+    # GC'd by the next append — so the constructor passes through
+    time.sleep(0.01)
+    os.utime(os.path.join(dirs["idx"], "banded", "_SUCCESS"))
+    StreamingNearDup(dirs["idx"], dirs["src"], dirs["pairs"],
+                     dirs["ckpt"], kind="minhash")
+
+    # a LEGACY (pre-manifest) meta has no way to hide torn files: the
+    # fail-fast must still fire for it
+    import json
+    meta_path = os.path.join(dirs["idx"], "_minhash_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("banded_files")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
     time.sleep(0.01)
     os.utime(os.path.join(dirs["idx"], "banded", "_SUCCESS"))
     with pytest.raises(IndexIntegrityError, match="Rebuild"):
