@@ -394,6 +394,39 @@ def _q_range_join_assign(spark, sf_dir):
     return pairs.select("incident_id", "event_id")
 
 
+def _q_range_join_hot(spark, sf_dir):
+    # hot-bin salting (VERDICT r4 item 7): a third of all points are
+    # re-timestamped into ONE 9-minute burst (a flash-crowd minute), which
+    # lands them in 1-2 time bins — the exact skew that pins a single
+    # reducer in the unsalted plan. salt_k=8 splits each bin's point
+    # population into 8 sub-partitions (hash of the point ts) and
+    # replicates the interval side to all of them; results are identical
+    # to the unsalted oracle (salting never changes semantics, only the
+    # exchange's key cardinality — tests/test_rangejoin.py asserts both).
+    from cdcrypt.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    hot = F.lit("2030-01-01 00:00:00").cast("timestamp")
+    pts = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0,
+               F.timestamp_add("SECOND",
+                               (F.col("event_id") % 540).cast("int"), hot))
+        .otherwise(F.col("ts").cast("timestamp")).alias("ts"))
+    iv = (ev.where((F.col("event_type") == "error")
+                   & (F.col("event_id") % 20 == 0))
+          .select(F.col("event_id").alias("incident_id"),
+                  F.col("ts").cast("timestamp").alias("start"),
+                  (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                  .cast("timestamp").alias("end"))
+          .unionByName(spark.range(1).select(
+              F.lit(-1).cast("long").alias("incident_id"),
+              hot.alias("start"),
+              F.timestamp_add("MINUTE", F.lit(10), hot).alias("end"))))
+    pairs = range_join(pts, iv, point_ts="ts", bin_seconds=600, salt_k=8)
+    return pairs.select("incident_id", "event_id")
+
+
 def _q_smt_header_predicate(spark, sf_dir):
     # Connect record headers (ordered multimap as array<struct<key,value>>)
     # + predicate-gated SMT application (operators/smtlib.py): InsertHeader
@@ -3134,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_connect_chain": _q_smt_connect_chain,
         "smt_header_predicate": _q_smt_header_predicate,
         "range_join_assign": _q_range_join_assign,
+        "range_join_hot": _q_range_join_hot,
         "smt_regex_router": _q_smt_regex_router,
         "smt_outbox_route": _q_smt_outbox_route,
         "smt_schemaless_roundtrip": _q_smt_schemaless_roundtrip,
@@ -4053,6 +4087,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events i JOIN events e
               ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 10 MINUTE
             WHERE i.event_type = 'error' AND i.event_id % 20 = 0
+        """,
+        "range_join_hot": """
+            WITH pts AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0
+                          THEN TIMESTAMP '2030-01-01 00:00:00'
+                               + (event_id % 540) * INTERVAL 1 SECOND
+                          ELSE ts END AS ts
+              FROM events),
+            iv AS (
+              SELECT event_id AS incident_id, ts AS start_ts,
+                     ts + INTERVAL 10 MINUTE AS end_ts
+              FROM events
+              WHERE event_type = 'error' AND event_id % 20 = 0
+              UNION ALL
+              SELECT CAST(-1 AS BIGINT),
+                     TIMESTAMP '2030-01-01 00:00:00',
+                     TIMESTAMP '2030-01-01 00:10:00')
+            SELECT i.incident_id, p.event_id
+            FROM iv i JOIN pts p
+              ON p.ts >= i.start_ts AND p.ts < i.end_ts
         """,
         "smt_header_predicate": """
             SELECT event_id, event_type,

@@ -143,6 +143,8 @@ def embedding_neardup_exact(
     vec_col: str = "embedding",
     round_digits: int = 4,
     max_rows: int | None = 2_000_000,
+    auto: bool = False,
+    lsh_kwargs: dict | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
@@ -160,18 +162,32 @@ def embedding_neardup_exact(
     before any collect instead of silently OOMing the driver at scale —
     switch to :func:`embedding_neardup_lsh` (banded LSH, no broadcast), or
     pass ``max_rows=None``/a bigger budget if the executors genuinely have
-    the memory (dim and heap known to the caller, not to this function)."""
+    the memory (dim and heap known to the caller, not to this function).
+
+    ``auto=True`` dispatches an over-budget corpus to
+    :func:`embedding_neardup_lsh` (tuned via ``lsh_kwargs``) instead of
+    raising — same output schema, candidates exact-cosine verified, but
+    RECALL becomes probabilistic: a pair colliding in no band is missed
+    (vanishingly rare at high thresholds with enough bands; the
+    equivalence is tested in tests/test_training_ops.py). The raise
+    stays the default so nobody silently trades exactness for scale."""
     import numpy as np
     import pandas as pd
 
     if max_rows is not None:
         n = df.count()  # cheap: parquet row-count metadata / one scan of ids
         if n > max_rows:
+            if auto:
+                return embedding_neardup_lsh(
+                    df, threshold=threshold, id_col=id_col,
+                    vec_col=vec_col, round_digits=round_digits,
+                    **(lsh_kwargs or {}))
             raise BroadcastContractError(
                 f"embedding_neardup_exact would collect {n} vectors to the "
                 f"driver (max_rows={max_rows}); this all-pairs variant is a "
                 "small-corpus baseline. Use embedding_neardup_lsh for "
-                "corpus-scale near-dup, or raise max_rows explicitly."
+                "corpus-scale near-dup (auto=True dispatches there), or "
+                "raise max_rows explicitly."
             )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -236,6 +236,36 @@ def test_embedding_neardup_exact_broadcast_guard(spark):
     assert base and all(labels[a] == labels[b] for a, b in base)
 
 
+def test_embedding_neardup_exact_auto_dispatch_equivalence(spark):
+    # VERDICT r4 item 8: auto=True falls through to the LSH variant for
+    # an over-budget corpus instead of raising; on a corpus straddling
+    # the threshold (planted tight clusters + background noise) the
+    # dispatched result equals the exact all-pairs result — the banded
+    # candidates cover every >=0.98 pair at these band params, and the
+    # exact-cosine verify makes precision 1 on both paths.
+    import pytest
+    from cdcrypt.operators.similarity import (
+        BroadcastContractError,
+        embedding_neardup_exact,
+    )
+    emb = _clustered_embeddings(spark)  # 60 rows
+    want = {(p.id_a, p.id_b, p.sim) for p in
+            embedding_neardup_exact(emb, threshold=0.98,
+                                    max_rows=None).collect()}
+    got = {(p.id_a, p.id_b, p.sim) for p in
+           embedding_neardup_exact(
+               emb, threshold=0.98, max_rows=59, auto=True,
+               lsh_kwargs={"n_bands": 16, "bits_per_band": 8}).collect()}
+    assert got == want
+    # the raise stays the default
+    with pytest.raises(BroadcastContractError, match="auto=True"):
+        embedding_neardup_exact(emb, threshold=0.98, max_rows=59).collect()
+    # under-budget corpora ignore auto entirely (exact path runs)
+    assert {(p.id_a, p.id_b, p.sim) for p in
+            embedding_neardup_exact(emb, threshold=0.98,
+                                    auto=True).collect()} == want
+
+
 def test_embedding_neardup_lsh_subset_and_recall(spark):
     from cdcrypt.operators.similarity import (
         embedding_neardup_exact,
