@@ -665,9 +665,17 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       family: str = "md5") -> DataFrame:
-    """Docs sharing an identical simhash (near-dup clusters at hamming 0)."""
-    s = simhash64(df, text_col, id_col, family)
+                       family: str = "md5",
+                       fingerprints: DataFrame | None = None) -> DataFrame:
+    """Docs sharing an identical simhash (near-dup clusters at hamming 0).
+
+    ``fingerprints`` reuses a precomputed ``(id, simhash)`` frame (a
+    :func:`simhash64` output, possibly cached): a production pipeline
+    computes fingerprints ONCE and fans them out to the hamming-0 groups
+    AND the banded near-pair join rather than re-running the
+    word-explode + 60-sum pass per consumer."""
+    s = (simhash64(df, text_col, id_col, family)
+         if fingerprints is None else fingerprints)
     return (
         s.groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
@@ -678,7 +686,8 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
                        n_bands: int = 4, family: str = "md5",
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       fingerprints: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs at hamming distance <= ``max_hamming`` via the banded
     pigeonhole trick: split the fingerprint into ``n_bands`` equal bit bands;
     two fingerprints within hamming k share at least one EXACT band whenever
@@ -698,6 +707,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     shuffle, no second pass). Recall cost is confined to docs
     near-identical to >max_bucket_size others — exactly the degenerate
     mass a dedup pipeline collapses via exact-dup upstream anyway.
+
+    ``fingerprints`` reuses a precomputed ``(id, simhash)`` frame (see
+    :func:`simhash_dup_groups`) instead of re-running the signature pass.
     """
     _check_family(family)
     if n_bands <= max_hamming:
@@ -709,7 +721,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"n_bands={n_bands} must divide {n_bits}")
     width = n_bits // n_bands
     mask = (1 << width) - 1
-    s = simhash64(df, text_col, id_col, family)
+    s = (simhash64(df, text_col, id_col, family)
+         if fingerprints is None else fingerprints)
     banded = s.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
