@@ -1649,7 +1649,11 @@ def _q_cdc_txn_align(spark, sf_dir):
     ev = ev.join(tot, "txn_id", "left")
     dup = (ev.where(F.pmod(F.col("op_seq"), F.lit(7)) == 0)
            .withColumn("epoch", F.least(F.col("epoch") + 1, F.lit(2))))
-    full = ev.unionByName(dup)
+    # materialize the derived stream ONCE: each of the 3 epoch batches
+    # below filters this frame, and without the checkpoint the txn-total
+    # join + union re-executes per epoch (3x the prep for the same rows —
+    # harness overhead, not aligner cost). Batch-sized, eager.
+    full = ev.unionByName(dup).localCheckpoint()
     key = hashlib.md5(
         (os.path.abspath(sf_dir) + ":txnalign:"
          + _table_fingerprint(sf_dir, "events")).encode()).hexdigest()[:12]
