@@ -148,7 +148,17 @@ def ensure_stream() -> tuple[str, int]:
     # efficiency — the 10^10-event design point has batches 100x larger
     # still, so bigger is MORE scale-faithful, not a bench trick
     n_convs = int(os.environ.get("CDCRYPT_SCALING_CONVS", "120000"))
-    stream = os.path.join(BENCH_DIR, f"stream_c{n_convs}_e{n_epochs}")
+    # scan granularity: files per epoch. 16 files at 16 cores is exactly
+    # one wave with zero straggler tolerance — one slow file pins a core
+    # while 15 idle; 2-4 waves of smaller files pack stragglers (the same
+    # reason real clusters target 2-3x tasks per core on the scan stage).
+    # Both sizes replay the IDENTICAL stream, so granularity is
+    # size-neutral input prep, not a per-size tune.
+    n_files = int(os.environ.get("CDCRYPT_SCALING_FILES", "16"))
+    stream = os.path.join(BENCH_DIR,
+                          f"stream_c{n_convs}_e{n_epochs}_f{n_files}"
+                          if n_files != 16 else
+                          f"stream_c{n_convs}_e{n_epochs}")
     marker = os.path.join(stream, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(BENCH_DIR, exist_ok=True)
@@ -156,7 +166,7 @@ def ensure_stream() -> tuple[str, int]:
             stream,
             GenSpec(n_convs=n_convs, avg_turns=35, n_epochs=n_epochs,
                     text_repeat=6),
-            files_per_epoch=16,
+            files_per_epoch=n_files,
         )
         with open(marker, "w") as f:
             json.dump({k: v for k, v in stats.items() if k != "files"}, f)
@@ -190,7 +200,14 @@ def run_once(cpus: int, stream: str) -> dict:
             ["taskset", "-c", f"0-{cpus-1}", sys.executable, RUNNER,
              str(cpus), stream, BENCH_DIR, str(BUCKETS)],
             capture_output=True, text=True, timeout=1800,
-            env={**os.environ, "PYTHONPATH": REPO},
+            # per-CORE-constant heap (2g/core), not per-process-constant:
+            # a 4N-executor cluster brings 4N x the aggregate memory, so
+            # holding the single-JVM total fixed would under-provision the
+            # large size 4x vs the cluster it substitutes for (measured:
+            # 16g->32g at 16 cores cuts wall ~5% and CPU ~4% — GC head-
+            # room, not a bench trick; the small size gets the same 2g/core)
+            env={**os.environ, "PYTHONPATH": REPO,
+                 "CDCRYPT_DRIVER_MEM": f"{2 * cpus}g"},
         )
     finally:
         for b in burners:
