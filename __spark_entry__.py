@@ -27,11 +27,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # memoized via _memo_df (defined below): ~90 gates re-scan the same
     # handful of small tables; one cached read per (dataset, table)
     # removes the repeated parquet-open/footer cost from the sweep
+    path = f"{sf_dir}/{name}.parquet"
     memo_key = (f"t:{os.path.abspath(sf_dir)}:{name}:"
                 + _table_fingerprint(sf_dir, name))
-    return _memo_df(
-        memo_key,
-        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+    def build():
+        # a fingerprint MISS means the files changed (or first touch):
+        # drop Spark's session-lifetime file-listing/footer cache for the
+        # path, or the new plan would silently read the OLD listing — a
+        # stale-data hazard that predates the memo but is now detected
+        # and healed by it (tests/test_entry_memo.py)
+        spark.catalog.refreshByPath(path)
+        return spark.read.parquet(path)
+
+    return _memo_df(memo_key, build)
 
 
 def _table_fingerprint(sf_dir: str, name: str) -> str:
